@@ -1,0 +1,164 @@
+"""Central configuration.
+
+Mirrors every field of the reference ``Config`` class
+(`/root/reference/Code/ir_colorization.py:32-142`) with identical names and
+defaults, rebuilt as a frozen dataclass with CLI/JSON overrides instead of
+edit-the-source configuration (the reference README documents "no CLI args
+required"; we add one).
+
+TPU-native additions (absent in the reference) are grouped at the bottom:
+image height/width decoupling (the reference assumes square ``img_size``),
+batch inference size, mesh/data-parallel knobs, precision flags, checkpoint
+resume, and the Pallas kernel gate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---------- mode ----------
+    # "train" => train on KAIST IR→RGB pairs (ref :51)
+    # "test"  => colorize IR test sets, compute metrics, save outputs
+    mode: str = "test"
+
+    # ---------- model ----------
+    img_size: int = 256          # ref :57 (square default; see img_height/width)
+    input_nc: int = 1            # ref :60 IR grayscale
+    output_nc: int = 3           # ref :61 RGB
+    ngf: int = 64                # ref :64
+    norm: str = "instance"       # ref :67 ("instance" | "batch" | "none")
+    no_antialias: bool = False   # ref :70
+    no_antialias_up: bool = False  # ref :71
+    n_blocks: int = 9            # ref :771 (hard-coded 9 in the reference)
+
+    # ---------- checkpoints / output dirs ----------
+    save_every: int = 5          # ref :73
+    save_dir: str = "./Weights/trained/checkpoints_kaist"   # ref :75
+    output_dir: str = "./results"                            # ref :76
+    test_G_weights: str | None = None                        # ref :77
+
+    # ---------- train data ----------
+    train_roots: tuple[str, ...] = (                         # ref :81-86
+        "kaist-dataset/versions/1/set00",
+        "kaist-dataset/versions/1/set01",
+        "kaist-dataset/versions/1/set03",
+        "kaist-dataset/versions/1/set04",
+    )
+
+    # ---------- training hyperparameters ----------
+    batch_size: int = 4          # ref :92 (global batch; sharded over mesh)
+    epochs: int = 50             # ref :93
+    lr_G: float = 2e-4           # ref :94
+    lr_D: float = 2e-4           # ref :95
+    beta1: float = 0.5           # ref :96
+    beta2: float = 0.999         # ref :97
+
+    # loss weights (ref :100-104)
+    lambda_L1: float = 30.0
+    lambda_perc: float = 30.0
+    lambda_tv: float = 1e-4
+    lambda_ssim: float = 2.0
+    lambda_gan: float = 0.1
+
+    num_workers: int = 4         # ref :107 (host decode thread count here)
+    val_ratio: float = 0.1       # ref :110
+    lr_decay_start_epoch: int = 40  # ref :114
+    init_G_weights: str | None = None  # ref :117
+
+    # ---------- test data ----------
+    test_roots: tuple[str, ...] = (                          # ref :121-124
+        "kaist-dataset/versions/1/set02",
+        "kaist-dataset/versions/1/set05",
+    )
+
+    # ---------- collage / comparisons (ref :127-132) ----------
+    save_comparisons: bool = True
+    comparison_dirname: str = "Comparisons"
+    comparison_add_text: bool = False
+    comparison_pad: int = 8
+    comparison_font_scale: float = 0.6
+    comparison_thickness: int = 2
+
+    # ---------- Top-K export (ref :135-142) ----------
+    best50_copy_preds: bool = True
+    best50_copy_collages: bool = True
+    best50_preds_subdir: str = "colored"
+    best50_collages_subdir: str = "collages"
+    topk: int = 50
+    best50_dirname: str = "Best_50_colored_images"
+
+    # =====================================================================
+    # TPU-native additions (no reference equivalent)
+    # =====================================================================
+
+    # Non-square resolution support (BASELINE target is 512×640). When set,
+    # these override the square img_size; images are resized to (H, W).
+    img_height: int | None = None
+    img_width: int | None = None
+
+    # Batched test-mode inference (the reference runs batch 1, ref :1379).
+    test_batch_size: int = 16
+
+    # Precision: "f32" for reference parity, "bf16" for throughput.
+    compute_dtype: str = "f32"
+    # XLA conv/matmul precision for f32 path ("default" | "highest").
+    conv_precision: str = "highest"
+
+    # Data-parallel mesh: number of devices on the 'data' axis (0 = all).
+    dp_devices: int = 0
+
+    # Full-train-state checkpointing (orbax) + resume.
+    resume: bool = False
+    orbax_dir: str | None = None   # defaults to <save_dir>/orbax
+
+    # VGG-16 perceptual tower weights: path to a torchvision vgg16 .pth
+    # state_dict; None → deterministic random init (documented fallback:
+    # torchvision is unavailable in this environment, so pretrained weights
+    # must be supplied externally for loss parity).
+    vgg16_weights: str | None = None
+
+    # Pallas fused kernels gate (parity-tested; off = pure XLA).
+    use_pallas: bool = True
+
+    # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
+    log_every: int = 50
+
+    # RNG seed for init/augmentation (the reference seeds only the split
+    # with 42, ref :1565; we seed everything for determinism).
+    seed: int = 0
+
+    # ------------------------------------------------------------------
+    @property
+    def resolved_hw(self) -> tuple[int, int]:
+        """(H, W) the model runs at — square img_size unless overridden."""
+        h = self.img_height if self.img_height is not None else self.img_size
+        w = self.img_width if self.img_width is not None else self.img_size
+        return h, w
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - fields
+        if unknown:
+            raise ValueError(f"Unknown config fields: {sorted(unknown)}")
+        for key in ("train_roots", "test_roots"):
+            if key in raw and isinstance(raw[key], list):
+                raw[key] = tuple(raw[key])
+        return cls(**raw)

@@ -1,0 +1,139 @@
+"""Host input pipeline: parallel decode + prefetch → device batches.
+
+The reference feeds the GPU with ``DataLoader(num_workers=4, pin_memory)``
+(`/root/reference/Code/ir_colorization.py:1576-1581`). The TPU-native
+equivalent here is a thread-pool decode (cv2 releases the GIL) with a
+bounded prefetch queue producing stacked NHWC numpy batches, plus helpers to
+place global arrays on a data-parallel mesh:
+
+* single-process: ``jax.device_put(batch, NamedSharding(mesh, P('data')))``
+* multi-host:     each host decodes only its shard of the global batch and
+  forms global arrays via ``jax.make_array_from_process_local_data``
+  (SURVEY.md §2.2 table).
+
+Epoch shuffling is seeded per epoch (reproducible, unlike the reference's
+unseeded DataLoader shuffle).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator
+
+import numpy as np
+
+from ircolor_tpu.data.kaist import KAISTPairDataset
+
+
+def _stack(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    return {
+        "ir": np.stack([s["ir"] for s in samples]),
+        "rgb": np.stack([s["rgb"] for s in samples]),
+    }
+
+
+class BatchLoader:
+    """Iterable over stacked NHWC batches with background decode+prefetch.
+
+    Parameters mirror the reference DataLoader (ref :1576-1581):
+    ``shuffle``, ``drop_last``, ``num_workers`` (decode threads). For
+    multi-host data parallelism pass ``shard_index/shard_count`` — each host
+    then yields only its contiguous slice of every global batch (per-host
+    input pipeline; batch_size stays the GLOBAL batch size).
+    """
+
+    def __init__(
+        self,
+        dataset: KAISTPairDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ) -> None:
+        if batch_size % shard_count != 0:
+            raise ValueError("global batch_size must divide by shard_count")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _batch_indices(self) -> list[list[int]]:
+        idxs = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed * 100003 + self._epoch).shuffle(idxs)
+        batches = [
+            idxs[i : i + self.batch_size]
+            for i in range(0, len(idxs), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        elif batches and not batches[-1]:
+            batches.pop()
+        # Per-host shard: contiguous slice of each global batch.
+        if self.shard_count > 1:
+            per = self.batch_size // self.shard_count
+            sliced = []
+            for b in batches:
+                lo = self.shard_index * per
+                sliced.append(b[lo : lo + per])
+            batches = [b for b in sliced if b]
+        return batches
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        batches = self._batch_indices()
+        out_q: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce() -> None:
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, b))
+                        out_q.put(_stack(samples))
+                out_q.put(None)
+            except BaseException as exc:  # surface decode errors to consumer
+                out_q.put(exc)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer isn't blocked on put() forever.
+            while t.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

@@ -1,0 +1,88 @@
+"""VGG-16 perceptual feature tower (through relu3_3).
+
+Reference semantics: ``VGGPerceptual``
+(`/root/reference/Code/ir_colorization.py:642-683`) — frozen torchvision
+VGG-16 (IMAGENET1K_V1) ``features[:16]``: conv1_1..conv3_3 with ReLUs and two
+2×2 max-pools, i.e. conv channel plan [64, 64, M, 128, 128, M, 256, 256, 256]
+ending at relu3_3. Inputs are [-1,1] images mapped to [0,1] then
+ImageNet-normalized (mean [0.485,0.456,0.406], std [0.229,0.224,0.225],
+ref :672-682).
+
+torchvision is unavailable in this environment, so pretrained weights must be
+imported from a torchvision ``vgg16`` state_dict ``.pth`` via
+``ircolor_tpu.compat.torch_import.load_vgg16_pth``. Without one,
+``init_vgg16_params`` provides a deterministic He-normal init — training
+still runs, but the perceptual term is then NOT ImageNet-pretrained (random
+VGG features still carry useful structure, but loss parity requires the
+pretrained weights; documented in README).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# (name, out_channels); "pool" entries are 2×2 stride-2 max pools.
+# Matches torchvision vgg16.features indices 0..15 (convs at 0,2,5,7,10,12,14).
+VGG16_PLAN: tuple[tuple[str, int | None], ...] = (
+    ("conv1_1", 64),
+    ("conv1_2", 64),
+    ("pool1", None),
+    ("conv2_1", 128),
+    ("conv2_2", 128),
+    ("pool2", None),
+    ("conv3_1", 256),
+    ("conv3_2", 256),
+    ("conv3_3", 256),
+)
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class VGG16Features(nn.Module):
+    """Frozen VGG-16 features[:16]; input NHWC in [-1,1]; output relu3_3."""
+
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+        std = jnp.asarray(IMAGENET_STD, x.dtype)
+        h = (x + 1.0) / 2.0                 # [-1,1] → [0,1] (ref :679)
+        h = (h - mean) / std                # ImageNet normalize (ref :681-682)
+        for name, ch in VGG16_PLAN:
+            if ch is None:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            else:
+                h = nn.Conv(
+                    ch,
+                    (3, 3),
+                    padding=((1, 1), (1, 1)),
+                    use_bias=True,
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=name,
+                )(h)
+                h = nn.relu(h)
+        return h
+
+
+def init_vgg16_params(seed: int = 0) -> Any:
+    """Deterministic fallback init (He normal) when no .pth is supplied."""
+    module = VGG16Features()
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    return module.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+
+def load_vgg16_params(path: str | None, seed: int = 0) -> Any:
+    """Load pretrained VGG-16 params from a torchvision .pth, else fallback."""
+    if path is None:
+        return init_vgg16_params(seed)
+    from ircolor_tpu.compat.torch_import import load_vgg16_pth
+
+    return load_vgg16_pth(path)

@@ -1,0 +1,70 @@
+"""Shared model plumbing: init scheme, norm dispatch, conv defaults.
+
+Reference semantics:
+
+* ``init_weights`` (`/root/reference/Code/ir_colorization.py:168-198`):
+  conv/linear kernels ~ N(0, 0.02), biases 0; norm affine weights ~ N(1,0.02)
+  (only relevant for batch norm — InstanceNorm2d with PyTorch defaults has no
+  affine params).
+* ``get_norm_layer`` (ref :154-165): "instance" | "batch" | "none".
+* ``use_bias`` rule (ref :452-455, :590-593): conv bias only when the norm is
+  instance norm.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.nn import initializers
+
+from ircolor_tpu.ops.norm import instance_norm
+
+# Reference init: N(0, 0.02) kernels, zero bias (ref :180-181, :190-191).
+kernel_init = initializers.normal(stddev=0.02)
+bias_init = initializers.zeros
+
+NORM_TYPES = ("instance", "batch", "none")
+
+
+def _scale_around_one(key, shape, dtype=jnp.float32):
+    """Affine norm scale ~ N(1, 0.02) (ref :193-194)."""
+    return 1.0 + jax.random.normal(key, shape, dtype) * 0.02
+
+
+def use_bias_for_norm(norm: str) -> bool:
+    """Conv bias iff instance norm (ref :452-455)."""
+    if norm not in NORM_TYPES:
+        raise NotImplementedError(f"Normalization type [{norm}] not supported")
+    return norm == "instance"
+
+
+class Norm(nn.Module):
+    """Dispatching norm layer: instance (param-free) / batch / none."""
+
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.norm == "instance":
+            return instance_norm(x)
+        if self.norm == "none" or self.norm is None:
+            return x
+        if self.norm == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,  # torch BatchNorm2d momentum=0.1 ⇔ flax 0.9
+                epsilon=1e-5,
+                scale_init=_scale_around_one,
+                name="bn",
+            )(x)
+        raise NotImplementedError(f"Normalization type [{self.norm}] not supported")
+
+
+class Conv(nn.Conv):
+    """``flax.linen.Conv`` with the reference init scheme as defaults."""
+
+    kernel_init: Any = kernel_init
+    bias_init: Any = bias_init

@@ -1,0 +1,70 @@
+"""PatchGAN discriminator (NHWC Flax).
+
+Reference semantics: ``NLayerDiscriminator``
+(`/root/reference/Code/ir_colorization.py:576-635`). At input_nc=4 (IR 1ch ⊕
+RGB 3ch, ref :583, :1592), ndf=64, n_layers=3:
+
+  4×4 conv s2  4→64   + LeakyReLU(0.2)          (no norm, bias on) ref :599-602
+  4×4 conv s2  64→128 + IN + LeakyReLU(0.2)                        ref :604-615
+  4×4 conv s2 128→256 + IN + LeakyReLU(0.2)
+  4×4 conv s1 256→512 + IN + LeakyReLU(0.2)     (penultimate)      ref :617-625
+  4×4 conv s1 512→1                              (patch score map)  ref :627-630
+
+Channel growth is min(2**n, 8)·ndf; all convs use padding 1; output at 256²
+input is a 30×30 single-channel patch score map.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ircolor_tpu.models.common import Conv, Norm, use_bias_for_norm
+
+
+class NLayerDiscriminator(nn.Module):
+    input_nc: int = 4
+    ndf: int = 64
+    n_layers: int = 3
+    norm: str = "instance"
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        use_bias = use_bias_for_norm(self.norm)
+        kw, padw = 4, ((1, 1), (1, 1))
+
+        def conv(name, feats, stride, bias):
+            return Conv(
+                feats,
+                (kw, kw),
+                strides=(stride, stride),
+                padding=padw,
+                use_bias=bias,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=name,
+            )
+
+        # First layer: bias always on (ref :600 has no bias= kwarg).
+        h = conv("conv0", self.ndf, 2, True)(x)
+        h = nn.leaky_relu(h, 0.2)
+
+        nf_mult = 1
+        for n in range(1, self.n_layers):
+            nf_mult = min(2**n, 8)
+            h = conv(f"conv{n}", self.ndf * nf_mult, 2, use_bias)(h)
+            h = Norm(self.norm, name=f"norm{n}")(h, train)
+            h = nn.leaky_relu(h, 0.2)
+
+        # Penultimate: stride 1 for finer patches (ref :617-625).
+        nf_mult = min(2**self.n_layers, 8)
+        h = conv(f"conv{self.n_layers}", self.ndf * nf_mult, 1, use_bias)(h)
+        h = Norm(self.norm, name=f"norm{self.n_layers}")(h, train)
+        h = nn.leaky_relu(h, 0.2)
+
+        # Final 1-channel patch map: bias always on (ref :629).
+        return conv("conv_out", 1, 1, True)(h)

@@ -1,0 +1,195 @@
+"""ResNet-bottleneck U-Net generator (NHWC Flax).
+
+Reference semantics: ``ResnetUNetGenerator``
+(`/root/reference/Code/ir_colorization.py:425-569`) and ``ResnetBlock``
+(ref :362-418). Topology at ngf=64, n_blocks=9:
+
+  encoder   c7s1-64 (ReflPad3 + 7×7 conv + IN + ReLU)                 ref :458-463
+            down1: 3×3 conv s1 64→128 + IN + ReLU + blur-pool /2      ref :469-474
+            down2: 3×3 conv s1 128→256 + IN + ReLU + blur-pool /2     ref :477-482
+  bottleneck 9 × ResnetBlock(256)                                     ref :485-490
+  decoder   up1: AA-upsample ×2 → concat skip x1 → 3×3 384→128        ref :495-507
+            up2: AA-upsample ×2 → concat skip x0 → 3×3 192→64         ref :512-524
+            outc: ReflPad3 + 7×7 conv 64→3 + tanh                     ref :527-531
+
+With ``no_antialias`` the down convs use stride 2 directly (ref :468); with
+``no_antialias_up`` the upsamples are 3×3 stride-2 transposed convs with
+output_padding 1 (ref :495-499). A bilinear align-corners fixup resize runs
+when upsampled shapes don't match the skip (ref :555-556, :562-563) — with
+static shapes this is a trace-time Python branch, only active for H or W not
+divisible by 4.
+
+Output is in [-1, 1] (tanh). The reference forward returns ``(out, None)``
+for CUT-signature compatibility (ref :569); here ``__call__`` returns the
+image directly and the wrapper preserves the tuple shape where needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ircolor_tpu.models.common import Conv, Norm, use_bias_for_norm
+from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
+from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
+from ircolor_tpu.ops.resize import bilinear_align_corners
+
+
+class ResnetBlock(nn.Module):
+    """pad→3×3 conv→norm→ReLU→[dropout]→pad→3×3 conv→norm, residual add."""
+
+    dim: int
+    padding_type: str = "reflect"
+    norm: str = "instance"
+    use_dropout: bool = False
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.padding_type in ("reflect", "replicate"):
+            pre_pad, conv_pad = self.padding_type, "VALID"
+        elif self.padding_type == "zero":
+            pre_pad, conv_pad = None, ((1, 1), (1, 1))
+        else:
+            raise NotImplementedError(f"Padding [{self.padding_type}] is not implemented")
+
+        def conv(name: str, y: jnp.ndarray) -> jnp.ndarray:
+            if pre_pad is not None:
+                y = pad2d(y, 1, pre_pad)
+            return Conv(
+                self.dim,
+                (3, 3),
+                padding=conv_pad,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=name,
+            )(y)
+
+        h = conv("conv1", x)
+        h = Norm(self.norm, name="norm1")(h, train)
+        h = nn.relu(h)
+        if self.use_dropout:
+            h = nn.Dropout(rate=0.5, deterministic=not train)(h)
+        h = conv("conv2", h)
+        h = Norm(self.norm, name="norm2")(h, train)
+        return x + h
+
+
+class ResnetUNetGenerator(nn.Module):
+    """U-Net encoder/decoder with ResNet bottleneck (see module docstring)."""
+
+    input_nc: int = 1
+    output_nc: int = 3
+    ngf: int = 64
+    norm: str = "instance"
+    use_dropout: bool = False
+    n_blocks: int = 9
+    padding_type: str = "reflect"
+    no_antialias: bool = False
+    no_antialias_up: bool = False
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert self.n_blocks >= 0
+        use_bias = use_bias_for_norm(self.norm)
+        ngf = self.ngf
+
+        def conv(name, feats, ksize, stride=1, padding="VALID", bias=use_bias):
+            return Conv(
+                feats,
+                (ksize, ksize),
+                strides=(stride, stride),
+                padding=padding,
+                use_bias=bias,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=name,
+            )
+
+        def norm_relu(name, y):
+            y = Norm(self.norm, name=name)(y, train)
+            return nn.relu(y)
+
+        # --- encoder ---
+        x0 = reflect_pad2d(x, 3)
+        x0 = conv("inc_conv", ngf, 7)(x0)
+        x0 = norm_relu("inc_norm", x0)                       # (B, H, W, 64)
+
+        stride_d = 2 if self.no_antialias else 1
+        x1 = conv("down1_conv", ngf * 2, 3, stride_d, ((1, 1), (1, 1)))(x0)
+        x1 = norm_relu("down1_norm", x1)
+        if not self.no_antialias:
+            x1 = blur_downsample(x1, precision=self.precision)   # (B, H/2, W/2, 128)
+
+        x2 = conv("down2_conv", ngf * 4, 3, stride_d, ((1, 1), (1, 1)))(x1)
+        x2 = norm_relu("down2_norm", x2)
+        if not self.no_antialias:
+            x2 = blur_downsample(x2, precision=self.precision)   # (B, H/4, W/4, 256)
+
+        # --- bottleneck ---
+        h = x2
+        for i in range(self.n_blocks):
+            h = ResnetBlock(
+                ngf * 4,
+                padding_type=self.padding_type,
+                norm=self.norm,
+                use_dropout=self.use_dropout,
+                use_bias=use_bias,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"resblock_{i}",
+            )(h, train)
+
+        # --- decoder stage 1 (skip x1) ---
+        if self.no_antialias_up:
+            y = nn.ConvTranspose(
+                ngf * 4,
+                (3, 3),
+                strides=(2, 2),
+                padding=((1, 2), (1, 2)),  # torch k3 s2 p1 output_padding1 ⇒ out = 2·in
+                use_bias=use_bias,
+                dtype=self.dtype,
+                precision=self.precision,
+                kernel_init=Conv.kernel_init,
+                name="up1_up",
+            )(h)
+        else:
+            y = blur_upsample_aa(h, precision=self.precision)
+        if y.shape[1:3] != x1.shape[1:3]:
+            y = bilinear_align_corners(y, x1.shape[1:3])     # fixup (ref :555-556)
+        y = jnp.concatenate([y, x1], axis=-1)                # (B, H/2, W/2, 384)
+        y = conv("up1_conv", ngf * 2, 3, 1, ((1, 1), (1, 1)))(y)
+        y = norm_relu("up1_norm", y)
+
+        # --- decoder stage 2 (skip x0) ---
+        if self.no_antialias_up:
+            y = nn.ConvTranspose(
+                ngf * 2,
+                (3, 3),
+                strides=(2, 2),
+                padding=((1, 2), (1, 2)),
+                use_bias=use_bias,
+                dtype=self.dtype,
+                precision=self.precision,
+                kernel_init=Conv.kernel_init,
+                name="up2_up",
+            )(y)
+        else:
+            y = blur_upsample_aa(y, precision=self.precision)
+        if y.shape[1:3] != x0.shape[1:3]:
+            y = bilinear_align_corners(y, x0.shape[1:3])     # fixup (ref :562-563)
+        y = jnp.concatenate([y, x0], axis=-1)                # (B, H, W, 192)
+        y = conv("up2_conv", ngf, 3, 1, ((1, 1), (1, 1)))(y)
+        y = norm_relu("up2_norm", y)
+
+        # --- output head (bias always on: ref :529 has no bias= kwarg) ---
+        y = reflect_pad2d(y, 3)
+        y = conv("outc_conv", self.output_nc, 7, bias=True)(y)
+        return jnp.tanh(y)

@@ -1,0 +1,116 @@
+"""Generator wrapper: construction from Config, weight loading, jitted forward.
+
+Reference semantics: ``IRColorizationModel``
+(`/root/reference/Code/ir_colorization.py:757-796`) — builds the generator
+with n_blocks=9 / dropout off (ref :767-775), initializes N(0, 0.02)
+(ref :778-779), loads checkpoints permissively (raw state_dict or
+``{'state_dict': ...}``, non-strict; ref :781-789), and maps IR [-1,1] →
+RGB [-1,1] (ref :791-796).
+
+Here weight loading accepts:
+  * PyTorch ``.pth`` files (via ``ircolor_tpu.compat.torch_import``), and
+  * this framework's native checkpoints (orbax / msgpack netG exports).
+Loading is permissive like the reference: missing keys keep their random
+init, extra keys are ignored, with a warning either way.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.models.generator import ResnetUNetGenerator
+from ircolor_tpu.ops.conv import resolve_precision
+from ircolor_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
+    """Build the generator module per cfg (ref :767-775)."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32
+    return ResnetUNetGenerator(
+        input_nc=cfg.input_nc,
+        output_nc=cfg.output_nc,
+        ngf=cfg.ngf,
+        norm=cfg.norm,
+        use_dropout=False,
+        n_blocks=cfg.n_blocks,
+        padding_type="reflect",
+        no_antialias=cfg.no_antialias,
+        no_antialias_up=cfg.no_antialias_up,
+        dtype=dtype,
+        precision=resolve_precision(cfg.conv_precision if cfg.compute_dtype == "f32" else "default"),
+    )
+
+
+def merge_params(init_params: Any, loaded: Any) -> Any:
+    """Non-strict merge mirroring ``load_state_dict(strict=False)`` (ref :789).
+
+    Leaves present in both (with matching shapes) come from ``loaded``;
+    everything else keeps its initialized value.
+    """
+    flat_init = jax.tree_util.tree_flatten_with_path(init_params)[0]
+    flat_loaded = {
+        jax.tree_util.keystr(kp): v
+        for kp, v in jax.tree_util.tree_flatten_with_path(loaded)[0]
+    }
+    missing, used = [], set()
+
+    def pick(kp, v):
+        key = jax.tree_util.keystr(kp)
+        if key in flat_loaded and flat_loaded[key].shape == v.shape:
+            used.add(key)
+            return jnp.asarray(flat_loaded[key], dtype=v.dtype)
+        missing.append(key)
+        return v
+
+    merged = jax.tree_util.tree_map_with_path(pick, init_params)
+    unexpected = sorted(set(flat_loaded) - used)
+    if missing:
+        log.warning("load_weights: %d params kept their init (missing in ckpt): %s",
+                    len(missing), missing[:5])
+    if unexpected:
+        log.warning("load_weights: %d ckpt entries unused: %s", len(unexpected), unexpected[:5])
+    return merged
+
+
+class IRColorizationModel:
+    """Holds the generator module + params and a jitted forward."""
+
+    def __init__(self, cfg: Config, rng: jax.Array | None = None):
+        self.cfg = cfg
+        self.module = generator_from_config(cfg)
+        if rng is None:
+            rng = jax.random.PRNGKey(cfg.seed)
+        h, w = cfg.resolved_hw
+        dummy = jnp.zeros((1, h, w, cfg.input_nc), jnp.float32)
+        self.params = self.module.init(rng, dummy)["params"]
+
+    def load_weights(self, path: str) -> None:
+        """Load generator weights from .pth / native export (non-strict)."""
+        if not os.path.isfile(path):
+            raise FileNotFoundError(path)
+        if path.endswith(".pth") or path.endswith(".pt"):
+            from ircolor_tpu.compat.torch_import import load_generator_pth
+
+            loaded = load_generator_pth(path)
+        else:
+            from ircolor_tpu.train.checkpoint import load_netg_export
+
+            loaded = load_netg_export(path)
+        self.params = merge_params(self.params, loaded)
+
+    @partial(jax.jit, static_argnums=0)
+    def _forward(self, params, ir: jnp.ndarray) -> jnp.ndarray:
+        return self.module.apply({"params": params}, ir)
+
+    def __call__(self, ir: jnp.ndarray) -> jnp.ndarray:
+        """IR (B,H,W,1) in [-1,1] → RGB (B,H,W,3) in [-1,1] (ref :791-796)."""
+        return self._forward(self.params, ir)

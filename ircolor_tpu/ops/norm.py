@@ -1,0 +1,30 @@
+"""Instance normalization (NHWC).
+
+Reference semantics: ``nn.InstanceNorm2d(C)`` with PyTorch defaults —
+``affine=False``, ``track_running_stats=False``, ``eps=1e-5`` — used
+throughout generator and discriminator
+(`/root/reference/Code/ir_colorization.py:154-165, 461, 471, 479, 503-507,
+520-524, 613, 623`). With those defaults there are **no learnable
+parameters**: each (sample, channel) is normalized by its own spatial
+mean/variance (biased estimator), every forward pass, train and eval alike.
+
+TPU notes: the mean/var reduction + normalize is a classic fusion target;
+XLA fuses it into the surrounding conv epilogue well in practice. Statistics
+are accumulated in float32 even under a bf16 compute path to keep variance
+catastrophic-cancellation-free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-sample, per-channel spatial normalization of an NHWC tensor."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    # Biased variance, matching torch's normalization statistics.
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    return y.astype(x.dtype)

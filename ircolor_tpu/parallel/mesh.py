@@ -1,0 +1,68 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native data parallelism (SURVEY.md §2.2 "First-class components" table):
+
+* ``make_data_mesh`` — 1-D ``('data',)`` mesh over all (or the first N)
+  devices.
+* ``batch_sharding`` / ``replicated_sharding`` — NamedShardings for batches
+  (sharded on axis 0) and params/opt state (replicated).
+* ``shard_batch`` — place a host batch on the mesh: single-process via
+  ``jax.device_put``; multi-host via
+  ``jax.make_array_from_process_local_data`` (each host contributes its
+  slice of the global batch).
+* ``initialize_multihost`` — ``jax.distributed.initialize`` wrapper (DCN
+  across hosts; ICI within a slice).
+
+Gradient all-reduce is NOT explicit anywhere: jitting the train step with
+replicated param shardings and data-sharded batches makes GSPMD insert
+``all-reduce`` over ICI (the TPU-native answer to the reference's absent
+NCCL/DDP — SURVEY.md §5 last bullet).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(**kwargs: Any) -> None:
+    """``jax.distributed.initialize`` for multi-host runs (no-op if single)."""
+    if jax.process_count() > 1 or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def make_data_mesh(n_devices: int = 0, devices: Any = None) -> Mesh:
+    """1-D data-parallel mesh. ``n_devices=0`` → all visible devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices and n_devices > 0:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-axis sharding (axis 0 over 'data')."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Mapping[str, np.ndarray], mesh: Mesh) -> dict[str, jax.Array]:
+    """Place a batch dict on the mesh, sharded along axis 0.
+
+    Single-process: ``batch`` holds the full global batch. Multi-host: each
+    process passes its local shard (global_batch/process_count rows) and the
+    global array is assembled across hosts.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in batch.items()
+    }

@@ -1,0 +1,226 @@
+"""The training driver: data, state, epoch loop, validation, checkpoints.
+
+Reference semantics: ``train_kaist``
+(`/root/reference/Code/ir_colorization.py:1549-1723`, trace in SURVEY.md
+§3.1): scan KAIST pairs, seed-42 train/val split (val_ratio 0.1), Adam 2e-4
+β(0.5,0.999) for G and D, LambdaLR linear decay from epoch 40, per-batch
+D-then-G updates, console logging every 50 steps (+ step 1), per-epoch
+validation (L1 only), ``netG_epoch_{k:03d}`` checkpoints every 5 epochs +
+final, ``netG_best`` on val-L1 improvement, LR print per epoch.
+
+TPU-native deltas: the dataset tree is scanned ONCE (the reference rescans
+3×, ref :1555-1573); the whole D+G step is one jitted donated function; the
+batch is sharded over a data-parallel mesh (GSPMD all-reduces over ICI);
+loss logging fetches device scalars asynchronously; full train state goes to
+orbax with ``--resume`` (the reference cannot resume).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.data.kaist import KAISTPairDataset, scan_kaist_pairs, split_train_val
+from ircolor_tpu.data.pipeline import BatchLoader
+from ircolor_tpu.losses.vgg import VGG16Features, load_vgg16_params
+from ircolor_tpu.models.wrapper import merge_params
+from ircolor_tpu.parallel.mesh import make_data_mesh, replicated_sharding, shard_batch
+from ircolor_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_full_state,
+    save_full_state,
+    save_netg_export,
+)
+from ircolor_tpu.train.state import create_train_state
+from ircolor_tpu.train.step import make_train_step, make_val_step
+from ircolor_tpu.utils.logging import JsonlLogger, get_logger
+
+log = get_logger(__name__)
+
+
+def train_kaist(
+    cfg: Config,
+    *,
+    max_steps_per_epoch: int | None = None,
+    jsonl: JsonlLogger | None = None,
+) -> dict[str, Any]:
+    """Run the full training recipe. Returns a summary dict (final state,
+    best val L1, throughput). ``max_steps_per_epoch`` truncates epochs for
+    tests/smoke runs."""
+    jsonl = jsonl or JsonlLogger()
+    h, w = cfg.resolved_hw
+    log.info("[TRAIN] Devices: %s", jax.devices())
+
+    # ---- data: one scan, seed-42 split (ref :1555-1573 collapses to this) ----
+    all_ir, all_rgb = scan_kaist_pairs(list(cfg.train_roots))
+    if not all_ir:
+        raise RuntimeError(f"No IR-RGB pairs found under roots: {list(cfg.train_roots)}")
+    n = len(all_ir)
+    train_idx, val_idx = split_train_val(n, cfg.val_ratio, seed=42)
+    log.info("Total pairs: %d, train: %d, val: %d", n, len(train_idx), len(val_idx))
+
+    train_ds = KAISTPairDataset(
+        [all_ir[i] for i in train_idx], [all_rgb[i] for i in train_idx],
+        size_hw=(h, w), augment=True, seed=cfg.seed,
+    )
+    val_ds = KAISTPairDataset(
+        [all_ir[i] for i in val_idx], [all_rgb[i] for i in val_idx],
+        size_hw=(h, w), augment=False,
+    )
+
+    shard_count = max(1, jax.process_count())
+    train_loader = BatchLoader(
+        train_ds, cfg.batch_size, shuffle=True, drop_last=True,
+        num_workers=cfg.num_workers, seed=cfg.seed,
+        shard_index=jax.process_index(), shard_count=shard_count,
+    )
+    val_loader = BatchLoader(
+        val_ds, cfg.batch_size, shuffle=False, drop_last=False,
+        num_workers=cfg.num_workers,
+        shard_index=jax.process_index(), shard_count=shard_count,
+    )
+    steps_per_epoch = len(train_loader)
+    if max_steps_per_epoch is not None:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    if steps_per_epoch == 0:
+        raise RuntimeError("Not enough pairs for a single training batch")
+
+    # ---- model / optimizer state ----
+    state, g_module, d_module, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch)
+    if cfg.init_G_weights is not None and os.path.isfile(cfg.init_G_weights):
+        log.info("Initializing generator from: %s", cfg.init_G_weights)
+        from ircolor_tpu.compat.torch_import import load_generator_pth
+        from ircolor_tpu.train.checkpoint import load_netg_export
+
+        loaded = (
+            load_generator_pth(cfg.init_G_weights)
+            if cfg.init_G_weights.endswith((".pth", ".pt"))
+            else load_netg_export(cfg.init_G_weights)
+        )
+        state = state.replace(g_params=merge_params(state.g_params, loaded))
+
+    vgg_module = VGG16Features(dtype=g_module.dtype, precision=g_module.precision)
+    vgg_params = load_vgg16_params(cfg.vgg16_weights, cfg.seed)
+    if cfg.vgg16_weights is None:
+        log.warning(
+            "WARNING: no pretrained VGG-16 weights supplied (cfg.vgg16_weights); "
+            "perceptual loss uses a deterministic random tower."
+        )
+
+    # ---- mesh placement: params replicated, batches sharded on 'data' ----
+    mesh = make_data_mesh(cfg.dp_devices)
+    repl = replicated_sharding(mesh)
+    state = jax.device_put(state, repl)
+    vgg_params = jax.device_put(vgg_params, repl)
+
+    train_step = make_train_step(cfg, g_module, d_module, vgg_module, opt_g, opt_d)
+    val_step = make_val_step(g_module)
+
+    # ---- resume ----
+    orbax_dir = cfg.orbax_dir or os.path.join(cfg.save_dir, "orbax")
+    start_epoch = 1
+    best_val_l1 = float("inf")
+    if cfg.resume:
+        last = latest_checkpoint(orbax_dir)
+        if last is not None:
+            state, extra = restore_full_state(orbax_dir, last, jax.device_get(state))
+            state = jax.device_put(state, repl)
+            start_epoch = int(extra["epoch"]) + 1
+            best_val_l1 = float(extra["best_val_l1"])
+            log.info("Resumed from epoch %d (best val L1 %.4f)", last, best_val_l1)
+
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    best_stem = os.path.join(cfg.save_dir, "netG_best")
+
+    def run_validation() -> float:
+        total, count = 0.0, 0
+        for batch in val_loader:
+            bsz = batch["ir"].shape[0]
+            full = val_loader.batch_size // shard_count
+            if bsz < full:  # pad to the static shape; mask on host
+                pad = full - bsz
+                batch = {
+                    k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
+                    for k, v in batch.items()
+                }
+            per_sample = np.asarray(val_step(state.g_params, shard_batch(batch, mesh)))
+            total += float(per_sample[:bsz].sum())
+            count += bsz
+        return total / max(count, 1)
+
+    summary: dict[str, Any] = {}
+    steps_total = 0
+    t_train0 = time.perf_counter()
+    for epoch in range(start_epoch, cfg.epochs + 1):
+        epoch_metrics: list[dict[str, jax.Array]] = []
+        train_loader.set_epoch(epoch)
+        t0 = time.perf_counter()
+        for i, batch in enumerate(train_loader, start=1):
+            if i > steps_per_epoch:
+                break
+            state, metrics = train_step(state, shard_batch(batch, mesh), vgg_params)
+            epoch_metrics.append(metrics)  # device scalars; fetched lazily
+            if i % cfg.log_every == 0 or i == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                log.info(
+                    "Epoch [%d/%d] Step [%d/%d] D: %.4f | G: %.4f "
+                    "(GAN %.4f + L1 %.4f + Perc %.4f + TV %.6f + SSIM %.4f)",
+                    epoch, cfg.epochs, i, steps_per_epoch,
+                    m["loss_D"], m["loss_G"], m["loss_G_GAN"], m["loss_G_L1"],
+                    m["loss_G_perc"], m["loss_G_TV"], m["loss_G_SSIM"],
+                )
+        jax.block_until_ready(state.step)
+        dt = time.perf_counter() - t0
+        steps_done = len(epoch_metrics)
+        steps_total += steps_done
+
+        avg_d = float(np.mean([float(m["loss_D"]) for m in epoch_metrics])) if epoch_metrics else 0.0
+        avg_g = float(np.mean([float(m["loss_G"]) for m in epoch_metrics])) if epoch_metrics else 0.0
+        val_l1 = run_validation()
+        sps = steps_done / dt if dt > 0 else 0.0
+        log.info(
+            "Epoch [%d/%d] DONE | avg D: %.4f | avg G: %.4f | val L1: %.4f "
+            "| %.2f steps/s (%.1f frames/s)",
+            epoch, cfg.epochs, avg_d, avg_g, val_l1, sps, sps * cfg.batch_size,
+        )
+        jsonl.log("epoch", epoch=epoch, avg_d=avg_d, avg_g=avg_g, val_l1=val_l1,
+                  steps_per_sec=sps)
+
+        if jax.process_index() == 0:
+            if epoch % cfg.save_every == 0 or epoch == cfg.epochs:
+                stem = os.path.join(cfg.save_dir, f"netG_epoch_{epoch:03d}")
+                written = save_netg_export(jax.device_get(state.g_params), stem)
+                log.info("Saved generator checkpoint to %s", written[0])
+                save_full_state(
+                    orbax_dir, epoch, jax.device_get(state),
+                    {"epoch": epoch, "best_val_l1": best_val_l1, "val_l1": val_l1},
+                )
+            if val_l1 < best_val_l1:
+                best_val_l1 = val_l1
+                save_netg_export(jax.device_get(state.g_params), best_stem)
+                log.info("New best model saved to %s (val L1=%.4f)", best_stem, best_val_l1)
+
+        # LR print (factor computed like the schedule; ref :1720-1721).
+        from ircolor_tpu.train.schedule import linear_decay_factor
+
+        next_lr = cfg.lr_G * float(
+            linear_decay_factor(epoch + 1, cfg.lr_decay_start_epoch, cfg.epochs)
+        )
+        log.info("Current LR (G): %.6e", next_lr)
+
+    wall = time.perf_counter() - t_train0
+    log.info("Training finished. Best val L1: %.4f, best model: %s", best_val_l1, best_stem)
+    summary.update(
+        best_val_l1=best_val_l1,
+        epochs_run=cfg.epochs - start_epoch + 1,
+        steps_total=steps_total,
+        wall_s=wall,
+        steps_per_sec=steps_total / wall if wall > 0 else 0.0,
+        state=state,
+    )
+    return summary

@@ -1,0 +1,87 @@
+"""Train state: G/D params + optimizer states + step counter.
+
+The reference keeps this implicitly in torch objects (two Adam optimizers,
+ref `/root/reference/Code/ir_colorization.py:1601-1604`; LambdaLR schedulers,
+ref :1607-1609). Here it is one pytree — jit-donatable, orbax-checkpointable
+in full (G+D params, both opt states, step), which the reference cannot do
+(it only ever saves netG weights, SURVEY.md §5 checkpoint bullet).
+
+Adam hyperparameters: lr 2e-4 (per-step schedule), β=(0.5, 0.999), eps 1e-8
+(torch default) — optax.adam's update rule m̂/(√v̂ + eps) matches torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.models.discriminator import NLayerDiscriminator
+from ircolor_tpu.models.wrapper import generator_from_config
+from ircolor_tpu.ops.conv import resolve_precision
+from ircolor_tpu.train.schedule import make_lr_schedule
+
+
+@struct.dataclass
+class TrainState:
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+def discriminator_from_config(cfg: Config, *, dtype=None) -> NLayerDiscriminator:
+    """PatchGAN on concat(IR, RGB) (ref :1590-1598)."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bf16" else jnp.float32
+    return NLayerDiscriminator(
+        input_nc=cfg.input_nc + cfg.output_nc,
+        ndf=64,
+        n_layers=3,
+        norm=cfg.norm,
+        dtype=dtype,
+        precision=resolve_precision(cfg.conv_precision if cfg.compute_dtype == "f32" else "default"),
+    )
+
+
+def make_optimizers(cfg: Config, steps_per_epoch: int) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    sched_g = make_lr_schedule(cfg.lr_G, steps_per_epoch, cfg.epochs, cfg.lr_decay_start_epoch)
+    sched_d = make_lr_schedule(cfg.lr_D, steps_per_epoch, cfg.epochs, cfg.lr_decay_start_epoch)
+    opt_g = optax.adam(sched_g, b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+    opt_d = optax.adam(sched_d, b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+    return opt_g, opt_d
+
+
+def create_train_state(
+    cfg: Config,
+    steps_per_epoch: int,
+    rng: jax.Array | None = None,
+) -> tuple[TrainState, Any, Any, tuple[optax.GradientTransformation, optax.GradientTransformation]]:
+    """Init G/D params (N(0,0.02) scheme baked into the modules) + opts.
+
+    Returns (state, g_module, d_module, (opt_g, opt_d)).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.seed)
+    rng_g, rng_d = jax.random.split(rng)
+    h, w = cfg.resolved_hw
+    g_module = generator_from_config(cfg)
+    d_module = discriminator_from_config(cfg)
+    g_params = g_module.init(rng_g, jnp.zeros((1, h, w, cfg.input_nc), jnp.float32))["params"]
+    d_params = d_module.init(
+        rng_d, jnp.zeros((1, h, w, cfg.input_nc + cfg.output_nc), jnp.float32)
+    )["params"]
+    opt_g, opt_d = make_optimizers(cfg, steps_per_epoch)
+    state = TrainState(
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=opt_g.init(g_params),
+        d_opt=opt_d.init(d_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, g_module, d_module, (opt_g, opt_d)

@@ -1,0 +1,126 @@
+"""The fused train step: D update + G update + composite loss, one jit.
+
+Reference semantics (the per-batch hot loop,
+`/root/reference/Code/ir_colorization.py:1629-1694`, trace in SURVEY.md §3.1):
+
+  D phase: fake = G(ir) under no_grad (ref :1637-1638);
+           L_D = 0.5·(relu(1−D(ir⊕rgb)).mean() + relu(1+D(ir⊕fake)).mean());
+           Adam step on D (ref :1647-1651).
+  G phase: a SECOND G forward WITH grad (ref :1657); D here is the UPDATED
+           discriminator (optimizerD.step() ran first);
+           L_G = 0.1·(−D(ir⊕fake).mean()) + 30·L1 + 30·VGG-L1 + 1e-4·TV
+                 + 2·(1−SSIM on [0,1]) (ref :1662-1679); Adam step on G.
+
+TPU-native structure: both phases compile into ONE jitted function with the
+train state donated (params/opt buffers update in place). The literal
+two-G-forward structure is preserved (SURVEY.md §7.1 item 7 — keeps the
+optimizer-ordering math identical; the D-phase fake needs no stop_gradient
+because the D grad is only taken w.r.t. d_params). Under a data-sharded
+batch and replicated params, GSPMD turns the grad reductions into
+all-reduces over ICI automatically — this same function IS the multi-chip
+data-parallel step.
+
+Loss scalars are returned as device arrays; the loop fetches them
+asynchronously (no per-step host sync, unlike the reference's ``.item()``
+calls, ref :1683-1684).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.losses.gan import hinge_d_loss, hinge_g_loss
+from ircolor_tpu.losses.ssim import ssim_loss
+from ircolor_tpu.losses.tv import tv_loss
+from ircolor_tpu.train.state import TrainState
+
+
+def make_train_step(
+    cfg: Config,
+    g_module: Any,
+    d_module: Any,
+    vgg_module: Any,
+    opt_g: optax.GradientTransformation,
+    opt_d: optax.GradientTransformation,
+    donate: bool = True,
+) -> Callable[[TrainState, dict[str, jnp.ndarray], Any], tuple[TrainState, dict[str, jnp.ndarray]]]:
+    """Build the jitted step: (state, batch, vgg_params) → (state, metrics)."""
+
+    def g_apply(params, ir):
+        return g_module.apply({"params": params}, ir, train=True)
+
+    def d_apply(params, x):
+        return d_module.apply({"params": params}, x, train=True)
+
+    def step_fn(state: TrainState, batch: dict[str, jnp.ndarray], vgg_params: Any):
+        ir, rgb = batch["ir"], batch["rgb"]
+
+        # ---- D phase (hinge) ----
+        fake_detached = g_apply(state.g_params, ir)  # no grad path into G
+
+        def d_loss_fn(d_params):
+            pred_real = d_apply(d_params, jnp.concatenate([ir, rgb], axis=-1))
+            pred_fake = d_apply(d_params, jnp.concatenate([ir, fake_detached], axis=-1))
+            return hinge_d_loss(pred_real, pred_fake)
+
+        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        d_updates, d_opt = opt_d.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G phase (uses the freshly updated D, matching ref ordering) ----
+        def g_loss_fn(g_params):
+            fake = g_apply(g_params, ir)
+            pred_fake = d_apply(d_params, jnp.concatenate([ir, fake], axis=-1))
+            loss_gan = hinge_g_loss(pred_fake)
+            loss_l1 = jnp.mean(jnp.abs(fake - rgb)) * cfg.lambda_L1
+            feat_fake = vgg_module.apply({"params": vgg_params}, fake)
+            feat_real = vgg_module.apply({"params": vgg_params}, rgb)
+            loss_perc = jnp.mean(jnp.abs(feat_fake - feat_real)) * cfg.lambda_perc
+            loss_tv = tv_loss(fake) * cfg.lambda_tv
+            loss_ssim = ssim_loss((fake + 1.0) / 2.0, (rgb + 1.0) / 2.0) * cfg.lambda_ssim
+            total = cfg.lambda_gan * loss_gan + loss_l1 + loss_perc + loss_tv + loss_ssim
+            aux = {
+                "loss_G": total,
+                "loss_G_GAN": loss_gan,
+                "loss_G_L1": loss_l1,
+                "loss_G_perc": loss_perc,
+                "loss_G_TV": loss_tv,
+                "loss_G_SSIM": loss_ssim,
+            }
+            return total, aux
+
+        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt = opt_g.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = TrainState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            step=state.step + 1,
+        )
+        metrics = {"loss_D": loss_d, **aux}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_val_step(g_module: Any) -> Callable[[Any, dict[str, jnp.ndarray]], jnp.ndarray]:
+    """Jitted validation: per-sample pixel-L1 (ref :1521-1542).
+
+    Returns (B,) so the host can mask padded rows of the final batch and
+    compute the sample-weighted mean exactly like the reference
+    (``total += loss·B; total/count``).
+    """
+
+    def val_fn(g_params, batch):
+        fake = g_module.apply({"params": g_params}, batch["ir"])
+        return jnp.mean(jnp.abs(fake - batch["rgb"]), axis=(1, 2, 3))
+
+    return jax.jit(val_fn)

@@ -1,0 +1,76 @@
+"""Wall-clock timing and throughput meters.
+
+The reference has no profiling/instrumentation (SURVEY.md §5). These helpers
+bracket device work with ``jax.block_until_ready`` so steps/sec and
+frames/sec/chip numbers are honest, and expose ``jax.profiler`` trace capture
+for TensorBoard/Perfetto.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Iterator
+
+import jax
+
+
+class Timer:
+    """Accumulating wall-clock timer. ``with timer: ...`` or start/stop."""
+
+    def __init__(self) -> None:
+        self.total = 0.0
+        self.count = 0
+        self._t0: float | None = None
+
+    def __enter__(self) -> "Timer":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        assert self._t0 is not None
+        self.total += time.perf_counter() - self._t0
+        self.count += 1
+        self._t0 = None
+
+    @property
+    def mean(self) -> float:
+        return self.total / max(self.count, 1)
+
+
+class ThroughputMeter:
+    """items/sec over a window, device-synchronized at mark points."""
+
+    def __init__(self) -> None:
+        self._t0: float | None = None
+        self.items = 0
+
+    def start(self, sync_on: Any = None) -> None:
+        if sync_on is not None:
+            jax.block_until_ready(sync_on)
+        self.items = 0
+        self._t0 = time.perf_counter()
+
+    def add(self, n: int) -> None:
+        self.items += n
+
+    def stop(self, sync_on: Any = None) -> float:
+        """Returns items/sec since start()."""
+        if sync_on is not None:
+            jax.block_until_ready(sync_on)
+        assert self._t0 is not None
+        dt = time.perf_counter() - self._t0
+        return self.items / dt if dt > 0 else float("inf")
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: str | None) -> Iterator[None]:
+    """Capture a jax.profiler trace (viewable in TensorBoard/Perfetto)."""
+    if logdir is None:
+        yield
+        return
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,119 @@
+"""Model tests: shapes, param counts, init distribution, and full numerical
+parity vs the torch golden networks via the .pth importer round trip.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ircolor_tpu.compat.torch_import import load_discriminator_pth, load_generator_pth
+from ircolor_tpu.models import NLayerDiscriminator, ResnetUNetGenerator
+from ircolor_tpu.models.wrapper import merge_params
+
+from torch_golden import GoldDiscriminator, GoldGenerator
+
+
+def nchw(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+
+
+def nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def gen_small():
+    """n_blocks=2 generator pair (ours + golden) with shared weights."""
+    module = ResnetUNetGenerator(n_blocks=2)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    gold = GoldGenerator(n_blocks=2)
+    return module, params, gold
+
+
+def test_generator_param_count_matches_reference():
+    module = ResnetUNetGenerator()
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    n = sum(v.size for v in jax.tree.leaves(params))
+    assert n == 11_556_227  # ngf=64, 9 blocks: exact reference netG count
+
+
+def test_discriminator_param_count_and_patch_map():
+    module = NLayerDiscriminator()
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 4)))["params"]
+    n = sum(v.size for v in jax.tree.leaves(params))
+    assert n == 2_765_761
+    out = module.apply({"params": params}, jnp.zeros((2, 256, 256, 4)))
+    assert out.shape == (2, 30, 30, 1)  # 30×30 patch score map at 256²
+
+
+def test_generator_output_shape_and_range():
+    module = ResnetUNetGenerator(n_blocks=2)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 80, 1)))["params"]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 80, 1)) * 2 - 1
+    y = module.apply({"params": params}, x)
+    assert y.shape == (2, 64, 80, 3)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh range
+
+
+def test_generator_nonsquare_and_fixup_path():
+    # 36 is not divisible by 4 → exercises the decoder fixup resize.
+    module = ResnetUNetGenerator(n_blocks=1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 36, 44, 1))
+    params = module.init(jax.random.PRNGKey(0), x)["params"]
+    y = module.apply({"params": params}, x)
+    assert y.shape == (1, 36, 44, 3)
+
+
+def test_init_distribution():
+    """Conv kernels ~ N(0, 0.02), biases zero (ref :168-198)."""
+    module = ResnetUNetGenerator()
+    params = module.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 1)))["params"]
+    k = np.asarray(params["resblock_0"]["conv1"]["kernel"]).ravel()
+    assert abs(k.std() - 0.02) < 0.002
+    assert abs(k.mean()) < 0.002
+    np.testing.assert_allclose(np.asarray(params["inc_conv"]["bias"]), 0.0)
+
+
+def test_generator_parity_with_torch_golden(gen_small, tmp_path):
+    module, params, gold = gen_small
+    # Export golden weights (reference state_dict layout) → import → merge.
+    pth = str(tmp_path / "gold_netG.pth")
+    torch.save(gold.state_dict(), pth)
+    params = merge_params(params, load_generator_pth(pth))
+
+    x = np.random.RandomState(0).randn(2, 32, 40, 1).astype(np.float32)
+    ours = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = nhwc(gold(nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_discriminator_parity_with_torch_golden(tmp_path):
+    module = NLayerDiscriminator()
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 4)))["params"]
+    gold = GoldDiscriminator()
+    pth = str(tmp_path / "gold_netD.pth")
+    torch.save(gold.state_dict(), pth)
+    params = merge_params(params, load_discriminator_pth(pth))
+
+    x = np.random.RandomState(1).randn(2, 64, 64, 4).astype(np.float32)
+    ours = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = nhwc(gold(nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_pth_export_import_roundtrip(gen_small, tmp_path):
+    """Our exporter writes a state_dict our importer reads back identically."""
+    from ircolor_tpu.compat.torch_import import export_generator_pth
+
+    module, params, _ = gen_small
+    pth = str(tmp_path / "roundtrip.pth")
+    export_generator_pth(jax.device_get(params), pth)
+    re_imported = load_generator_pth(pth)
+    merged = merge_params(params, re_imported)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)

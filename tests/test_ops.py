@@ -1,0 +1,110 @@
+"""Unit tests for NHWC building blocks vs PyTorch golden semantics.
+
+Covers the SURVEY.md §4 unit-test plan: binomial filter table, pad modes,
+instance norm, Downsample/UpsampleAA shape+value behavior including
+align_corners=True bilinear, and the align-corners resize itself.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from ircolor_tpu.ops import (
+    bilinear_align_corners,
+    blur_downsample,
+    blur_upsample_aa,
+    binomial_filter_2d,
+    instance_norm,
+    pad2d,
+    upsample2x_align_corners,
+)
+
+from torch_golden import GoldDownsample, GoldUpsampleAA
+
+
+def nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+
+
+def nhwc(t: torch.Tensor) -> np.ndarray:
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+def rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def test_binomial_filter_values():
+    f3 = binomial_filter_2d(3)
+    expected = np.outer([1, 2, 1], [1, 2, 1]) / 16.0
+    np.testing.assert_allclose(f3, expected, rtol=1e-7)
+    for size in range(1, 8):
+        f = binomial_filter_2d(size)
+        assert f.shape == (size, size)
+        np.testing.assert_allclose(f.sum(), 1.0, rtol=1e-6)
+    with pytest.raises(ValueError):
+        binomial_filter_2d(8)
+
+
+@pytest.mark.parametrize("pad_type,torch_mode", [
+    ("reflect", "reflect"), ("replicate", "replicate"), ("zero", "constant"),
+])
+def test_pad2d_matches_torch(pad_type, torch_mode):
+    x = rand(2, 6, 7, 3)
+    ours = np.asarray(pad2d(jnp.asarray(x), (1, 2, 3, 1), pad_type))
+    theirs = nhwc(F.pad(nchw(x), (1, 2, 3, 1), mode=torch_mode))
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_instance_norm_matches_torch():
+    x = rand(3, 8, 9, 5, seed=1) * 4 + 2
+    ours = np.asarray(instance_norm(jnp.asarray(x)))
+    theirs = nhwc(torch.nn.InstanceNorm2d(5)(nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("filt_size", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
+def test_blur_downsample_matches_torch(filt_size, pad_type):
+    x = rand(2, 12, 16, 4, seed=2)
+    ours = np.asarray(blur_downsample(jnp.asarray(x), filt_size=filt_size, pad_type=pad_type))
+    gold = GoldDownsample(4, filt_size=filt_size, pad_type=pad_type)
+    theirs = nhwc(gold(nchw(x)))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("filt_size", [3, 4])
+def test_blur_upsample_aa_matches_torch(filt_size):
+    x = rand(2, 8, 10, 3, seed=3)
+    ours = np.asarray(blur_upsample_aa(jnp.asarray(x), filt_size=filt_size))
+    gold = GoldUpsampleAA(3, filt_size=filt_size)
+    theirs = nhwc(gold(nchw(x)))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("out_hw", [(16, 20), (15, 9), (7, 7), (31, 33)])
+def test_bilinear_align_corners_matches_torch(out_hw):
+    x = rand(2, 8, 10, 3, seed=4)
+    ours = np.asarray(bilinear_align_corners(jnp.asarray(x), out_hw))
+    theirs = nhwc(F.interpolate(nchw(x), size=out_hw, mode="bilinear", align_corners=True))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_upsample2x_align_corners_matches_torch():
+    x = rand(1, 5, 6, 2, seed=5)
+    ours = np.asarray(upsample2x_align_corners(jnp.asarray(x)))
+    theirs = nhwc(F.interpolate(nchw(x), scale_factor=2, mode="bilinear", align_corners=True))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_downsample_halves_even_inputs():
+    x = jnp.ones((1, 64, 80, 2))
+    y = blur_downsample(x)
+    assert y.shape == (1, 32, 40, 2)
+    # Blur of a constant image is the same constant (filter sums to 1).
+    np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-6)
