@@ -1,0 +1,125 @@
+"""Benchmark: test-mode inference throughput at 512×640 on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+The BASELINE.json north-star target is ≥2,000 512×640 frames/sec/chip on
+v5e; ``vs_baseline`` is value/2000. (Note: at ~0.69 TFLOP/frame this
+architecture's bf16 roofline on v5e is ~290 fps — the target is aspirational;
+we report honest sustained numbers and optimize toward roofline.)
+
+Measures the full test-mode device step (generator forward + uint8
+quantization + the MAE/MSE/PSNR/SSIM metric suite) in steady state with
+device-resident inputs, exactly the jitted function ``run_test`` dispatches
+per batch. Extra context (train-step throughput, precision, batch) goes into
+auxiliary fields of the same JSON object.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_inference(h: int, w: int, batch: int, dtype: str, iters: int, warmup: int) -> float:
+    from ircolor_tpu.config import Config
+    from ircolor_tpu.eval.runner import make_infer_fn
+    from ircolor_tpu.models.wrapper import generator_from_config
+
+    cfg = Config(img_height=h, img_width=w, compute_dtype=dtype)
+    module = generator_from_config(cfg)
+    rng = np.random.RandomState(0)
+    ir0 = jnp.asarray(rng.rand(batch, h, w, 1).astype(np.float32) * 2 - 1)
+    gt = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
+    params = module.init(jax.random.PRNGKey(0), ir0[:1])["params"]
+    base_infer = make_infer_fn(module)
+
+    # Chain each iteration on the previous output so independent dispatches
+    # cannot overlap/reorder in the runtime — otherwise wall-clock measures
+    # dispatch, not execution.
+    @jax.jit
+    def chained(params, ir, carry, gt):
+        pred, metrics = base_infer(params, ir + 0.0 * carry, gt)
+        new_carry = metrics["mae"].astype(ir.dtype).reshape(batch, 1, 1, 1)
+        return pred, metrics, new_carry
+
+    carry = jnp.zeros((batch, 1, 1, 1), ir0.dtype)
+    for _ in range(warmup):
+        pred, metrics, carry = chained(params, ir0, carry, gt)
+    jax.block_until_ready(carry)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pred, metrics, carry = chained(params, ir0, carry, gt)
+    jax.block_until_ready((pred, carry))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_train_step(h: int, w: int, batch: int, dtype: str, iters: int, warmup: int) -> float:
+    from ircolor_tpu.config import Config
+    from ircolor_tpu.losses.vgg import VGG16Features, init_vgg16_params
+    from ircolor_tpu.train.state import create_train_state
+    from ircolor_tpu.train.step import make_train_step
+
+    cfg = Config(img_height=h, img_width=w, batch_size=batch, compute_dtype=dtype)
+    state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=100)
+    vgg_mod = VGG16Features(dtype=g_mod.dtype, precision=g_mod.precision)
+    vgg_params = init_vgg16_params()
+    step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d)
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "ir": jnp.asarray(rng.rand(batch, h, w, 1).astype(np.float32) * 2 - 1),
+        "rgb": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 2 - 1),
+    }
+    for _ in range(warmup):
+        state, metrics = step(state, batch_data, vgg_params)
+    jax.block_until_ready(state.step)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data, vgg_params)
+    jax.block_until_ready(state.step)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--train-batch", type=int, default=4)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--skip-train", action="store_true")
+    args = p.parse_args()
+
+    infer_fps = bench_inference(args.height, args.width, args.batch,
+                                args.dtype, args.iters, args.warmup)
+    train_fps = None
+    if not args.skip_train:
+        train_fps = bench_train_step(args.height, args.width, args.train_batch,
+                                     args.dtype, max(5, args.iters // 4), 2)
+
+    result = {
+        "metric": f"test-mode inference frames/sec/chip at {args.height}x{args.width}",
+        "value": round(infer_fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(infer_fps / 2000.0, 4),
+        "train_frames_per_sec_per_chip": round(train_fps, 2) if train_fps else None,
+        "batch": args.batch,
+        "dtype": args.dtype,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,8 +78,10 @@ def load_generator_pth(path: str) -> dict[str, Any]:
     for src in ("up1_up", "up2_up"):
         w = sd.get(f"{src}.weight")
         if w is not None and w.ndim == 4:
-            # torch ConvTranspose2d weight is (in, out, kh, kw) → HWIO=(kh,kw,in,out)
-            kernel = np.transpose(w, (2, 3, 0, 1)).astype(np.float32)
+            # torch ConvTranspose2d weight (in, out, kh, kw) → (kh, kw, out, in):
+            # our ConvTranspose uses transpose_kernel=True (grad-of-conv), whose
+            # kernel layout swaps I/O relative to a forward conv.
+            kernel = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
             entry: dict[str, np.ndarray] = {"kernel": kernel}
             b = sd.get(f"{src}.bias")
             if b is not None:

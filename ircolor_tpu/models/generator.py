@@ -154,6 +154,7 @@ class ResnetUNetGenerator(nn.Module):
                 (3, 3),
                 strides=(2, 2),
                 padding=((1, 2), (1, 2)),  # torch k3 s2 p1 output_padding1 ⇒ out = 2·in
+                transpose_kernel=True,      # grad-of-conv semantics = torch ConvTranspose2d
                 use_bias=use_bias,
                 dtype=self.dtype,
                 precision=self.precision,
@@ -175,6 +176,7 @@ class ResnetUNetGenerator(nn.Module):
                 (3, 3),
                 strides=(2, 2),
                 padding=((1, 2), (1, 2)),
+                transpose_kernel=True,
                 use_bias=use_bias,
                 dtype=self.dtype,
                 precision=self.precision,

@@ -34,12 +34,21 @@ def initialize_multihost(**kwargs: Any) -> None:
         jax.distributed.initialize(**kwargs)
 
 
-def make_data_mesh(n_devices: int = 0, devices: Any = None) -> Mesh:
-    """1-D data-parallel mesh. ``n_devices=0`` → all visible devices."""
+def make_data_mesh(
+    n_devices: int = 0, devices: Any = None, batch_size: int | None = None
+) -> Mesh:
+    """1-D data-parallel mesh. ``n_devices=0`` → all visible devices, shrunk
+    to the largest count that divides ``batch_size`` when one is given (a
+    batch of 4 on an 8-device host uses a 4-device mesh, etc.)."""
     if devices is None:
         devices = jax.devices()
     if n_devices and n_devices > 0:
         devices = devices[:n_devices]
+    elif batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.asarray(devices), ("data",))
 
 

@@ -87,8 +87,11 @@ def restore_full_state(orbax_dir: str, epoch: int, state_template: Any) -> tuple
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(orbax_dir, f"{epoch:04d}"))
+    extra_template = {"epoch": 0, "best_val_l1": 0.0, "val_l1": 0.0}
     payload = _ckptr().restore(
         path,
-        args=ocp.args.PyTreeRestore(item={"state": state_template, "extra": None}),
+        args=ocp.args.PyTreeRestore(
+            item={"state": state_template, "extra": extra_template}
+        ),
     )
     return payload["state"], payload["extra"]

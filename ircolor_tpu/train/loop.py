@@ -113,7 +113,7 @@ def train_kaist(
         )
 
     # ---- mesh placement: params replicated, batches sharded on 'data' ----
-    mesh = make_data_mesh(cfg.dp_devices)
+    mesh = make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size)
     repl = replicated_sharding(mesh)
     state = jax.device_put(state, repl)
     vgg_params = jax.device_put(vgg_params, repl)

@@ -1,0 +1,55 @@
+"""CLI tests: flag parsing, config overrides, and an end-to-end `test` run."""
+
+import os
+
+from ircolor_tpu.cli import build_config, main
+
+
+def test_build_config_overrides():
+    import argparse
+
+    ns = argparse.Namespace(
+        config=None, img_size="64", batch_size="8", lr_G="1e-3",
+        no_antialias=True, train_roots=["a", "b"], test_roots=None,
+    )
+    cfg = build_config(ns, "train")
+    assert cfg.mode == "train"
+    assert cfg.img_size == 64
+    assert cfg.batch_size == 8
+    assert abs(cfg.lr_G - 1e-3) < 1e-12
+    assert cfg.no_antialias is True
+    assert cfg.train_roots == ("a", "b")
+    assert cfg.test_roots == Config_default_test_roots()
+
+
+def Config_default_test_roots():
+    from ircolor_tpu.config import Config
+
+    return Config().test_roots
+
+
+def test_config_json_roundtrip(tmp_path):
+    from ircolor_tpu.config import Config
+
+    cfg = Config(img_size=128, topk=7, train_roots=("x",))
+    path = tmp_path / "cfg.json"
+    path.write_text(cfg.to_json())
+    cfg2 = Config.from_json(path.read_text())
+    assert cfg2 == cfg
+
+
+def test_cli_test_mode_end_to_end(kaist_tree, tmp_path):
+    root, _ = kaist_tree
+    out = str(tmp_path / "cli_results")
+    rc = main([
+        "test",
+        "--img-size", "32",
+        "--test-batch-size", "4",
+        "--test-roots", str(root / "set02"),
+        "--output-dir", out,
+        "--topk", "2",
+        "--no-save-comparisons",
+        "--num-workers", "2",
+    ])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(out, "metrics_test.csv"))

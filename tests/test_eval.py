@@ -1,0 +1,98 @@
+"""Integration test: full test-mode run on a synthetic KAIST tree —
+mirrored outputs, metrics_test.csv format, collages, Top-K tree + ranking CSV
+(SURVEY.md §4 integration plan).
+"""
+
+import os
+
+import numpy as np
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.eval.runner import run_test
+
+
+def test_run_test_end_to_end(kaist_tree, tmp_path):
+    root, _ = kaist_tree
+    out_dir = str(tmp_path / "results")
+    cfg = Config(
+        mode="test",
+        img_size=32,
+        test_batch_size=4,
+        test_roots=(str(root / "set02"),),
+        output_dir=out_dir,
+        test_G_weights=None,  # random init path (warns, ref :1353-1355)
+        topk=3,
+        num_workers=2,
+    )
+    summary = run_test(cfg)
+
+    # Counts: set02 has 4 + 3 paired frames (+2 unpaired lwir extras per seq
+    # which produce predictions but no metrics).
+    assert summary["count"] == 7
+
+    # Mirrored prediction tree.
+    assert os.path.isfile(os.path.join(out_dir, "set02", "V000", "I00000.png"))
+    assert os.path.isfile(os.path.join(out_dir, "set02", "V001", "nested", "I00001.png"))
+    # Unpaired extras still get predictions (GT just missing).
+    assert os.path.isfile(os.path.join(out_dir, "set02", "V000", "only_ir_000.png"))
+
+    # Collages.
+    assert os.path.isfile(
+        os.path.join(out_dir, "Comparisons", "set02", "V000", "I00000_cmp.png")
+    )
+
+    # metrics_test.csv: header, per-image rows, summary block.
+    csv_path = os.path.join(out_dir, "metrics_test.csv")
+    lines = open(csv_path).read().splitlines()
+    assert lines[0] == "file,mae,mse,psnr,ssim"
+    data_rows = [l for l in lines[1:] if l and not l.startswith("#")]
+    assert len(data_rows) == 7
+    for row in data_rows:
+        parts = row.split(",")
+        assert len(parts) == 5
+        float(parts[1]); float(parts[2]); float(parts[3]); float(parts[4])
+    assert "# Summary" in lines
+    assert any(l.startswith("# count,7") for l in lines)
+    assert any(l.startswith("# mean_psnr,") for l in lines)
+
+    # Top-K tree: ranking CSV + flat copies.
+    best_dir = os.path.join(out_dir, "Best_50_colored_images")
+    rank_csv = os.path.join(best_dir, "top_3_ranking.csv")
+    rlines = open(rank_csv).read().splitlines()
+    assert rlines[0] == "rank,file,mae,mse,psnr,ssim,metric_used"
+    assert len(rlines) == 4
+    assert all(r.endswith(",ssim") for r in rlines[1:])
+    # Ranking is descending in ssim.
+    ssims = [float(r.split(",")[5]) for r in rlines[1:]]
+    assert ssims == sorted(ssims, reverse=True)
+
+    colored = os.listdir(os.path.join(best_dir, "colored"))
+    collages = os.listdir(os.path.join(best_dir, "collages"))
+    assert len(colored) == 3 and len(collages) == 3
+    assert all("__" in f for f in colored)  # flat set__seq__name naming
+    assert all(f.endswith("__cmp.png") for f in collages)
+
+
+def test_run_test_with_trained_weights_beats_random(kaist_tree, tmp_path):
+    """Loading weights changes outputs (exercises load path end-to-end)."""
+    import jax
+    import torch
+
+    from torch_golden import GoldGenerator
+
+    root, _ = kaist_tree
+    gold = GoldGenerator(n_blocks=9)
+    pth = str(tmp_path / "netG.pth")
+    torch.save(gold.state_dict(), pth)
+
+    out1 = str(tmp_path / "r1")
+    out2 = str(tmp_path / "r2")
+    base = dict(
+        mode="test", img_size=32, test_batch_size=4,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False,
+    )
+    s1 = run_test(Config(output_dir=out1, test_G_weights=None, **base))
+    s2 = run_test(Config(output_dir=out2, test_G_weights=pth, **base))
+    assert s1["count"] == s2["count"]
+    assert not np.isclose(s1["mean_mae"], s2["mean_mae"])

@@ -117,3 +117,21 @@ def test_pth_export_import_roundtrip(gen_small, tmp_path):
     merged = merge_params(params, re_imported)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+@pytest.mark.parametrize("no_aa,no_aa_up", [(True, False), (False, True), (True, True)])
+def test_generator_variant_parity(no_aa, no_aa_up, tmp_path):
+    """no_antialias (stride-2 convs) and no_antialias_up (ConvTranspose)."""
+    module = ResnetUNetGenerator(n_blocks=1, no_antialias=no_aa, no_antialias_up=no_aa_up)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    gold = GoldGenerator(n_blocks=1, no_antialias=no_aa, no_antialias_up=no_aa_up)
+    pth = str(tmp_path / "gold_variant.pth")
+    torch.save(gold.state_dict(), pth)
+    params = merge_params(params, load_generator_pth(pth))
+
+    x = np.random.RandomState(7).randn(1, 32, 32, 1).astype(np.float32)
+    ours = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = nhwc(gold(nchw(x)))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)

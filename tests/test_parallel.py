@@ -1,0 +1,124 @@
+"""Distributed tests on the 8-fake-CPU-device mesh (SURVEY.md §4):
+mesh construction, batch sharding, the full data-parallel train step under
+GSPMD, and equivalence of sharded vs single-device steps.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.losses.vgg import init_vgg16_params
+from ircolor_tpu.parallel.mesh import (
+    batch_sharding,
+    make_data_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from ircolor_tpu.train.state import create_train_state
+from ircolor_tpu.train.step import make_train_step
+from ircolor_tpu.losses.vgg import VGG16Features
+
+
+def make_batch(n=8, h=32, w=32, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "ir": rng.rand(n, h, w, 1).astype(np.float32) * 2 - 1,
+        "rgb": rng.rand(n, h, w, 3).astype(np.float32) * 2 - 1,
+    }
+
+
+def test_mesh_construction(eight_cpu_devices):
+    mesh = make_data_mesh()
+    assert mesh.shape == {"data": 8}
+    assert make_data_mesh(4).shape == {"data": 4}
+    # batch-size fitting: 8 devices, batch 6 → 6-device mesh
+    assert make_data_mesh(0, batch_size=6).shape == {"data": 6}
+    assert make_data_mesh(0, batch_size=4).shape == {"data": 4}
+
+
+def test_shard_batch_places_on_mesh(eight_cpu_devices):
+    mesh = make_data_mesh()
+    batch = shard_batch(make_batch(8), mesh)
+    for v in batch.values():
+        assert v.sharding.spec == P("data")
+        assert len(v.sharding.device_set) == 8
+
+
+def test_data_parallel_train_step_runs(eight_cpu_devices):
+    cfg = Config(img_size=32, batch_size=8, n_blocks=1, ngf=8)
+    state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=5)
+    vgg_mod = VGG16Features()
+    vgg_params = init_vgg16_params()
+
+    mesh = make_data_mesh()
+    repl = replicated_sharding(mesh)
+    state = jax.device_put(state, repl)
+    vgg_params = jax.device_put(vgg_params, repl)
+    step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d)
+
+    batch = shard_batch(make_batch(8), mesh)
+    state, metrics = step(state, batch, vgg_params)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # Updated params stay replicated (GSPMD all-reduced the grads).
+    leaf = jax.tree.leaves(state.g_params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_grads_match_single_device(eight_cpu_devices):
+    """DP across 8 devices computes the same losses and gradients as a single
+    device — grads are means over the global batch either way; GSPMD's
+    all-reduce must be numerically equivalent. (Post-Adam params are NOT
+    compared: the first Adam step is ≈ lr·sign(grad), so reduction-order
+    noise at 1e-7 flips update signs — an ill-conditioned comparison.)"""
+    cfg = Config(img_size=32, batch_size=8, n_blocks=1, ngf=8)
+    batch_np = make_batch(8, seed=3)
+    vgg_params = init_vgg16_params()
+    state, g_mod, d_mod, _ = create_train_state(cfg, steps_per_epoch=5)
+
+    def g_loss(g_params, batch, vp):
+        fake = g_mod.apply({"params": g_params}, batch["ir"], train=True)
+        pf = d_mod.apply({"params": state.d_params},
+                         jnp.concatenate([batch["ir"], fake], -1), train=True)
+        feat_f = VGG16Features().apply({"params": vp}, fake)
+        feat_r = VGG16Features().apply({"params": vp}, batch["rgb"])
+        return (
+            -jnp.mean(pf)
+            + jnp.mean(jnp.abs(fake - batch["rgb"]))
+            + jnp.mean(jnp.abs(feat_f - feat_r))
+        )
+
+    results = []
+    for ndev in (1, 8):
+        mesh = make_data_mesh(ndev)
+        repl = replicated_sharding(mesh)
+        gp = jax.device_put(state.g_params, repl)
+        vp = jax.device_put(vgg_params, repl)
+        loss, grads = jax.jit(jax.value_and_grad(g_loss))(
+            gp, shard_batch(dict(batch_np), mesh), vp
+        )
+        results.append((float(loss), jax.device_get(grads)))
+    (l1, g1), (l8, g8) = results
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_graft_entry_dryrun_multichip(eight_cpu_devices):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,151 @@
+"""Training integration tests: tiny end-to-end runs on a synthetic tree —
+finite losses, checkpoints appear, best-ckpt logic fires, resume restores,
+train-step math (hinge + composite) matches manual computation.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.losses.vgg import VGG16Features, init_vgg16_params
+from ircolor_tpu.train.loop import train_kaist
+from ircolor_tpu.train.state import create_train_state
+from ircolor_tpu.train.step import make_train_step, make_val_step
+
+
+def tiny_cfg(root, save_dir, **kw):
+    base = dict(
+        mode="train",
+        img_size=32,
+        batch_size=2,
+        epochs=2,
+        save_every=1,
+        n_blocks=1,
+        ngf=8,
+        num_workers=2,
+        train_roots=(str(root / "set00"),),
+        save_dir=str(save_dir),
+        lr_decay_start_epoch=1,
+        log_every=2,
+        seed=0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def step_setup():
+    cfg = Config(img_size=32, batch_size=2, n_blocks=1, ngf=8)
+    state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=10)
+    vgg_mod = VGG16Features()
+    vgg_params = init_vgg16_params()
+    step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, donate=False)
+    rng = np.random.RandomState(0)
+    batch = {
+        "ir": jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32) * 2 - 1),
+        "rgb": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
+    }
+    return cfg, state, step, batch, (g_mod, d_mod, vgg_mod, vgg_params)
+
+
+def test_train_step_runs_and_updates(step_setup):
+    cfg, state, step, batch, _ = step_setup
+    new_state, metrics = step(state, batch, init_vgg16_params())
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(new_state.step) == 1
+    # Params actually moved.
+    g0 = jax.tree.leaves(state.g_params)[0]
+    g1 = jax.tree.leaves(new_state.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    d0 = jax.tree.leaves(state.d_params)[0]
+    d1 = jax.tree.leaves(new_state.d_params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_train_step_loss_math(step_setup):
+    """The composite G loss equals the hand-assembled weighted sum."""
+    cfg, state, step, batch, _ = step_setup
+    _, m = step(state, batch, init_vgg16_params())
+    total = (
+        cfg.lambda_gan * float(m["loss_G_GAN"])
+        + float(m["loss_G_L1"])
+        + float(m["loss_G_perc"])
+        + float(m["loss_G_TV"])
+        + float(m["loss_G_SSIM"])
+    )
+    np.testing.assert_allclose(float(m["loss_G"]), total, rtol=1e-5)
+
+
+def test_d_phase_hinge_math(step_setup):
+    """loss_D equals 0.5·(relu(1−D(real)).mean()+relu(1+D(fake)).mean())
+    computed with the PRE-update D params and PRE-update G fake."""
+    cfg, state, step, batch, (g_mod, d_mod, _, _) = step_setup
+    _, m = step(state, batch, init_vgg16_params())
+    fake = g_mod.apply({"params": state.g_params}, batch["ir"], train=True)
+    pr = d_mod.apply({"params": state.d_params},
+                     jnp.concatenate([batch["ir"], batch["rgb"]], -1), train=True)
+    pf = d_mod.apply({"params": state.d_params},
+                     jnp.concatenate([batch["ir"], fake], -1), train=True)
+    expect = 0.5 * (
+        float(jnp.mean(jax.nn.relu(1.0 - pr))) + float(jnp.mean(jax.nn.relu(1.0 + pf)))
+    )
+    np.testing.assert_allclose(float(m["loss_D"]), expect, rtol=1e-5)
+
+
+def test_val_step_per_sample(step_setup):
+    cfg, state, step, batch, (g_mod, *_rest) = step_setup
+    val = make_val_step(g_mod)
+    per = np.asarray(val(state.g_params, batch))
+    fake = np.asarray(g_mod.apply({"params": state.g_params}, batch["ir"]))
+    manual = np.abs(fake - np.asarray(batch["rgb"])).mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(per, manual, rtol=1e-5)
+
+
+def test_train_kaist_end_to_end(kaist_tree, tmp_path):
+    root, _ = kaist_tree
+    cfg = tiny_cfg(root, tmp_path / "ckpt")
+    summary = train_kaist(cfg)
+
+    assert np.isfinite(summary["best_val_l1"])
+    assert summary["epochs_run"] == 2
+    # Checkpoints: every epoch (save_every=1) + best.
+    for name in ("netG_epoch_001.msgpack", "netG_epoch_002.msgpack",
+                 "netG_epoch_001.pth", "netG_best.msgpack"):
+        assert os.path.isfile(os.path.join(cfg.save_dir, name)), name
+    # orbax full-state dirs exist.
+    orbax_dir = os.path.join(cfg.save_dir, "orbax")
+    assert os.path.isdir(os.path.join(orbax_dir, "0001"))
+
+
+def test_resume_continues(kaist_tree, tmp_path):
+    root, _ = kaist_tree
+    save = tmp_path / "ckpt_resume"
+    cfg1 = tiny_cfg(root, save, epochs=1)
+    s1 = train_kaist(cfg1)
+    cfg2 = tiny_cfg(root, save, epochs=2, resume=True)
+    s2 = train_kaist(cfg2)
+    assert s2["epochs_run"] == 1  # resumed from epoch 1, ran only epoch 2
+    assert os.path.isfile(os.path.join(str(save), "netG_epoch_002.msgpack"))
+
+
+def test_exported_pth_loads_into_eval(kaist_tree, tmp_path):
+    """Train → .pth export → test-mode load: the full checkpoint cycle."""
+    from ircolor_tpu.eval.runner import run_test
+
+    root, _ = kaist_tree
+    cfg = tiny_cfg(root, tmp_path / "ckpt2", epochs=1)
+    train_kaist(cfg)
+    pth = os.path.join(cfg.save_dir, "netG_epoch_001.pth")
+    test_cfg = Config(
+        mode="test", img_size=32, test_batch_size=2, n_blocks=1, ngf=8,
+        test_roots=(str(root / "set02"),), output_dir=str(tmp_path / "res"),
+        test_G_weights=pth, topk=2, save_comparisons=False, num_workers=2,
+    )
+    summary = run_test(test_cfg)
+    assert summary["count"] > 0

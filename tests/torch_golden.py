@@ -80,29 +80,35 @@ class GoldResnetBlock(nn.Module):
 
 
 class GoldGenerator(nn.Module):
-    """ngf=64, n_blocks configurable, anti-aliased path only (the default)."""
+    """ngf=64, n_blocks configurable, with anti-aliasing flags."""
 
-    def __init__(self, input_nc=1, output_nc=3, ngf=64, n_blocks=9):
+    def __init__(self, input_nc=1, output_nc=3, ngf=64, n_blocks=9,
+                 no_antialias=False, no_antialias_up=False):
         super().__init__()
         ub = True  # instance norm ⇒ conv bias on
+        sd = 2 if no_antialias else 1
         self.inc = nn.Sequential(
             nn.ReflectionPad2d(3), nn.Conv2d(input_nc, ngf, 7, bias=ub),
             nn.InstanceNorm2d(ngf), nn.ReLU(True),
         )
         self.down1 = nn.Sequential(
-            nn.Conv2d(ngf, ngf * 2, 3, 1, 1, bias=ub), nn.InstanceNorm2d(ngf * 2), nn.ReLU(True)
+            nn.Conv2d(ngf, ngf * 2, 3, sd, 1, bias=ub), nn.InstanceNorm2d(ngf * 2), nn.ReLU(True)
         )
-        self.down1_down = GoldDownsample(ngf * 2)
+        self.down1_down = None if no_antialias else GoldDownsample(ngf * 2)
         self.down2 = nn.Sequential(
-            nn.Conv2d(ngf * 2, ngf * 4, 3, 1, 1, bias=ub), nn.InstanceNorm2d(ngf * 4), nn.ReLU(True)
+            nn.Conv2d(ngf * 2, ngf * 4, 3, sd, 1, bias=ub), nn.InstanceNorm2d(ngf * 4), nn.ReLU(True)
         )
-        self.down2_down = GoldDownsample(ngf * 4)
+        self.down2_down = None if no_antialias else GoldDownsample(ngf * 4)
         self.resblocks = nn.Sequential(*[GoldResnetBlock(ngf * 4, ub) for _ in range(n_blocks)])
-        self.up1_up = GoldUpsampleAA(ngf * 4)
+        if no_antialias_up:
+            self.up1_up = nn.ConvTranspose2d(ngf * 4, ngf * 4, 3, 2, 1, output_padding=1, bias=ub)
+            self.up2_up = nn.ConvTranspose2d(ngf * 2, ngf * 2, 3, 2, 1, output_padding=1, bias=ub)
+        else:
+            self.up1_up = GoldUpsampleAA(ngf * 4)
+            self.up2_up = GoldUpsampleAA(ngf * 2)
         self.up1_conv = nn.Sequential(
             nn.Conv2d(ngf * 6, ngf * 2, 3, 1, 1, bias=ub), nn.InstanceNorm2d(ngf * 2), nn.ReLU(True)
         )
-        self.up2_up = GoldUpsampleAA(ngf * 2)
         self.up2_conv = nn.Sequential(
             nn.Conv2d(ngf * 3, ngf, 3, 1, 1, bias=ub), nn.InstanceNorm2d(ngf), nn.ReLU(True)
         )
@@ -112,8 +118,12 @@ class GoldGenerator(nn.Module):
 
     def forward(self, x):
         x0 = self.inc(x)
-        x1 = self.down1_down(self.down1(x0))
-        x2 = self.down2_down(self.down2(x1))
+        x1 = self.down1(x0)
+        if self.down1_down is not None:
+            x1 = self.down1_down(x1)
+        x2 = self.down2(x1)
+        if self.down2_down is not None:
+            x2 = self.down2_down(x2)
         x3 = self.resblocks(x2)
         y = self.up1_up(x3)
         if y.shape[-2:] != x1.shape[-2:]:
