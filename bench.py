@@ -40,24 +40,25 @@ def bench_inference(h: int, w: int, batch: int, dtype: str, iters: int, warmup: 
     params = module.init(jax.random.PRNGKey(0), ir0[:1])["params"]
     base_infer = make_infer_fn(module)
 
-    # Chain each iteration on the previous output so independent dispatches
-    # cannot overlap/reorder in the runtime — otherwise wall-clock measures
-    # dispatch, not execution.
+    # Chain each iteration on the previous output with a non-foldable (but
+    # numerically negligible) dependency so independent dispatches cannot
+    # overlap/reorder, and end with a host fetch of a derived scalar —
+    # otherwise wall-clock measures dispatch, not execution.
     @jax.jit
     def chained(params, ir, carry, gt):
-        pred, metrics = base_infer(params, ir + 0.0 * carry, gt)
+        pred, metrics = base_infer(params, ir + carry * 1e-12, gt)
         new_carry = metrics["mae"].astype(ir.dtype).reshape(batch, 1, 1, 1)
         return pred, metrics, new_carry
 
     carry = jnp.zeros((batch, 1, 1, 1), ir0.dtype)
     for _ in range(warmup):
         pred, metrics, carry = chained(params, ir0, carry, gt)
-    jax.block_until_ready(carry)
+    _ = float(jnp.sum(metrics["mae"]))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         pred, metrics, carry = chained(params, ir0, carry, gt)
-    jax.block_until_ready((pred, carry))
+    _ = float(jnp.sum(metrics["mae"]))  # host fetch ⇒ all chained work done
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

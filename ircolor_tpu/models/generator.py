@@ -31,10 +31,20 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from ircolor_tpu.models.common import Conv, Norm, use_bias_for_norm
 from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
 from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
+from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
 from ircolor_tpu.ops.resize import bilinear_align_corners
+
+
+def _pallas_available() -> bool:
+    """Mosaic kernels need a TPU backend; elsewhere (CPU dev/tests) the
+    models silently use the equivalent XLA ops — interpret mode is reserved
+    for the dedicated kernel parity tests."""
+    return jax.default_backend() in ("tpu", "axon")
 
 
 class ResnetBlock(nn.Module):
@@ -47,6 +57,7 @@ class ResnetBlock(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     precision: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -69,6 +80,20 @@ class ResnetBlock(nn.Module):
                 precision=self.precision,
                 name=name,
             )(y)
+
+        # Instance norm (the default) routes through the fused Pallas kernel
+        # when enabled: conv→IN→ReLU and conv→IN(+residual) each collapse to
+        # one HBM pass at VMEM-resident resolutions.
+        if (
+            self.norm == "instance"
+            and self.use_pallas
+            and not self.use_dropout
+            and _pallas_available()
+        ):
+            h = conv("conv1", x)
+            h = instance_norm_auto(h, relu=True, use_pallas=True)
+            h = conv("conv2", h)
+            return instance_norm_auto(h, residual=x, use_pallas=True)
 
         h = conv("conv1", x)
         h = Norm(self.norm, name="norm1")(h, train)
@@ -94,6 +119,7 @@ class ResnetUNetGenerator(nn.Module):
     no_antialias_up: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -114,6 +140,8 @@ class ResnetUNetGenerator(nn.Module):
             )
 
         def norm_relu(name, y):
+            if self.norm == "instance" and self.use_pallas and _pallas_available():
+                return instance_norm_auto(y, relu=True, use_pallas=True)
             y = Norm(self.norm, name=name)(y, train)
             return nn.relu(y)
 
@@ -144,6 +172,7 @@ class ResnetUNetGenerator(nn.Module):
                 use_bias=use_bias,
                 dtype=self.dtype,
                 precision=self.precision,
+                use_pallas=self.use_pallas,
                 name=f"resblock_{i}",
             )(h, train)
 

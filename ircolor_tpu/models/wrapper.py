@@ -47,6 +47,7 @@ def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
         no_antialias_up=cfg.no_antialias_up,
         dtype=dtype,
         precision=resolve_precision(cfg.conv_precision if cfg.compute_dtype == "f32" else "default"),
+        use_pallas=cfg.use_pallas,
     )
 
 
