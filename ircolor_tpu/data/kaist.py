@@ -157,6 +157,29 @@ class KAISTPairDataset:
     def __len__(self) -> int:
         return len(self.ir_paths)
 
+    def raw_item(self, idx: int):
+        """Fast path for the native batch assembler: resized uint8 images +
+        a deferred flip flag (normalize/flip/stack happen in C++,
+        ``ircolor_tpu.data.native``). Returns None for non-8-bit sources
+        (16-bit TIFF IR goes through the float path, ref :822-827).
+        """
+        import cv2
+
+        ir_u = cv2.imread(self.ir_paths[idx], cv2.IMREAD_GRAYSCALE)
+        if ir_u is None:
+            raise RuntimeError(f"Could not read IR image: {self.ir_paths[idx]}")
+        if ir_u.dtype != np.uint8:
+            return None
+        rgb_u = cv2.imread(self.rgb_paths[idx], cv2.IMREAD_COLOR)
+        if rgb_u is None:
+            raise RuntimeError(f"Could not read RGB image: {self.rgb_paths[idx]}")
+        h, w = self.size_hw
+        ir_u = cv2.resize(ir_u, (w, h), interpolation=cv2.INTER_AREA)
+        rgb_u = cv2.cvtColor(rgb_u, cv2.COLOR_BGR2RGB)
+        rgb_u = cv2.resize(rgb_u, (w, h), interpolation=cv2.INTER_AREA)
+        flip = bool(self.augment and self._rng.random() < 0.5)
+        return ir_u[:, :, None], rgb_u, flip
+
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         ir = load_ir_image(self.ir_paths[idx], self.size_hw)
         rgb = load_rgb_image(self.rgb_paths[idx], self.size_hw)

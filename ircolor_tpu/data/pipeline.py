@@ -35,6 +35,17 @@ def _stack(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     }
 
 
+def _assemble_native(raw: list, nthreads: int) -> dict[str, np.ndarray]:
+    """Fused C++ normalize+flip+stack of raw_item() outputs."""
+    from ircolor_tpu.data import native
+
+    flips = [r[2] for r in raw]
+    return {
+        "ir": native.assemble_batch([r[0] for r in raw], flips, nthreads=nthreads),
+        "rgb": native.assemble_batch([r[1] for r in raw], flips, nthreads=nthreads),
+    }
+
+
 class BatchLoader:
     """Iterable over stacked NHWC batches with background decode+prefetch.
 
@@ -57,6 +68,7 @@ class BatchLoader:
         seed: int = 0,
         shard_index: int = 0,
         shard_count: int = 1,
+        use_native: bool = True,
     ) -> None:
         if batch_size % shard_count != 0:
             raise ValueError("global batch_size must divide by shard_count")
@@ -70,6 +82,11 @@ class BatchLoader:
         self.shard_index = shard_index
         self.shard_count = shard_count
         self._epoch = 0
+        if use_native:
+            from ircolor_tpu.data import native
+
+            use_native = native.available() and hasattr(dataset, "raw_item")
+        self.use_native = use_native
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -113,6 +130,11 @@ class BatchLoader:
                     for b in batches:
                         if stop.is_set():
                             return
+                        if self.use_native:
+                            raw = list(pool.map(self.dataset.raw_item, b))
+                            if all(r is not None for r in raw):
+                                out_q.put(_assemble_native(raw, self.num_workers))
+                                continue
                         samples = list(pool.map(self.dataset.__getitem__, b))
                         out_q.put(_stack(samples))
                 out_q.put(None)
