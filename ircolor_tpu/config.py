@@ -123,8 +123,12 @@ class Config:
     # must be supplied externally for loss parity).
     vgg16_weights: str | None = None
 
-    # Pallas fused kernels gate (parity-tested; off = pure XLA).
-    use_pallas: bool = True
+    # Pallas fused kernels gate (parity-tested). Default OFF: measured on
+    # v5e (r1), the fused IN kernel is within noise of XLA's own fusion in
+    # the full generator graph (204 vs 212 fps at 256²/b16) — XLA fuses IN
+    # into conv epilogues well. Kept behind this flag per the
+    # "only keep kernels that win" rule (SURVEY.md §7.1 step 9).
+    use_pallas: bool = False
 
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50

@@ -45,11 +45,14 @@ def make_infer_fn(module: Any):
     """One jitted step: IR [-1,1] → (uint8 RGB prediction, per-image metrics).
 
     Metrics are computed against the quantized prediction (ref :1413 parity).
+    ``params`` may be a bare param tree or a full variables dict (with
+    ``batch_stats`` for norm="batch" models).
     """
 
     @partial(jax.jit, static_argnums=())
     def infer(params, ir, gt01):
-        fake = module.apply({"params": params}, ir)          # (B,H,W,3) [-1,1]
+        variables = params if "params" in params else {"params": params}
+        fake = module.apply(variables, ir, train=False)      # (B,H,W,3) [-1,1]
         pred01q = quantize_to_uint8_01((fake + 1.0) / 2.0)
         pred_u8 = (pred01q * 255.0).astype(jnp.uint8)
         metrics = batched_metrics(pred01q, gt01)
@@ -134,7 +137,10 @@ def run_test(cfg: Config) -> dict[str, Any]:
                 gt_np[j] = gt01
                 has_gt[j] = True
 
-        pred_u8, m = infer(model.params, jnp.asarray(ir_np), jnp.asarray(gt_np))
+        variables = {"params": model.params}
+        if model.batch_stats:
+            variables["batch_stats"] = model.batch_stats
+        pred_u8, m = infer(variables, jnp.asarray(ir_np), jnp.asarray(gt_np))
         pred_u8 = np.asarray(pred_u8)
         m = {k: np.asarray(v) for k, v in m.items()}
 

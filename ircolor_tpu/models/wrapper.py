@@ -92,7 +92,10 @@ class IRColorizationModel:
             rng = jax.random.PRNGKey(cfg.seed)
         h, w = cfg.resolved_hw
         dummy = jnp.zeros((1, h, w, cfg.input_nc), jnp.float32)
-        self.params = self.module.init(rng, dummy)["params"]
+        variables = self.module.init(rng, dummy)
+        self.params = variables["params"]
+        # BatchNorm running stats (norm="batch" only; instance norm is stateless).
+        self.batch_stats = variables.get("batch_stats", {})
 
     def load_weights(self, path: str) -> None:
         """Load generator weights from .pth / native export (non-strict)."""
@@ -109,9 +112,12 @@ class IRColorizationModel:
         self.params = merge_params(self.params, loaded)
 
     @partial(jax.jit, static_argnums=0)
-    def _forward(self, params, ir: jnp.ndarray) -> jnp.ndarray:
-        return self.module.apply({"params": params}, ir)
+    def _forward(self, params, batch_stats, ir: jnp.ndarray) -> jnp.ndarray:
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return self.module.apply(variables, ir, train=False)
 
     def __call__(self, ir: jnp.ndarray) -> jnp.ndarray:
         """IR (B,H,W,1) in [-1,1] → RGB (B,H,W,3) in [-1,1] (ref :791-796)."""
-        return self._forward(self.params, ir)
+        return self._forward(self.params, self.batch_stats, ir)

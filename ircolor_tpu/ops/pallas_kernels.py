@@ -45,13 +45,22 @@ _EPS = 1e-5
 
 
 def _pick_cb(shape: tuple[int, ...], dtype: Any, with_residual: bool) -> int | None:
-    """Largest channel-block size whose double-buffered planes fit VMEM."""
+    """Channel-block size whose double-buffered planes fit VMEM.
+
+    Mosaic requires the block's last dim to be a multiple of 128 OR equal to
+    the full channel dim, so the only legal choices are cb=128 (when C%128
+    == 0) or cb=C.
+    """
     if len(shape) != 4:
         return None
     _, h, w, c = shape
     n_blocks = 2 * (3 if with_residual else 2)  # double-buffered (in[+res]) + out
-    for cb in (128, 64, 32, 16, 8):
-        if c % cb == 0 and n_blocks * _plane_bytes(h, w, cb, dtype) <= _VMEM_BUDGET_BYTES:
+    candidates = []
+    if c % 128 == 0:
+        candidates.append(128)
+    candidates.append(c)
+    for cb in candidates:
+        if n_blocks * _plane_bytes(h, w, cb, dtype) <= _VMEM_BUDGET_BYTES:
             return cb
     return None
 

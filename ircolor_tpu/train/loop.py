@@ -148,7 +148,9 @@ def train_kaist(
                     k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
                     for k, v in batch.items()
                 }
-            per_sample = np.asarray(val_step(state.g_params, shard_batch(batch, mesh)))
+            per_sample = np.asarray(
+                val_step(state.g_params, shard_batch(batch, mesh), state.g_stats)
+            )
             total += float(per_sample[:bsz].sum())
             count += bsz
         return total / max(count, 1)

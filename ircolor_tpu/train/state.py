@@ -33,6 +33,10 @@ class TrainState:
     g_opt: Any
     d_opt: Any
     step: jnp.ndarray  # int32 scalar
+    # BatchNorm running statistics (flax 'batch_stats'); empty dicts for the
+    # default instance norm (which is stateless, PyTorch-default affine=False).
+    g_stats: Any = struct.field(default_factory=dict)
+    d_stats: Any = struct.field(default_factory=dict)
 
 
 def discriminator_from_config(cfg: Config, *, dtype=None) -> NLayerDiscriminator:
@@ -72,10 +76,11 @@ def create_train_state(
     h, w = cfg.resolved_hw
     g_module = generator_from_config(cfg)
     d_module = discriminator_from_config(cfg)
-    g_params = g_module.init(rng_g, jnp.zeros((1, h, w, cfg.input_nc), jnp.float32))["params"]
-    d_params = d_module.init(
+    g_vars = g_module.init(rng_g, jnp.zeros((1, h, w, cfg.input_nc), jnp.float32))
+    d_vars = d_module.init(
         rng_d, jnp.zeros((1, h, w, cfg.input_nc + cfg.output_nc), jnp.float32)
-    )["params"]
+    )
+    g_params, d_params = g_vars["params"], d_vars["params"]
     opt_g, opt_d = make_optimizers(cfg, steps_per_epoch)
     state = TrainState(
         g_params=g_params,
@@ -83,5 +88,7 @@ def create_train_state(
         g_opt=opt_g.init(g_params),
         d_opt=opt_d.init(d_params),
         step=jnp.zeros((), jnp.int32),
+        g_stats=g_vars.get("batch_stats", {}),
+        d_stats=d_vars.get("batch_stats", {}),
     )
     return state, g_module, d_module, (opt_g, opt_d)

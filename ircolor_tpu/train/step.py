@@ -49,33 +49,53 @@ def make_train_step(
     opt_d: optax.GradientTransformation,
     donate: bool = True,
 ) -> Callable[[TrainState, dict[str, jnp.ndarray], Any], tuple[TrainState, dict[str, jnp.ndarray]]]:
-    """Build the jitted step: (state, batch, vgg_params) → (state, metrics)."""
+    """Build the jitted step: (state, batch, vgg_params) → (state, metrics).
 
-    def g_apply(params, ir):
-        return g_module.apply({"params": params}, ir, train=True)
+    BatchNorm (``cfg.norm == "batch"``): running stats follow torch train-mode
+    semantics — every train-mode forward updates them, including the
+    D-phase's no-grad G forward and all three D forwards per step
+    (ref :1637-1659 run each net in .train() mode). Stats updates are carried
+    as aux outputs so gradients flow only through params.
+    """
+    has_bn = cfg.norm == "batch"
 
-    def d_apply(params, x):
-        return d_module.apply({"params": params}, x, train=True)
+    def g_apply(params, stats, ir):
+        if not has_bn:
+            return g_module.apply({"params": params}, ir, train=True), stats
+        out, upd = g_module.apply(
+            {"params": params, "batch_stats": stats}, ir, train=True,
+            mutable=["batch_stats"],
+        )
+        return out, upd["batch_stats"]
+
+    def d_apply(params, stats, x):
+        if not has_bn:
+            return d_module.apply({"params": params}, x, train=True), stats
+        out, upd = d_module.apply(
+            {"params": params, "batch_stats": stats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        return out, upd["batch_stats"]
 
     def step_fn(state: TrainState, batch: dict[str, jnp.ndarray], vgg_params: Any):
         ir, rgb = batch["ir"], batch["rgb"]
 
         # ---- D phase (hinge) ----
-        fake_detached = g_apply(state.g_params, ir)  # no grad path into G
+        fake_detached, g_stats = g_apply(state.g_params, state.g_stats, ir)
 
         def d_loss_fn(d_params):
-            pred_real = d_apply(d_params, jnp.concatenate([ir, rgb], axis=-1))
-            pred_fake = d_apply(d_params, jnp.concatenate([ir, fake_detached], axis=-1))
-            return hinge_d_loss(pred_real, pred_fake)
+            pred_real, ds1 = d_apply(d_params, state.d_stats, jnp.concatenate([ir, rgb], axis=-1))
+            pred_fake, ds2 = d_apply(d_params, ds1, jnp.concatenate([ir, fake_detached], axis=-1))
+            return hinge_d_loss(pred_real, pred_fake), ds2
 
-        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        (loss_d, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
         d_updates, d_opt = opt_d.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---- G phase (uses the freshly updated D, matching ref ordering) ----
         def g_loss_fn(g_params):
-            fake = g_apply(g_params, ir)
-            pred_fake = d_apply(d_params, jnp.concatenate([ir, fake], axis=-1))
+            fake, gs = g_apply(g_params, g_stats, ir)
+            pred_fake, ds = d_apply(d_params, d_stats, jnp.concatenate([ir, fake], axis=-1))
             loss_gan = hinge_g_loss(pred_fake)
             loss_l1 = jnp.mean(jnp.abs(fake - rgb)) * cfg.lambda_L1
             feat_fake = vgg_module.apply({"params": vgg_params}, fake)
@@ -85,12 +105,16 @@ def make_train_step(
             loss_ssim = ssim_loss((fake + 1.0) / 2.0, (rgb + 1.0) / 2.0) * cfg.lambda_ssim
             total = cfg.lambda_gan * loss_gan + loss_l1 + loss_perc + loss_tv + loss_ssim
             aux = {
-                "loss_G": total,
-                "loss_G_GAN": loss_gan,
-                "loss_G_L1": loss_l1,
-                "loss_G_perc": loss_perc,
-                "loss_G_TV": loss_tv,
-                "loss_G_SSIM": loss_ssim,
+                "metrics": {
+                    "loss_G": total,
+                    "loss_G_GAN": loss_gan,
+                    "loss_G_L1": loss_l1,
+                    "loss_G_perc": loss_perc,
+                    "loss_G_TV": loss_tv,
+                    "loss_G_SSIM": loss_ssim,
+                },
+                "g_stats": gs,
+                "d_stats": ds,
             }
             return total, aux
 
@@ -104,23 +128,29 @@ def make_train_step(
             g_opt=g_opt,
             d_opt=d_opt,
             step=state.step + 1,
+            g_stats=aux["g_stats"],
+            d_stats=aux["d_stats"],
         )
-        metrics = {"loss_D": loss_d, **aux}
+        metrics = {"loss_D": loss_d, **aux["metrics"]}
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_val_step(g_module: Any) -> Callable[[Any, dict[str, jnp.ndarray]], jnp.ndarray]:
+def make_val_step(g_module: Any) -> Callable[..., jnp.ndarray]:
     """Jitted validation: per-sample pixel-L1 (ref :1521-1542).
 
     Returns (B,) so the host can mask padded rows of the final batch and
     compute the sample-weighted mean exactly like the reference
-    (``total += loss·B; total/count``).
+    (``total += loss·B; total/count``). Eval mode: BatchNorm (if any) uses
+    running stats (``model.eval()``, ref :1527).
     """
 
-    def val_fn(g_params, batch):
-        fake = g_module.apply({"params": g_params}, batch["ir"])
+    def val_fn(g_params, batch, g_stats=None):
+        variables = {"params": g_params}
+        if g_stats:
+            variables["batch_stats"] = g_stats
+        fake = g_module.apply(variables, batch["ir"], train=False)
         return jnp.mean(jnp.abs(fake - batch["rgb"]), axis=(1, 2, 3))
 
     return jax.jit(val_fn)

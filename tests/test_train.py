@@ -149,3 +149,46 @@ def test_exported_pth_loads_into_eval(kaist_tree, tmp_path):
     )
     summary = run_test(test_cfg)
     assert summary["count"] > 0
+
+
+def test_batch_norm_training_and_eval(kaist_tree, tmp_path):
+    """norm='batch' (ref get_norm_layer :154-165): running stats update in
+    train-mode forwards, eval uses them; full tiny train + test cycle."""
+    from ircolor_tpu.eval.runner import run_test
+
+    root, _ = kaist_tree
+    cfg = tiny_cfg(root, tmp_path / "bn_ckpt", epochs=1, norm="batch")
+    state0, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=3)
+    assert state0.g_stats, "batch norm init must produce batch_stats"
+
+    vgg_mod = VGG16Features()
+    step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, donate=False)
+    rng = np.random.RandomState(0)
+    batch = {
+        "ir": jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32) * 2 - 1),
+        "rgb": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
+    }
+    state1, metrics = step(state0, batch, init_vgg16_params())
+    assert np.isfinite(float(metrics["loss_G"]))
+    # Running stats moved (torch train-mode semantics).
+    s0 = jax.tree.leaves(state0.g_stats)[0]
+    s1 = jax.tree.leaves(state1.g_stats)[0]
+    assert not np.allclose(np.asarray(s0), np.asarray(s1))
+
+    # Full loop + eval with batch norm end to end.
+    summary = train_kaist(cfg)
+    assert np.isfinite(summary["best_val_l1"])
+    test_cfg = Config(
+        mode="test", img_size=32, test_batch_size=2, n_blocks=1, ngf=8, norm="batch",
+        test_roots=(str(root / "set02"),), output_dir=str(tmp_path / "bn_res"),
+        topk=2, save_comparisons=False, num_workers=2,
+    )
+    s = run_test(test_cfg)
+    assert s["count"] > 0
+
+
+def test_none_norm_trains(kaist_tree, tmp_path):
+    root, _ = kaist_tree
+    cfg = tiny_cfg(root, tmp_path / "nn_ckpt", epochs=1, norm="none")
+    summary = train_kaist(cfg)
+    assert np.isfinite(summary["best_val_l1"])
