@@ -133,6 +133,13 @@ class Config:
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50
 
+    # Observability (no reference equivalent — SURVEY.md §5):
+    # JSONL metrics stream path (None = stdout-only logging).
+    jsonl_log: str | None = None
+    # jax.profiler trace dir; when set, epoch 1's first steps are traced
+    # (TensorBoard/Perfetto viewable).
+    profile_dir: str | None = None
+
     # RNG seed for init/augmentation (the reference seeds only the split
     # with 42, ref :1565; we seed everything for determinism).
     seed: int = 0

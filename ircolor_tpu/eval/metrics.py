@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ircolor_tpu.ops.conv import depthwise_conv2d
+from ircolor_tpu.ops.separable import separable_filter2d
 
 
 def quantize_to_uint8_01(x01: jnp.ndarray) -> jnp.ndarray:
@@ -53,14 +53,32 @@ def ssim_skimage(
     channel_axis=2)`` (gaussian_weights=False path).
     """
     assert pred.shape == gt.shape
-    pred = pred.astype(jnp.float32)
-    gt = gt.astype(jnp.float32)
+    # Channel-first layout: with C=3 in the lane dim, every elementwise op
+    # would run at 3/128 lane utilization; (B,C,H,W) puts W in the lanes.
+    return _ssim_chfirst(
+        jnp.moveaxis(pred.astype(jnp.float32), 3, 1),
+        jnp.moveaxis(gt.astype(jnp.float32), 3, 1),
+        win_size, k1, k2, data_range,
+    )
+
+
+def _ssim_chfirst(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    win_size: int = 7,
+    k1: float = 0.01,
+    k2: float = 0.03,
+    data_range: float = 1.0,
+) -> jnp.ndarray:
+    """skimage-default SSIM on (B, C, H, W) float32 batches → (B,)."""
     np_pix = win_size * win_size
     cov_norm = np_pix / (np_pix - 1.0)
-    filt = np.full((win_size, win_size), 1.0 / np_pix, dtype=np.float32)
+    w1d = np.full((win_size,), 1.0 / win_size, dtype=np.float32)
 
+    # Uniform K×K window is separable — shift-and-add beats a C=3 grouped
+    # conv on TPU by orders of magnitude in lane utilization.
     def f(x):
-        return depthwise_conv2d(x, filt, stride=1, padding="VALID")
+        return separable_filter2d(x, w1d, padding="valid", axes=(2, 3))
 
     ux, uy = f(pred), f(gt)
     uxx, uyy, uxy = f(pred * pred), f(gt * gt), f(pred * gt)
@@ -77,7 +95,11 @@ def ssim_skimage(
 
 def batched_metrics(pred01: jnp.ndarray, gt01: jnp.ndarray) -> dict[str, jnp.ndarray]:
     """Per-image MAE/MSE/PSNR/SSIM over an NHWC batch (all shapes (B,))."""
-    diff = pred01.astype(jnp.float32) - gt01.astype(jnp.float32)
+    # One transpose to channel-first; all metric math then runs with the
+    # wide W axis in the TPU lane dimension (C=3 lanes would idle 125/128).
+    p = jnp.moveaxis(pred01.astype(jnp.float32), 3, 1)
+    g = jnp.moveaxis(gt01.astype(jnp.float32), 3, 1)
+    diff = p - g
     mae = jnp.mean(jnp.abs(diff), axis=(1, 2, 3))
     mse = jnp.mean(diff * diff, axis=(1, 2, 3))
     psnr = jnp.where(
@@ -85,7 +107,7 @@ def batched_metrics(pred01: jnp.ndarray, gt01: jnp.ndarray) -> dict[str, jnp.nda
         jnp.inf,
         -10.0 * jnp.log10(mse + 1e-12),  # 20·log10(1.0) term is zero
     )
-    ssim = ssim_skimage(pred01, gt01)
+    ssim = _ssim_chfirst(p, g)
     return {"mae": mae, "mse": mse, "psnr": psnr, "ssim": ssim}
 
 

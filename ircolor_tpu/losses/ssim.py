@@ -15,8 +15,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ircolor_tpu.ops.conv import depthwise_conv2d
-from ircolor_tpu.ops.filters import gaussian_window_2d
+from ircolor_tpu.ops.filters import gaussian_window_1d
+from ircolor_tpu.ops.separable import separable_filter2d
 
 
 def ssim_index(
@@ -28,11 +28,13 @@ def ssim_index(
 ) -> jnp.ndarray:
     """Mean SSIM between NHWC [0,1] images (the reference's ssim_val)."""
     assert img1.shape == img2.shape, "SSIM images must have the same shape"
-    window = gaussian_window_2d(window_size, 1.5)
-    pad = window_size // 2
+    del precision  # separable shift-and-add; no matmul involved
+    g1d = gaussian_window_1d(window_size, 1.5)
 
+    # The K×K Gaussian window is g⊗g — applied separably via shift-and-add
+    # (the reference's grouped conv wastes MXU lanes at C=3 on TPU).
     def filt(x):
-        return depthwise_conv2d(x, window, stride=1, padding=pad, precision=precision)
+        return separable_filter2d(x, g1d, padding="same")
 
     mu1 = filt(img1)
     mu2 = filt(img2)

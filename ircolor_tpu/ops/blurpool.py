@@ -20,12 +20,20 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import jax.numpy as jnp
 
-from ircolor_tpu.ops.conv import depthwise_conv2d
-from ircolor_tpu.ops.filters import binomial_filter_2d
+from ircolor_tpu.ops.filters import binomial_filter_1d
 from ircolor_tpu.ops.padding import pad2d
 from ircolor_tpu.ops.resize import bilinear_align_corners
+from ircolor_tpu.ops.separable import separable_filter2d
+
+
+def _norm_1d(filt_size: int) -> np.ndarray:
+    """1-D factor of the normalized 2-D binomial filter: (a/Σa)⊗(a/Σa) equals
+    the reference's (a⊗a)/Σ(a⊗a) exactly."""
+    a = binomial_filter_1d(filt_size)
+    return a / a.sum()
 
 
 def _blur_pad_sizes(filt_size: int, pad_off: int = 0) -> tuple[int, int, int, int]:
@@ -45,10 +53,14 @@ def blur_downsample(
     pad_off: int = 0,
     precision=None,
 ) -> jnp.ndarray:
-    """Pad + depthwise binomial blur at stride (ref Downsample.forward :307-310)."""
-    filt = binomial_filter_2d(filt_size)
+    """Pad + depthwise binomial blur at stride (ref Downsample.forward :307-310).
+
+    The blur runs as a separable shift-and-add (VPU) rather than a grouped
+    conv — TPU depthwise convs waste MXU lanes and this is exact.
+    """
+    del precision  # shift-and-add is full-precision elementwise math
     y = pad2d(x, _blur_pad_sizes(filt_size, pad_off), pad_type)
-    return depthwise_conv2d(y, filt, stride=stride, padding="VALID", precision=precision)
+    return separable_filter2d(y, _norm_1d(filt_size), padding="valid", stride=stride)
 
 
 def blur_upsample_aa(
@@ -61,8 +73,8 @@ def blur_upsample_aa(
 ) -> jnp.ndarray:
     """Bilinear ×stride (align_corners=True) + pad + depthwise blur stride 1
     (ref UpsampleAA.forward :350-355)."""
+    del precision
     _, h, w, _ = x.shape
     y = bilinear_align_corners(x, (h * stride, w * stride))
-    filt = binomial_filter_2d(filt_size)
     y = pad2d(y, _blur_pad_sizes(filt_size), pad_type)
-    return depthwise_conv2d(y, filt, stride=1, padding="VALID", precision=precision)
+    return separable_filter2d(y, _norm_1d(filt_size), padding="valid", stride=1)

@@ -44,24 +44,32 @@ _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 _EPS = 1e-5
 
 
-def _pick_cb(shape: tuple[int, ...], dtype: Any, with_residual: bool) -> int | None:
-    """Channel-block size whose double-buffered planes fit VMEM.
+def _pick_cb(
+    shape: tuple[int, ...], dtype: Any, with_residual: bool
+) -> tuple[int, int] | None:
+    """(channel-block size, buffer_count) whose planes fit VMEM.
 
     Mosaic requires the block's last dim to be a multiple of 128 OR equal to
     the full channel dim, so the only legal choices are cb=128 (when C%128
-    == 0) or cb=C.
+    == 0) or cb=C. Double-buffered (DMA/compute overlap) is preferred; when
+    that exceeds the budget, single-buffered blocks still give the
+    single-HBM-pass win over XLA's reduce+normalize multi-pass.
     """
     if len(shape) != 4:
         return None
     _, h, w, c = shape
-    n_blocks = 2 * (3 if with_residual else 2)  # double-buffered (in[+res]) + out
+    n_arrays = 3 if with_residual else 2  # in (+ residual) + out
     candidates = []
     if c % 128 == 0:
         candidates.append(128)
     candidates.append(c)
-    for cb in candidates:
-        if n_blocks * _plane_bytes(h, w, cb, dtype) <= _VMEM_BUDGET_BYTES:
-            return cb
+    for buffer_count in (2, 1):
+        for cb in candidates:
+            if (
+                buffer_count * n_arrays * _plane_bytes(h, w, cb, dtype)
+                <= _VMEM_BUDGET_BYTES
+            ):
+                return cb, buffer_count
     return None
 
 
@@ -94,20 +102,28 @@ def pallas_fits(shape: tuple[int, ...], dtype: Any, with_residual: bool = False)
     return _pick_cb(shape, dtype, with_residual) is not None
 
 
-def _run_in(x: jnp.ndarray, relu: bool, interpret: bool) -> jnp.ndarray:
-    b, h, w, c = x.shape
-    cb = _pick_cb(x.shape, x.dtype, False)
-    assert cb is not None, f"shape {x.shape} does not fit the Pallas IN kernel"
-    grid = (b, c // cb)
-    spec = pl.BlockSpec(
+def _block_spec(h: int, w: int, cb: int, buffer_count: int, interpret: bool):
+    kwargs = {}
+    if buffer_count != 2 and not interpret:
+        kwargs["pipeline_mode"] = pl.Buffered(buffer_count=buffer_count)
+    return pl.BlockSpec(
         (1, h, w, cb),
         lambda i, j: (i, 0, 0, j),
         memory_space=pltpu.VMEM if _HAVE_PLTPU and not interpret else None,
+        **kwargs,
     )
+
+
+def _run_in(x: jnp.ndarray, relu: bool, interpret: bool) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    picked = _pick_cb(x.shape, x.dtype, False)
+    assert picked is not None, f"shape {x.shape} does not fit the Pallas IN kernel"
+    cb, buffer_count = picked
+    spec = _block_spec(h, w, cb, buffer_count, interpret)
     return pl.pallas_call(
         functools.partial(_in_kernel, relu=relu),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=grid,
+        grid=(b, c // cb),
         in_specs=[spec],
         out_specs=spec,
         interpret=interpret,
@@ -116,18 +132,14 @@ def _run_in(x: jnp.ndarray, relu: bool, interpret: bool) -> jnp.ndarray:
 
 def _run_in_res(x: jnp.ndarray, residual: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     b, h, w, c = x.shape
-    cb = _pick_cb(x.shape, x.dtype, True)
-    assert cb is not None, f"shape {x.shape} does not fit the Pallas IN kernel"
-    grid = (b, c // cb)
-    spec = pl.BlockSpec(
-        (1, h, w, cb),
-        lambda i, j: (i, 0, 0, j),
-        memory_space=pltpu.VMEM if _HAVE_PLTPU and not interpret else None,
-    )
+    picked = _pick_cb(x.shape, x.dtype, True)
+    assert picked is not None, f"shape {x.shape} does not fit the Pallas IN kernel"
+    cb, buffer_count = picked
+    spec = _block_spec(h, w, cb, buffer_count, interpret)
     return pl.pallas_call(
         _in_res_kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=grid,
+        grid=(b, c // cb),
         in_specs=[spec, spec],
         out_specs=spec,
         interpret=interpret,

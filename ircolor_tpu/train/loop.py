@@ -52,7 +52,7 @@ def train_kaist(
     """Run the full training recipe. Returns a summary dict (final state,
     best val L1, throughput). ``max_steps_per_epoch`` truncates epochs for
     tests/smoke runs."""
-    jsonl = jsonl or JsonlLogger()
+    jsonl = jsonl or JsonlLogger(cfg.jsonl_log)
     h, w = cfg.resolved_hw
     log.info("[TRAIN] Devices: %s", jax.devices())
 
@@ -162,10 +162,18 @@ def train_kaist(
         epoch_metrics: list[dict[str, jax.Array]] = []
         train_loader.set_epoch(epoch)
         t0 = time.perf_counter()
+        profiling = cfg.profile_dir is not None and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
         for i, batch in enumerate(train_loader, start=1):
             if i > steps_per_epoch:
                 break
             state, metrics = train_step(state, shard_batch(batch, mesh), vgg_params)
+            if profiling and i >= min(5, steps_per_epoch):
+                jax.block_until_ready(state.step)
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info("Profiler trace (first %d steps) written to %s", i, cfg.profile_dir)
             epoch_metrics.append(metrics)  # device scalars; fetched lazily
             if i % cfg.log_every == 0 or i == 1:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -26,8 +26,9 @@ def test_pallas_fits_gate():
     # 256² default-config bottleneck planes (64×64×256) fit comfortably.
     assert pallas_fits((8, 64, 64, 256), jnp.bfloat16)
     assert pallas_fits((8, 64, 64, 256), jnp.float32)
-    # 512×640 bottleneck planes (128×160) exceed the double-buffered budget.
-    assert not pallas_fits((8, 128, 160, 256), jnp.float32)
+    # 512×640 bottleneck planes (128×160) fit single-buffered at bf16.
+    assert pallas_fits((8, 128, 160, 256), jnp.bfloat16)
+    # ...but full-res planes never fit.
     assert not pallas_fits((1, 512, 640, 256), jnp.float32)
     assert not pallas_fits((1, 64, 64), jnp.float32)  # not 4-D
 
