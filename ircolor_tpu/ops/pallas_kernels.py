@@ -38,38 +38,36 @@ except ImportError:  # pragma: no cover
     _HAVE_PLTPU = False
 
 # Pallas double-buffers every in/out block (2 buffers each), so a kernel
-# with I inputs + O outputs needs 2·(I+O) block-sized VMEM buffers. Budget
-# below the 16 MB/core scoped-vmem limit.
-_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+# with I inputs + O outputs needs 2·(I+O) block-sized VMEM buffers. The v5e
+# default scoped-vmem limit is 16 MB but the hardware admits more; kernels
+# request a raised cap (verified on-chip) and budget slightly below it.
+_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
+_VMEM_BUDGET_BYTES = 30 * 1024 * 1024
 _EPS = 1e-5
 
 
-def _pick_cb(
-    shape: tuple[int, ...], dtype: Any, with_residual: bool
-) -> tuple[int, int] | None:
-    """(channel-block size, buffer_count) whose planes fit VMEM.
+def _pick_cb(shape: tuple[int, ...], dtype: Any, with_residual: bool) -> int | None:
+    """Channel-block size whose double-buffered planes fit the VMEM budget.
 
     Mosaic requires the block's last dim to be a multiple of 128 OR equal to
     the full channel dim, so the only legal choices are cb=128 (when C%128
-    == 0) or cb=C. Double-buffered (DMA/compute overlap) is preferred; when
-    that exceeds the budget, single-buffered blocks still give the
-    single-HBM-pass win over XLA's reduce+normalize multi-pass.
+    == 0) or cb=C.
     """
     if len(shape) != 4:
         return None
     _, h, w, c = shape
-    n_arrays = 3 if with_residual else 2  # in (+ residual) + out
+    # Scoped-vmem accounting (verified against Mosaic OOM reports on v5e):
+    # double-buffered blocks (2 per array) PLUS the kernel's float32 stack
+    # temporaries (x.astype(f32), centered, normalized ≈ 3 f32 planes = 6×
+    # a bf16 plane). Budget factor ~12 plane-equivalents (16 with residual).
+    n_planes = 16 if with_residual else 12
     candidates = []
     if c % 128 == 0:
         candidates.append(128)
     candidates.append(c)
-    for buffer_count in (2, 1):
-        for cb in candidates:
-            if (
-                buffer_count * n_arrays * _plane_bytes(h, w, cb, dtype)
-                <= _VMEM_BUDGET_BYTES
-            ):
-                return cb, buffer_count
+    for cb in candidates:
+        if n_planes * _plane_bytes(h, w, cb, dtype) <= _VMEM_BUDGET_BYTES:
+            return cb
     return None
 
 
@@ -102,46 +100,48 @@ def pallas_fits(shape: tuple[int, ...], dtype: Any, with_residual: bool = False)
     return _pick_cb(shape, dtype, with_residual) is not None
 
 
-def _block_spec(h: int, w: int, cb: int, buffer_count: int, interpret: bool):
-    kwargs = {}
-    if buffer_count != 2 and not interpret:
-        kwargs["pipeline_mode"] = pl.Buffered(buffer_count=buffer_count)
+def _block_spec(h: int, w: int, cb: int, interpret: bool):
     return pl.BlockSpec(
         (1, h, w, cb),
         lambda i, j: (i, 0, 0, j),
         memory_space=pltpu.VMEM if _HAVE_PLTPU and not interpret else None,
-        **kwargs,
     )
+
+
+def _compiler_params(interpret: bool):
+    if interpret or not _HAVE_PLTPU:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def _run_in(x: jnp.ndarray, relu: bool, interpret: bool) -> jnp.ndarray:
     b, h, w, c = x.shape
-    picked = _pick_cb(x.shape, x.dtype, False)
-    assert picked is not None, f"shape {x.shape} does not fit the Pallas IN kernel"
-    cb, buffer_count = picked
-    spec = _block_spec(h, w, cb, buffer_count, interpret)
+    cb = _pick_cb(x.shape, x.dtype, False)
+    assert cb is not None, f"shape {x.shape} does not fit the Pallas IN kernel"
+    spec = _block_spec(h, w, cb, interpret)
     return pl.pallas_call(
         functools.partial(_in_kernel, relu=relu),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, c // cb),
         in_specs=[spec],
         out_specs=spec,
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(x)
 
 
 def _run_in_res(x: jnp.ndarray, residual: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     b, h, w, c = x.shape
-    picked = _pick_cb(x.shape, x.dtype, True)
-    assert picked is not None, f"shape {x.shape} does not fit the Pallas IN kernel"
-    cb, buffer_count = picked
-    spec = _block_spec(h, w, cb, buffer_count, interpret)
+    cb = _pick_cb(x.shape, x.dtype, True)
+    assert cb is not None, f"shape {x.shape} does not fit the Pallas IN kernel"
+    spec = _block_spec(h, w, cb, interpret)
     return pl.pallas_call(
         _in_res_kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, c // cb),
         in_specs=[spec, spec],
         out_specs=spec,
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(x, residual)
 

@@ -26,9 +26,9 @@ def test_pallas_fits_gate():
     # 256² default-config bottleneck planes (64×64×256) fit comfortably.
     assert pallas_fits((8, 64, 64, 256), jnp.bfloat16)
     assert pallas_fits((8, 64, 64, 256), jnp.float32)
-    # 512×640 bottleneck planes (128×160) fit single-buffered at bf16.
-    assert pallas_fits((8, 128, 160, 256), jnp.bfloat16)
-    # ...but full-res planes never fit.
+    # 512×640 bottleneck planes (128×160) exceed the scoped-vmem budget once
+    # the kernel's f32 stack temporaries are accounted (verified on v5e).
+    assert not pallas_fits((8, 128, 160, 256), jnp.bfloat16)
     assert not pallas_fits((1, 512, 640, 256), jnp.float32)
     assert not pallas_fits((1, 64, 64), jnp.float32)  # not 4-D
 
