@@ -19,12 +19,21 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the 512×640 executables take minutes through
+# this environment's remote-compile path; caching makes re-runs (and the
+# driver's end-of-round bench) start in seconds.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def bench_inference(h: int, w: int, batch: int, dtype: str, iters: int, warmup: int) -> float:

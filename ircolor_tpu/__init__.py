@@ -23,4 +23,21 @@ Package layout (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache (opt out with IRCOLOR_NO_COMPILE_CACHE=1).
+# The 512×640 executables take minutes through this environment's
+# remote-compile path; caching makes every re-run start in seconds.
+if not _os.environ.get("IRCOLOR_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "IRCOLOR_COMPILE_CACHE_DIR",
+            _os.path.expanduser("~/.cache/jax_comp_cache"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from ircolor_tpu.config import Config  # noqa: F401
