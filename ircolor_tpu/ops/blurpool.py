@@ -29,10 +29,12 @@ from ircolor_tpu.ops.padding import pad2d
 from ircolor_tpu.ops.resize import bilinear_align_corners
 from ircolor_tpu.ops.separable import separable_filter2d
 
-# Measured on v5e (16,512,640,128) bf16: a depthwise conv does the blur in
-# one HBM pass (17.9 ms) while the separable shift-and-add needs an extra
-# intermediate round trip (28.5 ms). Separable only wins when the channel
-# count is far below the 128-lane width (the C=3 SSIM paths use it).
+# Measured on v5e (16,512,640,128) bf16: per-axis MXU matmuls (ops.linops)
+# beat both a depthwise conv (one HBM pass, 17.9 ms) and separable
+# shift-and-add (28.5 ms) — and fold padding+blur+stride (+the align-corners
+# upsample) into a single pair of matmuls. Small channel counts (the C=3
+# SSIM paths) still use separable shift-and-add.
+_MATMUL_MIN_CHANNELS = 32
 _SEPARABLE_MAX_CHANNELS = 16
 
 
@@ -69,7 +71,18 @@ def blur_downsample(
     pad_off: int = 0,
     precision=None,
 ) -> jnp.ndarray:
-    """Pad + depthwise binomial blur at stride (ref Downsample.forward :307-310)."""
+    """Pad + depthwise binomial blur at stride (ref Downsample.forward :307-310).
+
+    For MXU-friendly channel counts the whole pad+blur+stride pipeline is two
+    axis matmuls with exact (out×in) operator matrices (ops.linops).
+    """
+    if x.shape[-1] >= _MATMUL_MIN_CHANNELS:
+        from ircolor_tpu.ops.linops import apply_axis_ops, blur_matrix
+
+        _, h, w, _ = x.shape
+        m_h = blur_matrix(h, filt_size, stride, pad_type, pad_off)
+        m_w = blur_matrix(w, filt_size, stride, pad_type, pad_off)
+        return apply_axis_ops(x, m_h, m_w)
     y = pad2d(x, _blur_pad_sizes(filt_size, pad_off), pad_type)
     return _blur(y, filt_size, stride, precision)
 
@@ -85,6 +98,12 @@ def blur_upsample_aa(
     """Bilinear ×stride (align_corners=True) + pad + depthwise blur stride 1
     (ref UpsampleAA.forward :350-355)."""
     _, h, w, _ = x.shape
+    if x.shape[-1] >= _MATMUL_MIN_CHANNELS:
+        from ircolor_tpu.ops.linops import apply_axis_ops, upsample_blur_matrix
+
+        m_h = upsample_blur_matrix(h, filt_size, stride, pad_type)
+        m_w = upsample_blur_matrix(w, filt_size, stride, pad_type)
+        return apply_axis_ops(x, m_h, m_w)
     y = bilinear_align_corners(x, (h * stride, w * stride))
     y = pad2d(y, _blur_pad_sizes(filt_size), pad_type)
     return _blur(y, filt_size, 1, precision)
