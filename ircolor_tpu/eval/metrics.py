@@ -73,12 +73,18 @@ def _ssim_chfirst(
     """skimage-default SSIM on (B, C, H, W) float32 batches → (B,)."""
     np_pix = win_size * win_size
     cov_norm = np_pix / (np_pix - 1.0)
-    w1d = np.full((win_size,), 1.0 / win_size, dtype=np.float32)
+    _, _, h, w = pred.shape
 
-    # Uniform K×K window is separable — shift-and-add beats a C=3 grouped
-    # conv on TPU by orders of magnitude in lane utilization.
+    # Uniform K×K window as per-axis (out×in) MXU matmuls (ops.linops) —
+    # grouped convs/gathers idle the lanes at C=3.
+    from ircolor_tpu.ops.linops import apply_axis_ops_chfirst, window_matrix
+
+    weights = (1.0 / win_size,) * win_size
+    m_h = window_matrix(h, weights, "valid")
+    m_w = window_matrix(w, weights, "valid")
+
     def f(x):
-        return separable_filter2d(x, w1d, padding="valid", axes=(2, 3))
+        return apply_axis_ops_chfirst(x, m_h, m_w)
 
     ux, uy = f(pred), f(gt)
     uxx, uyy, uxy = f(pred * pred), f(gt * gt), f(pred * gt)

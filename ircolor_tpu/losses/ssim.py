@@ -33,13 +33,19 @@ def ssim_index(
 
     # Channel-first: with C=3 in the lane dim, every elementwise op would run
     # at 3/128 lane utilization; (B,C,H,W) puts the wide W axis in the lanes.
-    # The K×K Gaussian window is g⊗g — applied separably via shift-and-add
-    # (the reference's grouped conv additionally wastes MXU lanes at C=3).
+    # The K×K Gaussian window is g⊗g — applied as per-axis zero-padded
+    # "same" matmuls (ops.linops), exactly matching the reference's
+    # ``F.conv2d(..., padding=K//2, groups=C)`` (ref :727-736).
     img1 = jnp.moveaxis(img1, 3, 1)
     img2 = jnp.moveaxis(img2, 3, 1)
+    from ircolor_tpu.ops.linops import apply_axis_ops_chfirst, window_matrix
+
+    _, _, h, w = img1.shape
+    m_h = window_matrix(h, tuple(float(v) for v in g1d), "same")
+    m_w = window_matrix(w, tuple(float(v) for v in g1d), "same")
 
     def filt(x):
-        return separable_filter2d(x, g1d, padding="same", axes=(2, 3))
+        return apply_axis_ops_chfirst(x, m_h, m_w)
 
     mu1 = filt(img1)
     mu2 = filt(img2)

@@ -93,6 +93,31 @@ def upsample_blur_matrix(in_size: int, filt_size: int = 3, stride: int = 2,
     return (blur @ up).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def window_matrix(
+    in_size: int, weights: tuple[float, ...], padding: str = "valid"
+) -> np.ndarray:
+    """(out × in) matrix for a 1-D correlation with ``weights``.
+
+    padding "valid": out = in − K + 1; "same": zero-padded, out = in
+    (odd K, matching ``F.conv2d(padding=K//2)``).
+    """
+    k = len(weights)
+    if padding == "valid":
+        out, off = in_size - k + 1, 0
+    elif padding == "same":
+        out, off = in_size, -(k // 2)
+    else:
+        raise ValueError(padding)
+    m = np.zeros((out, in_size), np.float64)
+    for o in range(out):
+        for i, w in enumerate(weights):
+            j = o + off + i
+            if 0 <= j < in_size:
+                m[o, j] = w
+    return m.astype(np.float32)
+
+
 def _precision_for(x: jnp.ndarray):
     return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
 
@@ -104,4 +129,16 @@ def apply_axis_ops(x: jnp.ndarray, m_h: np.ndarray | None, m_w: np.ndarray | Non
         x = jnp.einsum("oh,bhwc->bowc", jnp.asarray(m_h, x.dtype), x, precision=prec)
     if m_w is not None:
         x = jnp.einsum("ow,bhwc->bhoc", jnp.asarray(m_w, x.dtype), x, precision=prec)
+    return x
+
+
+def apply_axis_ops_chfirst(
+    x: jnp.ndarray, m_h: np.ndarray | None, m_w: np.ndarray | None
+) -> jnp.ndarray:
+    """Same, for channel-first (B, C, H, W) tensors (the metric layout)."""
+    prec = _precision_for(x)
+    if m_h is not None:
+        x = jnp.einsum("oh,bchw->bcow", jnp.asarray(m_h, x.dtype), x, precision=prec)
+    if m_w is not None:
+        x = jnp.einsum("ow,bchw->bcho", jnp.asarray(m_w, x.dtype), x, precision=prec)
     return x
