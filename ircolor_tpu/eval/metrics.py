@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ircolor_tpu.ops.separable import separable_filter2d
 
 
 def quantize_to_uint8_01(x01: jnp.ndarray) -> jnp.ndarray:

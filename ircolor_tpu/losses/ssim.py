@@ -16,7 +16,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ircolor_tpu.ops.filters import gaussian_window_1d
-from ircolor_tpu.ops.separable import separable_filter2d
 
 
 def ssim_index(
