@@ -80,6 +80,14 @@ def float01_to_uint8_rgb(img01: np.ndarray) -> np.ndarray:
 
 
 def save_rgb(path: str, img_rgb_u8: np.ndarray) -> None:
-    """PIL save with parent-dir creation (ref :879-885)."""
+    """Image save with parent-dir creation (ref save_rgb :879-885).
+
+    Writes via cv2 with fast PNG compression (level 1) — PIL's default
+    zlib level 6 dominated end-to-end wall time at 512×640; the artifact is
+    the same lossless PNG (or JPEG etc. by extension).
+    """
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    Image.fromarray(img_rgb_u8).save(path)
+    bgr = cv2.cvtColor(np.ascontiguousarray(img_rgb_u8), cv2.COLOR_RGB2BGR)
+    if not cv2.imwrite(path, bgr, [cv2.IMWRITE_PNG_COMPRESSION, 1]):
+        # cv2 refuses unknown extensions; PIL fallback keeps behavior.
+        Image.fromarray(img_rgb_u8).save(path)

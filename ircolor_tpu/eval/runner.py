@@ -117,33 +117,16 @@ def run_test(cfg: Config) -> dict[str, Any]:
     def decode_batch(batch):
         return list(decode_pool.map(lambda e: _decode_one(e, size_hw), batch))
 
-    # Prefetch: decode batch i+1 while the device runs batch i.
-    pending = decode_pool.submit(decode_batch, batches[0]) if batches else None
-    for bi, batch in enumerate(batches):
-        decoded = pending.result()
-        pending = (
-            decode_pool.submit(decode_batch, batches[bi + 1])
-            if bi + 1 < len(batches)
-            else None
-        )
+    variables = {"params": model.params}
+    if model.batch_stats:
+        variables["batch_stats"] = model.batch_stats
 
+    def consume(decoded, has_gt, pred_dev, m_dev):
+        """Materialize one batch's device results and write artifacts."""
+        nonlocal count, best_psnr, best_psnr_sample, best_ssim, best_ssim_sample, done
+        pred_u8 = np.asarray(pred_dev)
+        m = {k: np.asarray(v) for k, v in m_dev.items()}
         n = len(decoded)
-        ir_np = np.zeros((bsz, *size_hw, 1), np.float32)
-        gt_np = np.zeros((bsz, *size_hw, 3), np.float32)
-        has_gt = np.zeros((bsz,), bool)
-        for j, (ir01, gt01, *_rest) in enumerate(decoded):
-            ir_np[j, :, :, 0] = ir01 * 2.0 - 1.0
-            if gt01 is not None:
-                gt_np[j] = gt01
-                has_gt[j] = True
-
-        variables = {"params": model.params}
-        if model.batch_stats:
-            variables["batch_stats"] = model.batch_stats
-        pred_u8, m = infer(variables, jnp.asarray(ir_np), jnp.asarray(gt_np))
-        pred_u8 = np.asarray(pred_u8)
-        m = {k: np.asarray(v) for k, v in m.items()}
-
         for j in range(n):
             ir01, gt01, out_rel, base, gt_path, has_vis_dir = decoded[j]
             out_path = os.path.join(cfg.output_dir, out_rel)
@@ -198,6 +181,37 @@ def run_test(cfg: Config) -> dict[str, Any]:
             done += 1
             if done % 50 == 0 or done == len(entries):
                 log.info("[%d/%d] %s -> %s", done, len(entries), decoded[j][3], out_path)
+
+    # Three-stage pipeline: decode batch i+1 on host threads, dispatch the
+    # device step for batch i, and only THEN materialize batch i−1's results
+    # (np.asarray forces the D2H) — so host fetch/writes overlap device
+    # compute instead of serializing per batch (the reference is fully
+    # serial per image, ref :1379-1465).
+    pending = decode_pool.submit(decode_batch, batches[0]) if batches else None
+    in_flight = None
+    for bi, batch in enumerate(batches):
+        decoded = pending.result()
+        pending = (
+            decode_pool.submit(decode_batch, batches[bi + 1])
+            if bi + 1 < len(batches)
+            else None
+        )
+
+        ir_np = np.zeros((bsz, *size_hw, 1), np.float32)
+        gt_np = np.zeros((bsz, *size_hw, 3), np.float32)
+        has_gt = np.zeros((bsz,), bool)
+        for j, (ir01, gt01, *_rest) in enumerate(decoded):
+            ir_np[j, :, :, 0] = ir01 * 2.0 - 1.0
+            if gt01 is not None:
+                gt_np[j] = gt01
+                has_gt[j] = True
+
+        pred_dev, m_dev = infer(variables, jnp.asarray(ir_np), jnp.asarray(gt_np))
+        if in_flight is not None:
+            consume(*in_flight)
+        in_flight = (decoded, has_gt, pred_dev, m_dev)
+    if in_flight is not None:
+        consume(*in_flight)
 
     for f in write_futures:
         f.result()
