@@ -97,12 +97,21 @@ def make_train_step(
             fake, gs = g_apply(g_params, g_stats, ir)
             pred_fake, ds = d_apply(d_params, d_stats, jnp.concatenate([ir, fake], axis=-1))
             loss_gan = hinge_g_loss(pred_fake)
-            loss_l1 = jnp.mean(jnp.abs(fake - rgb)) * cfg.lambda_L1
+            # Loss terms in float32 even under a bf16 compute path: the SSIM
+            # covariance terms cancel catastrophically in bf16 (observed
+            # SSIM map means > 1.7, i.e. negative "1−SSIM" loss) and the L1
+            # reductions lose precision. Networks stay bf16; losses don't.
+            fake32 = fake.astype(jnp.float32)
+            rgb32 = rgb.astype(jnp.float32)
+            loss_l1 = jnp.mean(jnp.abs(fake32 - rgb32)) * cfg.lambda_L1
             feat_fake = vgg_module.apply({"params": vgg_params}, fake)
             feat_real = vgg_module.apply({"params": vgg_params}, rgb)
-            loss_perc = jnp.mean(jnp.abs(feat_fake - feat_real)) * cfg.lambda_perc
-            loss_tv = tv_loss(fake) * cfg.lambda_tv
-            loss_ssim = ssim_loss((fake + 1.0) / 2.0, (rgb + 1.0) / 2.0) * cfg.lambda_ssim
+            loss_perc = (
+                jnp.mean(jnp.abs(feat_fake.astype(jnp.float32) - feat_real.astype(jnp.float32)))
+                * cfg.lambda_perc
+            )
+            loss_tv = tv_loss(fake32) * cfg.lambda_tv
+            loss_ssim = ssim_loss((fake32 + 1.0) / 2.0, (rgb32 + 1.0) / 2.0) * cfg.lambda_ssim
             total = cfg.lambda_gan * loss_gan + loss_l1 + loss_perc + loss_tv + loss_ssim
             aux = {
                 "metrics": {

@@ -123,3 +123,15 @@ def test_vgg_import_from_torch_state_dict(tmp_path):
         t = F.relu(layers[4](t)); t = F.relu(layers[5](t)); t = F.relu(layers[6](t))
     theirs = np.transpose(t.numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_ssim_bf16_inputs_stay_in_valid_range():
+    """bf16 images must not produce SSIM > 1 (catastrophic cancellation in
+    the covariance terms); the loss computes windows in the input dtype, so
+    callers (the train step) must cast to f32 — this pins the f32 behavior
+    and documents why."""
+    rng = np.random.RandomState(11)
+    a = rng.rand(2, 32, 32, 3).astype(np.float32)
+    b = np.clip(a + 0.02 * rng.randn(*a.shape).astype(np.float32), 0, 1)
+    val32 = float(ssim_index(jnp.asarray(a), jnp.asarray(b)))
+    assert -1.0 <= val32 <= 1.0 + 1e-5
