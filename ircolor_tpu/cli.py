@@ -24,14 +24,19 @@ def _add_config_flags(parser: argparse.ArgumentParser) -> None:
     for f in dataclasses.fields(Config):
         if f.name == "mode":
             continue
-        arg = "--" + f.name.replace("_", "-")
+        # Lowercase flag names (--test-g-weights for test_G_weights), with
+        # the original-case spelling kept as an alias.
+        args = ["--" + f.name.replace("_", "-").lower()]
+        cased = "--" + f.name.replace("_", "-")
+        if cased not in args:
+            args.append(cased)
         if f.type in ("bool", bool) or isinstance(f.default, bool):
-            parser.add_argument(arg, dest=f.name, default=None,
+            parser.add_argument(*args, dest=f.name, default=None,
                                 action=argparse.BooleanOptionalAction)
         elif f.name in ("train_roots", "test_roots"):
-            parser.add_argument(arg, dest=f.name, nargs="+", default=None)
+            parser.add_argument(*args, dest=f.name, nargs="+", default=None)
         else:
-            parser.add_argument(arg, dest=f.name, default=None)
+            parser.add_argument(*args, dest=f.name, default=None)
 
 
 def _coerce(cfg_field: dataclasses.Field, value: Any) -> Any:
