@@ -68,3 +68,32 @@ class Conv(nn.Conv):
 
     kernel_init: Any = kernel_init
     bias_init: Any = bias_init
+
+
+class ReflectConv3x3(nn.Module):
+    """3×3 conv with 1-px reflect padding via border-corrected zero-SAME conv
+    (ops.conv.conv3x3_reflect) — avoids materializing the padded activation.
+
+    Param tree layout matches ``Conv`` (kernel/bias) so checkpoints are
+    interchangeable with the pad-then-conv formulation.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ircolor_tpu.ops.conv import conv3x3_reflect
+
+        c = x.shape[-1]
+        kernel = self.param("kernel", kernel_init, (3, 3, c, self.features))
+        bias = (
+            self.param("bias", bias_init, (self.features,)) if self.use_bias else None
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if bias is not None:
+            bias = bias.astype(self.dtype)
+        return conv3x3_reflect(x, kernel, bias, self.precision)

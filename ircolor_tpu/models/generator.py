@@ -69,6 +69,12 @@ class ResnetBlock(nn.Module):
             raise NotImplementedError(f"Padding [{self.padding_type}] is not implemented")
 
         def conv(name: str, y: jnp.ndarray) -> jnp.ndarray:
+            # NOTE: a border-corrected zero-SAME formulation that avoids
+            # materializing the reflect pad exists (models.common.
+            # ReflectConv3x3 / ops.conv.conv3x3_reflect, exact + tested) but
+            # measured NEUTRAL on v5e (221 vs 217 ms at 16×512×640) — the
+            # .at[].add edge updates cost what the pad saves — with a much
+            # slower compile, so the materialized pad stays.
             if pre_pad is not None:
                 y = pad2d(y, 1, pre_pad)
             return Conv(

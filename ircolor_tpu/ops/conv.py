@@ -52,6 +52,61 @@ def conv2d(
     )
 
 
+def conv3x3_reflect(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    precision=None,
+) -> jnp.ndarray:
+    """3×3 conv with 1-px REFLECT padding, without materializing the pad.
+
+    ``reflect_pad(1) + VALID conv`` (the ResnetBlock pattern, ref
+    `/root/reference/Code/ir_colorization.py:380-393`) materializes a padded
+    copy of the activation in HBM — measured ~9% of generator forward time
+    across the 36 block convs. A zero-SAME conv is free (XLA folds the
+    padding into the conv); reflect semantics differ from zero padding only
+    in the 1-px output border, which is restored exactly by four thin edge
+    convolutions (the kernel row/column applied to the reflected row/column)
+    plus four single-pixel corner matmuls:
+
+      top edge    += K[0,:] ⊛ x[1, :]      (row −1 reflects to row 1)
+      bottom edge += K[2,:] ⊛ x[H−2, :]
+      left edge   += K[:,0] ⊛ x[:, 1]
+      right edge  += K[:,2] ⊛ x[:, W−2]
+      corners     += the single (r,c)=(−1,−1)-style tap, e.g. K[0,0]·x[1,1]
+
+    Requires H ≥ 3 and W ≥ 3 (same constraint as reflect padding itself for
+    meaningful behavior; callers fall back to the materialized pad below).
+    """
+    _, h, w, _ = x.shape
+    assert h >= 3 and w >= 3, "conv3x3_reflect needs H,W >= 3"
+    k = kernel
+    y = conv2d(x, k, stride=1, padding=((1, 1), (1, 1)), precision=precision)
+
+    # Edge corrections: 1-row / 1-column convs with zero padding along the
+    # edge direction (their own missing corner taps are added separately).
+    top = conv2d(x[:, 1:2], k[0:1], padding=((0, 0), (1, 1)), precision=precision)
+    bot = conv2d(x[:, h - 2 : h - 1], k[2:3], padding=((0, 0), (1, 1)), precision=precision)
+    left = conv2d(x[:, :, 1:2], k[:, 0:1], padding=((1, 1), (0, 0)), precision=precision)
+    right = conv2d(x[:, :, w - 2 : w - 1], k[:, 2:3], padding=((1, 1), (0, 0)), precision=precision)
+    y = y.at[:, 0:1].add(top)
+    y = y.at[:, h - 1 : h].add(bot)
+    y = y.at[:, :, 0:1].add(left)
+    y = y.at[:, :, w - 1 : w].add(right)
+
+    def corner(px, kk):  # px: (B, C), kk: (C, C')
+        return jnp.einsum("bc,cd->bd", px, kk, precision=precision)
+
+    y = y.at[:, 0, 0].add(corner(x[:, 1, 1], k[0, 0]))
+    y = y.at[:, 0, w - 1].add(corner(x[:, 1, w - 2], k[0, 2]))
+    y = y.at[:, h - 1, 0].add(corner(x[:, h - 2, 1], k[2, 0]))
+    y = y.at[:, h - 1, w - 1].add(corner(x[:, h - 2, w - 2], k[2, 2]))
+
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def depthwise_conv2d(
     x: jnp.ndarray,
     filt_2d: jnp.ndarray,

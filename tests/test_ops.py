@@ -108,3 +108,33 @@ def test_downsample_halves_even_inputs():
     assert y.shape == (1, 32, 40, 2)
     # Blur of a constant image is the same constant (filter sums to 1).
     np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("hw", [(8, 10), (3, 3), (5, 16)])
+def test_conv3x3_reflect_matches_pad_then_conv(hw):
+    """Border-corrected zero-SAME conv == reflect_pad(1) + VALID conv."""
+    from ircolor_tpu.ops.conv import conv2d, conv3x3_reflect
+
+    h, w = hw
+    x = jnp.asarray(rand(2, h, w, 5, seed=11))
+    k = jnp.asarray(rand(3, 3, 5, 7, seed=12) * 0.2)
+    b = jnp.asarray(rand(7, seed=13) * 0.1)
+    ours = np.asarray(conv3x3_reflect(x, k, b))
+    ref = np.asarray(conv2d(pad2d(x, 1, "reflect"), k, padding="VALID")) + np.asarray(b)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_conv3x3_reflect_gradients_match():
+    from ircolor_tpu.ops.conv import conv2d, conv3x3_reflect
+    import jax
+
+    x = jnp.asarray(rand(1, 6, 7, 4, seed=14))
+    k = jnp.asarray(rand(3, 3, 4, 4, seed=15) * 0.2)
+
+    g1 = jax.grad(lambda x, k: jnp.sum(conv3x3_reflect(x, k) ** 2), argnums=(0, 1))(x, k)
+    g2 = jax.grad(
+        lambda x, k: jnp.sum(conv2d(pad2d(x, 1, "reflect"), k, padding="VALID") ** 2),
+        argnums=(0, 1),
+    )(x, k)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
