@@ -139,6 +139,12 @@ class Config:
     # jax.profiler trace dir; when set, epoch 1's first steps are traced
     # (TensorBoard/Perfetto viewable).
     profile_dir: str | None = None
+    # Numeric sanity: enable jax_debug_nans during training (errors at the
+    # first NaN-producing op instead of propagating; SURVEY.md §5's
+    # sanitizer equivalent — JAX is functionally pure, so host-pipeline
+    # determinism tests + NaN trapping cover the reference's absent
+    # race/sanitizer tooling).
+    debug_nans: bool = False
 
     # RNG seed for init/augmentation (the reference seeds only the split
     # with 42, ref :1565; we seed everything for determinism).

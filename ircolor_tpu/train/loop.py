@@ -53,6 +53,8 @@ def train_kaist(
     best val L1, throughput). ``max_steps_per_epoch`` truncates epochs for
     tests/smoke runs."""
     jsonl = jsonl or JsonlLogger(cfg.jsonl_log)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     h, w = cfg.resolved_hw
     log.info("[TRAIN] Devices: %s", jax.devices())
 

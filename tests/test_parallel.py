@@ -4,6 +4,7 @@ GSPMD, and equivalence of sharded vs single-device steps.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -108,7 +109,8 @@ def test_sharded_grads_match_single_device(eight_cpu_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_graft_entry_dryrun_multichip(eight_cpu_devices):
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_graft_entry_dryrun_multichip(eight_cpu_devices, n_devices):
     import importlib.util
     import os
 
@@ -117,7 +119,7 @@ def test_graft_entry_dryrun_multichip(eight_cpu_devices):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(n_devices)
 
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
