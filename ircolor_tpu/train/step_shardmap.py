@@ -1,0 +1,127 @@
+"""Explicit-collectives data-parallel train step (shard_map + pmean).
+
+The default train step (``train.step``) relies on GSPMD: jit a per-example
+computation over a data-sharded batch with replicated params and XLA inserts
+the gradient all-reduces over ICI. This module provides the
+explicit-collective formulation the sharding design notes call out
+(SURVEY.md §2.2: "explicit ``psum`` in shard_map variant"): the whole D+G
+update runs per-device under ``jax.shard_map`` on its local batch shard, and
+gradients (and reported loss scalars) are averaged across the ``data`` axis
+with ``jax.lax.pmean`` before the optimizer updates — so every device applies
+the identical update and params stay replicated by construction.
+
+Numerically equivalent to the GSPMD step (tested on the fake 8-device CPU
+mesh); useful when explicit control over where collectives happen is wanted
+(e.g. overlapping them manually, or swapping in Pallas ring collectives).
+BatchNorm is not supported here (per-device batch stats would need their own
+cross-device reduction semantics); instance/none norms — the reference's
+default and the recipe actually used — are.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.losses.gan import hinge_d_loss, hinge_g_loss
+from ircolor_tpu.losses.ssim import ssim_loss
+from ircolor_tpu.losses.tv import tv_loss
+from ircolor_tpu.train.state import TrainState
+
+
+def make_train_step_shardmap(
+    cfg: Config,
+    g_module: Any,
+    d_module: Any,
+    vgg_module: Any,
+    opt_g: optax.GradientTransformation,
+    opt_d: optax.GradientTransformation,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable[[TrainState, dict[str, jnp.ndarray], Any], tuple[TrainState, dict[str, jnp.ndarray]]]:
+    if cfg.norm == "batch":
+        raise NotImplementedError(
+            "shard_map train step supports instance/none norms only"
+        )
+
+    def g_apply(params, ir):
+        return g_module.apply({"params": params}, ir, train=True)
+
+    def d_apply(params, x):
+        return d_module.apply({"params": params}, x, train=True)
+
+    def per_device_step(state: TrainState, batch, vgg_params):
+        ir, rgb = batch["ir"], batch["rgb"]
+
+        # ---- D phase: local grads, explicit all-reduce, identical update ----
+        fake_detached = g_apply(state.g_params, ir)
+
+        def d_loss_fn(d_params):
+            pred_real = d_apply(d_params, jnp.concatenate([ir, rgb], axis=-1))
+            pred_fake = d_apply(d_params, jnp.concatenate([ir, fake_detached], axis=-1))
+            return hinge_d_loss(pred_real, pred_fake)
+
+        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        d_grads = jax.lax.pmean(d_grads, "data")
+        loss_d = jax.lax.pmean(loss_d, "data")
+        d_updates, d_opt = opt_d.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G phase (fresh forward against the updated D) ----
+        def g_loss_fn(g_params):
+            fake = g_apply(g_params, ir)
+            pred_fake = d_apply(d_params, jnp.concatenate([ir, fake], axis=-1))
+            fake32 = fake.astype(jnp.float32)
+            rgb32 = rgb.astype(jnp.float32)
+            loss_gan = hinge_g_loss(pred_fake)
+            loss_l1 = jnp.mean(jnp.abs(fake32 - rgb32)) * cfg.lambda_L1
+            feat_fake = vgg_module.apply({"params": vgg_params}, fake)
+            feat_real = vgg_module.apply({"params": vgg_params}, rgb)
+            loss_perc = (
+                jnp.mean(jnp.abs(feat_fake.astype(jnp.float32) - feat_real.astype(jnp.float32)))
+                * cfg.lambda_perc
+            )
+            loss_tv = tv_loss(fake32) * cfg.lambda_tv
+            loss_ssim = ssim_loss((fake32 + 1.0) / 2.0, (rgb32 + 1.0) / 2.0) * cfg.lambda_ssim
+            total = cfg.lambda_gan * loss_gan + loss_l1 + loss_perc + loss_tv + loss_ssim
+            return total, {
+                "loss_G": total,
+                "loss_G_GAN": loss_gan,
+                "loss_G_L1": loss_l1,
+                "loss_G_perc": loss_perc,
+                "loss_G_TV": loss_tv,
+                "loss_G_SSIM": loss_ssim,
+            }
+
+        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_grads = jax.lax.pmean(g_grads, "data")
+        aux = jax.lax.pmean(aux, "data")
+        g_updates, g_opt = opt_g.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = TrainState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            step=state.step + 1,
+            g_stats=state.g_stats,
+            d_stats=state.d_stats,
+        )
+        return new_state, {"loss_D": loss_d, **aux}
+
+    batch_specs = {"ir": P("data"), "rgb": P("data")}
+    sharded = jax.shard_map(
+        per_device_step,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

@@ -124,3 +124,31 @@ def test_graft_entry_dryrun_multichip(eight_cpu_devices, n_devices):
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_shardmap_step_matches_gspmd(eight_cpu_devices):
+    """Explicit-collectives (shard_map + pmean) DP step == GSPMD step."""
+    from ircolor_tpu.train.step_shardmap import make_train_step_shardmap
+
+    cfg = Config(img_size=32, batch_size=8, n_blocks=1, ngf=8)
+    state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=5)
+    vgg_mod = VGG16Features()
+    vgg_params = init_vgg16_params()
+    mesh = make_data_mesh()
+    repl = replicated_sharding(mesh)
+    batch_np = make_batch(8, seed=3)
+
+    s0 = jax.device_put(state, repl)
+    vp = jax.device_put(vgg_params, repl)
+    step_gspmd = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, donate=False)
+    s1, m1 = step_gspmd(s0, shard_batch(dict(batch_np), mesh), vp)
+    step_sm = make_train_step_shardmap(
+        cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, mesh, donate=False
+    )
+    s2, m2 = step_sm(s0, shard_batch(dict(batch_np), mesh), vp)
+
+    np.testing.assert_allclose(float(m1["loss_D"]), float(m2["loss_D"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["loss_G"]), float(m2["loss_G"]), rtol=1e-5)
+    # Updated params agree (Adam first-step sign sensitivity bounds the tol).
+    for a, b in zip(jax.tree.leaves(s1.d_params), jax.tree.leaves(s2.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
