@@ -112,6 +112,9 @@ class Config:
 
     # Data-parallel mesh: number of devices on the 'data' axis (0 = all).
     dp_devices: int = 0
+    # DP implementation: "gspmd" (XLA inserts the gradient all-reduces) or
+    # "shard_map" (explicit lax.pmean collectives; instance/none norms only).
+    dp_mode: str = "gspmd"
 
     # Full-train-state checkpointing (orbax) + resume.
     resume: bool = False

@@ -120,7 +120,16 @@ def train_kaist(
     state = jax.device_put(state, repl)
     vgg_params = jax.device_put(vgg_params, repl)
 
-    train_step = make_train_step(cfg, g_module, d_module, vgg_module, opt_g, opt_d)
+    if cfg.dp_mode == "shard_map":
+        from ircolor_tpu.train.step_shardmap import make_train_step_shardmap
+
+        train_step = make_train_step_shardmap(
+            cfg, g_module, d_module, vgg_module, opt_g, opt_d, mesh
+        )
+    elif cfg.dp_mode == "gspmd":
+        train_step = make_train_step(cfg, g_module, d_module, vgg_module, opt_g, opt_d)
+    else:
+        raise ValueError(f"dp_mode must be 'gspmd' or 'shard_map', got {cfg.dp_mode!r}")
     val_step = make_val_step(g_module)
 
     # ---- resume ----

@@ -192,3 +192,11 @@ def test_none_norm_trains(kaist_tree, tmp_path):
     cfg = tiny_cfg(root, tmp_path / "nn_ckpt", epochs=1, norm="none")
     summary = train_kaist(cfg)
     assert np.isfinite(summary["best_val_l1"])
+
+
+def test_train_kaist_shard_map_mode(kaist_tree, tmp_path):
+    """dp_mode='shard_map' drives the explicit-collectives step end to end."""
+    root, _ = kaist_tree
+    cfg = tiny_cfg(root, tmp_path / "sm_ckpt", epochs=1, dp_mode="shard_map")
+    summary = train_kaist(cfg)
+    assert np.isfinite(summary["best_val_l1"])
