@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 import jax
 
-from ircolor_tpu.models.common import Conv, Norm, use_bias_for_norm
+from ircolor_tpu.models.common import ConcatConv3x3, Conv, Norm, use_bias_for_norm
 from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
 from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
 from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
@@ -200,8 +200,11 @@ class ResnetUNetGenerator(nn.Module):
             y = blur_upsample_aa(h, precision=self.precision)
         if y.shape[1:3] != x1.shape[1:3]:
             y = bilinear_align_corners(y, x1.shape[1:3])     # fixup (ref :555-556)
-        y = jnp.concatenate([y, x1], axis=-1)                # (B, H/2, W/2, 384)
-        y = conv("up1_conv", ngf * 2, 3, 1, ((1, 1), (1, 1)))(y)
+        # conv over concat([y, x1]) without materializing the 384-ch concat.
+        y = ConcatConv3x3(
+            ngf * 2, use_bias=use_bias, dtype=self.dtype,
+            precision=self.precision, name="up1_conv",
+        )(y, x1)
         y = norm_relu("up1_norm", y)
 
         # --- decoder stage 2 (skip x0) ---
@@ -222,8 +225,10 @@ class ResnetUNetGenerator(nn.Module):
             y = blur_upsample_aa(y, precision=self.precision)
         if y.shape[1:3] != x0.shape[1:3]:
             y = bilinear_align_corners(y, x0.shape[1:3])     # fixup (ref :562-563)
-        y = jnp.concatenate([y, x0], axis=-1)                # (B, H, W, 192)
-        y = conv("up2_conv", ngf, 3, 1, ((1, 1), (1, 1)))(y)
+        y = ConcatConv3x3(
+            ngf, use_bias=use_bias, dtype=self.dtype,
+            precision=self.precision, name="up2_conv",
+        )(y, x0)
         y = norm_relu("up2_norm", y)
 
         # --- output head (bias always on: ref :529 has no bias= kwarg) ---
