@@ -40,17 +40,23 @@ def _add_config_flags(parser: argparse.ArgumentParser) -> None:
 
 
 def _coerce(cfg_field: dataclasses.Field, value: Any) -> Any:
+    """Coerce a CLI string by the field's TYPE ANNOTATION (not the default
+    instance — ``int | None`` fields default to None, and typing off the
+    default would pass '512' through as a string for --img-height)."""
     if value is None or isinstance(value, (bool, list, tuple)):
         return tuple(value) if isinstance(value, list) else value
-    default = cfg_field.default
-    if isinstance(default, bool):
+    ann = cfg_field.type
+    ann = ann if isinstance(ann, str) else getattr(ann, "__name__", str(ann))
+    parts = {p.strip() for p in ann.split("|")}
+    optional = "None" in parts
+    if value == "none" and optional:
+        return None
+    if "bool" in parts:
         return bool(value)
-    if isinstance(default, int):
+    if "int" in parts:
         return int(value)
-    if isinstance(default, float):
+    if "float" in parts:
         return float(value)
-    if value == "none":
-        return None if default is None else value
     return value
 
 

@@ -28,6 +28,38 @@ def Config_default_test_roots():
     return Config().test_roots
 
 
+def test_build_config_coerces_optional_int_fields():
+    """`int | None` fields (default None) must coerce CLI strings to int —
+    the 512×640 BASELINE resolution is reached through exactly these flags
+    (round-1 regression: they passed through as strings and model init
+    crashed)."""
+    import argparse
+
+    ns = argparse.Namespace(config=None, img_height="512", img_width="640")
+    cfg = build_config(ns, "test")
+    assert cfg.resolved_hw == (512, 640)
+    assert isinstance(cfg.img_height, int) and isinstance(cfg.img_width, int)
+
+
+def test_cli_nonsquare_flagship_resolution_end_to_end(kaist_tree, tmp_path):
+    """--img-height/--img-width must run end-to-end (non-square shapes)."""
+    root, _ = kaist_tree
+    out = str(tmp_path / "cli_nonsquare")
+    rc = main([
+        "test",
+        "--img-height", "32",
+        "--img-width", "40",
+        "--test-batch-size", "4",
+        "--test-roots", str(root / "set02"),
+        "--output-dir", out,
+        "--topk", "1",
+        "--no-save-comparisons",
+        "--num-workers", "2",
+    ])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(out, "metrics_test.csv"))
+
+
 def test_config_json_roundtrip(tmp_path):
     from ircolor_tpu.config import Config
 
