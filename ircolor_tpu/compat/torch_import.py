@@ -142,12 +142,20 @@ def load_vgg16_pth(path: str) -> dict[str, Any]:
     return params
 
 
-def export_generator_pth(params: Mapping[str, Any], path: str) -> None:
+def export_generator_pth(
+    params: Mapping[str, Any], path: str, *, no_antialias: bool = False
+) -> None:
     """Export our generator params as a reference-compatible netG .pth.
 
     Produces the flat state_dict layout the reference saves/loads
     (ref :1708, :781-789) including the fixed blur-filter buffers so
-    ``load_state_dict(strict=False)`` round-trips cleanly.
+    ``load_state_dict(strict=False)`` round-trips cleanly. The
+    ``no_antialias_up`` variant is detected from the params themselves
+    (``up1_up``/``up2_up`` ConvTranspose kernels present): their learned
+    weights are exported (a netG trained that way must not silently load
+    with random upsamplers on the reference side) and the up-path blur
+    buffers are omitted. Pass ``no_antialias=True`` for generators built
+    with stride-2 down convs so the down-path blur buffers are omitted too.
     """
     import torch
 
@@ -181,9 +189,42 @@ def export_generator_pth(params: Mapping[str, Any], path: str) -> None:
                     np.asarray(entry["bias"]).copy()
                 )
 
-    # Fixed blur buffers (ref registers them; rebuilt, not learned).
+    # ConvTranspose upsamplers (no_antialias_up variant): export the learned
+    # kernels under the reference's ``up{1,2}_up.weight/.bias`` names.
+    # (kh, kw, out, in) → torch ConvTranspose2d (in, out, kh, kw); inverse of
+    # the import transpose above.
+    transpose_up = False
+    for name in ("up1_up", "up2_up"):
+        entry = params.get(name)
+        if entry is not None and "kernel" in entry:
+            transpose_up = True
+            kernel = np.asarray(entry["kernel"])
+            sd[f"{name}.weight"] = torch.from_numpy(
+                np.transpose(kernel, (3, 2, 0, 1)).copy()
+            )
+            if "bias" in entry:
+                sd[f"{name}.bias"] = torch.from_numpy(np.asarray(entry["bias"]).copy())
+
+    # Fixed blur buffers (ref registers them; rebuilt, not learned). Only the
+    # modules the matching reference variant actually instantiates; channel
+    # counts follow the conv that feeds each blur (ngf-agnostic).
     filt = torch.from_numpy(binomial_filter_2d(3))
-    for name, ch in (("down1_down", 128), ("down2_down", 256), ("up1_up", 256), ("up2_up", 128)):
+
+    def out_ch(name: str) -> int:
+        return int(np.asarray(params[name]["kernel"]).shape[-1])
+
+    blur_modules: list[tuple[str, int]] = []
+    if not no_antialias:
+        blur_modules += [
+            ("down1_down", out_ch("down1_conv")),
+            ("down2_down", out_ch("down2_conv")),
+        ]
+    if not transpose_up:
+        blur_modules += [
+            ("up1_up", out_ch("down2_conv")),  # blurs the bottleneck output
+            ("up2_up", out_ch("up1_conv")),
+        ]
+    for name, ch in blur_modules:
         sd[f"{name}.filt"] = filt[None, None].repeat(ch, 1, 1, 1)
 
     torch.save(sd, path)

@@ -36,6 +36,10 @@ class Config:
     no_antialias: bool = False   # ref :70
     no_antialias_up: bool = False  # ref :71
     n_blocks: int = 9            # ref :771 (hard-coded 9 in the reference)
+    # Weight init scheme (ref init_weights :168-198 supports these four;
+    # the reference always calls it with 'normal', gain 0.02).
+    init_type: str = "normal"    # "normal" | "xavier" | "kaiming" | "orthogonal"
+    init_gain: float = 0.02
 
     # ---------- checkpoints / output dirs ----------
     save_every: int = 5          # ref :73

@@ -113,10 +113,11 @@ class KAISTPairDataset:
     """Paired IR/RGB dataset (ref :1045-1177), NHWC numpy samples.
 
     ``__getitem__`` returns ``{'ir': (H,W,1), 'rgb': (H,W,3)}`` float32 in
-    [-1,1]. Augmentation (paired horizontal flip p=0.5) uses an explicit
-    per-dataset ``random.Random`` stream (the reference uses the global
-    ``random`` state inside DataLoader workers, which is not reproducible;
-    we make it seedable).
+    [-1,1]. Augmentation (paired horizontal flip p=0.5) is derived
+    deterministically from ``(seed, epoch, index)`` — no shared mutable RNG
+    stream, so results are identical regardless of decode-thread scheduling
+    (the reference uses the global ``random`` state inside DataLoader
+    workers, which is neither reproducible nor thread-safe).
     """
 
     ir_paths: list[str]
@@ -128,12 +129,21 @@ class KAISTPairDataset:
     def __post_init__(self) -> None:
         if len(self.ir_paths) != len(self.rgb_paths):
             raise ValueError("ir/rgb path lists must have equal length")
-        self._rng = random.Random(self.seed)
+        self._epoch = 0
         log.info(
             "[KAISTPairDataset] total pairs: %d (augment=%s)",
             len(self.ir_paths),
             self.augment,
         )
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation stream (flips differ across epochs)."""
+        self._epoch = epoch
+
+    def _flip(self, idx: int) -> bool:
+        if not self.augment:
+            return False
+        return random.Random(f"{self.seed}:{self._epoch}:{idx}").random() < 0.5
 
     @classmethod
     def from_roots(
@@ -177,13 +187,12 @@ class KAISTPairDataset:
         ir_u = cv2.resize(ir_u, (w, h), interpolation=cv2.INTER_AREA)
         rgb_u = cv2.cvtColor(rgb_u, cv2.COLOR_BGR2RGB)
         rgb_u = cv2.resize(rgb_u, (w, h), interpolation=cv2.INTER_AREA)
-        flip = bool(self.augment and self._rng.random() < 0.5)
-        return ir_u[:, :, None], rgb_u, flip
+        return ir_u[:, :, None], rgb_u, self._flip(idx)
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         ir = load_ir_image(self.ir_paths[idx], self.size_hw)
         rgb = load_rgb_image(self.rgb_paths[idx], self.size_hw)
-        if self.augment and self._rng.random() < 0.5:
+        if self._flip(idx):
             ir = np.fliplr(ir).copy()
             rgb = np.fliplr(rgb).copy()
         return {

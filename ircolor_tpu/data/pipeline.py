@@ -90,6 +90,8 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # per-epoch augmentation stream
 
     def _batch_indices(self) -> list[list[int]]:
         idxs = list(range(len(self.dataset)))

@@ -27,6 +27,51 @@ kernel_init = initializers.normal(stddev=0.02)
 bias_init = initializers.zeros
 
 NORM_TYPES = ("instance", "batch", "none")
+INIT_TYPES = ("normal", "xavier", "kaiming", "orthogonal")
+
+
+def make_kernel_init(init_type: str = "normal", gain: float = 0.02):
+    """Kernel initializer matching the reference ``init_weights`` options
+    (ref :168-198, torch semantics):
+
+    * normal     → N(0, gain)
+    * xavier     → xavier_normal_(gain):  std = gain·√(2/(fan_in+fan_out))
+    * kaiming    → kaiming_normal_(a=0, fan_in): std = √(2/fan_in)
+    * orthogonal → orthogonal_(gain): orthonormal columns scaled by gain
+    """
+    if init_type == "normal":
+        return initializers.normal(stddev=gain)
+    if init_type == "xavier":
+        return initializers.variance_scaling(gain * gain, "fan_avg", "normal")
+    if init_type == "kaiming":
+        return initializers.variance_scaling(2.0, "fan_in", "normal")
+    if init_type == "orthogonal":
+        return initializers.orthogonal(scale=gain, column_axis=-1)
+    raise NotImplementedError(
+        f"initialization method [{init_type}] is not implemented"
+    )
+
+
+def reinit_params(params, rng: jax.Array, init_type: str, gain: float = 0.02):
+    """Re-apply the reference init scheme to an existing param tree — the
+    TPU-native equivalent of ``init_net``'s post-construction ``init_weights``
+    pass (ref :201-209): conv/linear kernels re-sampled per ``init_type``,
+    biases zeroed, norm scales ~ N(1, gain)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    keys = jax.random.split(rng, max(len(flat), 1))
+    init = make_kernel_init(init_type, gain)
+    out = []
+    for (kp, leaf), key in zip(flat, keys):
+        name = str(kp[-1].key) if hasattr(kp[-1], "key") else ""
+        if name == "kernel" and leaf.ndim >= 2:
+            out.append(init(key, leaf.shape, leaf.dtype))
+        elif name == "bias":
+            out.append(jnp.zeros_like(leaf))
+        elif name == "scale":  # batch-norm affine weight (ref :193-194)
+            out.append(1.0 + gain * jax.random.normal(key, leaf.shape, leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _scale_around_one(key, shape, dtype=jnp.float32):

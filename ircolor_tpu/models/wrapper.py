@@ -94,6 +94,12 @@ class IRColorizationModel:
         dummy = jnp.zeros((1, h, w, cfg.input_nc), jnp.float32)
         variables = self.module.init(rng, dummy)
         self.params = variables["params"]
+        if cfg.init_type != "normal":  # N(0,0.02) is baked into module init
+            from ircolor_tpu.models.common import reinit_params
+
+            self.params = reinit_params(
+                self.params, jax.random.fold_in(rng, 1), cfg.init_type, cfg.init_gain
+            )
         # BatchNorm running stats (norm="batch" only; instance norm is stateless).
         self.batch_stats = variables.get("batch_stats", {})
 

@@ -212,6 +212,12 @@ def train_kaist(
         jsonl.log("epoch", epoch=epoch, avg_d=avg_d, avg_g=avg_g, val_l1=val_l1,
                   steps_per_sec=sps)
 
+        # Best-val update BEFORE the full-state checkpoint, so a resume from
+        # an epoch that itself set a new best restores the correct
+        # best_val_l1 (and a later worse epoch can't overwrite netG_best).
+        is_best = val_l1 < best_val_l1
+        if is_best:
+            best_val_l1 = val_l1
         if jax.process_index() == 0:
             if epoch % cfg.save_every == 0 or epoch == cfg.epochs:
                 stem = os.path.join(cfg.save_dir, f"netG_epoch_{epoch:03d}")
@@ -221,8 +227,7 @@ def train_kaist(
                     orbax_dir, epoch, jax.device_get(state),
                     {"epoch": epoch, "best_val_l1": best_val_l1, "val_l1": val_l1},
                 )
-            if val_l1 < best_val_l1:
-                best_val_l1 = val_l1
+            if is_best:
                 save_netg_export(jax.device_get(state.g_params), best_stem)
                 log.info("New best model saved to %s (val L1=%.4f)", best_stem, best_val_l1)
 

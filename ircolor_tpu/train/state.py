@@ -81,6 +81,12 @@ def create_train_state(
         rng_d, jnp.zeros((1, h, w, cfg.input_nc + cfg.output_nc), jnp.float32)
     )
     g_params, d_params = g_vars["params"], d_vars["params"]
+    if cfg.init_type != "normal":  # N(0,0.02) is already baked into init
+        from ircolor_tpu.models.common import reinit_params
+
+        ri_g, ri_d = jax.random.split(jax.random.fold_in(rng, 1))
+        g_params = reinit_params(g_params, ri_g, cfg.init_type, cfg.init_gain)
+        d_params = reinit_params(d_params, ri_d, cfg.init_type, cfg.init_gain)
     opt_g, opt_d = make_optimizers(cfg, steps_per_epoch)
     state = TrainState(
         g_params=g_params,

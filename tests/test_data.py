@@ -83,7 +83,8 @@ def test_paired_flip_augmentation(kaist_tree):
     ds_aug = KAISTPairDataset.from_roots([str(root / "set00")], size_hw=(32, 32), augment=True, seed=7)
     base = ds_plain[0]
     found_flip = found_same = False
-    for _ in range(20):
+    for epoch in range(20):  # flips are deterministic per (seed, epoch, idx)
+        ds_aug.set_epoch(epoch)
         s = ds_aug[0]
         if np.allclose(s["ir"], base["ir"]):
             found_same = True
@@ -166,3 +167,46 @@ def test_normalization_roundtrips():
 def test_empty_roots_raise(tmp_path):
     with pytest.raises(RuntimeError, match="No IR-RGB pairs"):
         KAISTPairDataset.from_roots([str(tmp_path / "nope")])
+
+
+def test_augmentation_deterministic_across_threads(kaist_tree):
+    """Flips derive from (seed, epoch, index) — identical batches regardless
+    of decode-thread scheduling (ADVICE r1: a shared random.Random stream
+    consumed by pool workers made 'reproducible' augmentation a lie)."""
+    from ircolor_tpu.data.pipeline import BatchLoader
+
+    root, _ = kaist_tree
+
+    def run(num_workers, use_native):
+        ds = KAISTPairDataset.from_roots(
+            [str(root / "set00")], size_hw=(32, 32), augment=True, seed=7
+        )
+        loader = BatchLoader(
+            ds, 4, shuffle=False, num_workers=num_workers, use_native=use_native
+        )
+        loader.set_epoch(3)
+        return [b for b in loader]
+
+    ref_float = run(1, False)
+    ref_native = run(1, True)
+    # Same path, different thread counts → bit-identical.
+    for ref, native in ((ref_float, False), (ref_native, True)):
+        got = run(4, native)
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a["ir"], b["ir"])
+            np.testing.assert_array_equal(a["rgb"], b["rgb"])
+    # Across paths (C++ assembler vs numpy): same flips, 1-ULP float slack.
+    for a, b in zip(ref_float, ref_native):
+        np.testing.assert_allclose(a["ir"], b["ir"], atol=2e-7)
+        np.testing.assert_allclose(a["rgb"], b["rgb"], atol=2e-7)
+
+    # And the stream must CHANGE with the epoch (flips re-drawn per epoch).
+    ds2 = KAISTPairDataset.from_roots(
+        [str(root / "set00")], size_hw=(32, 32), augment=True, seed=7
+    )
+    flips_by_epoch = set()
+    for epoch in range(8):
+        ds2.set_epoch(epoch)
+        flips_by_epoch.add(tuple(ds2._flip(i) for i in range(len(ds2))))
+    assert len(flips_by_epoch) > 1

@@ -119,6 +119,38 @@ def test_pth_export_import_roundtrip(gen_small, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
+def test_pth_export_roundtrip_no_antialias_up(tmp_path):
+    """A netG trained with ConvTranspose upsamplers must export its
+    up{1,2}_up weights (round-1 bug: they were silently dropped and the
+    reference would run with random upsamplers) and omit the up-path blur
+    buffers the variant doesn't have. strict=True load into the torch golden
+    proves the export is complete."""
+    from ircolor_tpu.compat.torch_import import export_generator_pth
+
+    module = ResnetUNetGenerator(n_blocks=1, no_antialias_up=True)
+    params = module.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 1)))["params"]
+    pth = str(tmp_path / "roundtrip_noaaup.pth")
+    export_generator_pth(jax.device_get(params), pth)
+
+    sd = torch.load(pth, map_location="cpu", weights_only=True)
+    assert "up1_up.weight" in sd and "up2_up.weight" in sd
+    assert "up1_up.filt" not in sd and "up2_up.filt" not in sd
+    assert "down1_down.filt" in sd  # AA down path still present
+
+    re_imported = load_generator_pth(pth)
+    merged = merge_params(params, re_imported)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    gold = GoldGenerator(n_blocks=1, no_antialias_up=True)
+    gold.load_state_dict(sd, strict=True)
+    x = np.random.RandomState(11).randn(1, 32, 32, 1).astype(np.float32)
+    ours = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = nhwc(gold(nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
 @pytest.mark.parametrize("no_aa,no_aa_up", [(True, False), (False, True), (True, True)])
 def test_generator_variant_parity(no_aa, no_aa_up, tmp_path):
     """no_antialias (stride-2 convs) and no_antialias_up (ConvTranspose)."""
@@ -135,3 +167,51 @@ def test_generator_variant_parity(no_aa, no_aa_up, tmp_path):
         theirs = nhwc(gold(nchw(x)))
     assert ours.shape == theirs.shape
     np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+@pytest.mark.parametrize("init_type", ["normal", "xavier", "kaiming", "orthogonal"])
+def test_selectable_init_types(init_type):
+    """Reference init_weights supports normal/xavier/kaiming/orthogonal
+    (ref :168-198); check each type's torch-matching distribution on a
+    re-initialized generator param tree."""
+    from ircolor_tpu.models.common import reinit_params
+
+    gain = 0.02
+    module = ResnetUNetGenerator(n_blocks=1, ngf=32)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    params = reinit_params(params, jax.random.PRNGKey(5), init_type, gain)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    checked = 0
+    for kp, leaf in flat:
+        name = str(kp[-1].key)
+        arr = np.asarray(leaf)
+        if name == "bias":
+            assert np.all(arr == 0.0)
+            continue
+        if name != "kernel" or arr.ndim != 4 or arr.size < 2000:
+            continue  # distribution checks need enough samples
+        kh, kw, cin, cout = arr.shape
+        fan_in, fan_out = kh * kw * cin, kh * kw * cout
+        if init_type == "normal":
+            np.testing.assert_allclose(arr.std(), gain, rtol=0.15)
+        elif init_type == "xavier":
+            np.testing.assert_allclose(
+                arr.std(), gain * np.sqrt(2.0 / (fan_in + fan_out)), rtol=0.15
+            )
+        elif init_type == "kaiming":
+            np.testing.assert_allclose(arr.std(), np.sqrt(2.0 / fan_in), rtol=0.15)
+        elif init_type == "orthogonal" and fan_in >= cout:
+            w = arr.reshape(-1, cout)
+            np.testing.assert_allclose(
+                w.T @ w, gain * gain * np.eye(cout), atol=1e-6
+            )
+        checked += 1
+    assert checked >= 3
+
+
+def test_unknown_init_type_raises():
+    from ircolor_tpu.models.common import make_kernel_init
+
+    with pytest.raises(NotImplementedError):
+        make_kernel_init("bogus")

@@ -152,3 +152,56 @@ def test_shardmap_step_matches_gspmd(eight_cpu_devices):
     # Updated params agree (Adam first-step sign sensitivity bounds the tol).
     for a, b in zip(jax.tree.leaves(s1.d_params), jax.tree.leaves(s2.d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_batchloader_host_shards_reassemble_global_batch(tmp_path):
+    """Per-host BatchLoader shards (shard_index/shard_count) concatenate to
+    exactly the unsharded loader's global batches — order, shuffle, flips and
+    all (BASELINE config 5's per-host input pipeline)."""
+    from ircolor_tpu.data.pipeline import BatchLoader
+    from ircolor_tpu.data.synthetic import make_kaist_tree
+    from ircolor_tpu.data.kaist import KAISTPairDataset
+
+    root = tmp_path / "kaist"
+    make_kaist_tree(str(root), {"set00": {"V000": 10}}, size_hw=(32, 32))
+
+    def make_loader(shard_index, shard_count):
+        ds = KAISTPairDataset.from_roots(
+            [str(root / "set00")], size_hw=(32, 32), augment=True, seed=5
+        )
+        loader = BatchLoader(
+            ds, 4, shuffle=True, drop_last=True, num_workers=2, seed=5,
+            shard_index=shard_index, shard_count=shard_count,
+        )
+        loader.set_epoch(2)
+        return loader
+
+    global_batches = list(make_loader(0, 1))
+    host_batches = [list(make_loader(h, 2)) for h in range(2)]
+    assert len(host_batches[0]) == len(global_batches)
+    for bg, b0, b1 in zip(global_batches, *host_batches):
+        assert b0["ir"].shape[0] == b1["ir"].shape[0] == 2  # 4 global / 2 hosts
+        np.testing.assert_array_equal(
+            bg["ir"], np.concatenate([b0["ir"], b1["ir"]])
+        )
+        np.testing.assert_array_equal(
+            bg["rgb"], np.concatenate([b0["rgb"], b1["rgb"]])
+        )
+
+
+def test_shard_batch_multihost_assembly_branch(eight_cpu_devices, monkeypatch):
+    """Exercise the ``make_array_from_process_local_data`` branch of
+    shard_batch (it only runs when process_count > 1 — trust-me code in
+    round 1). With a single real process all mesh devices are addressable,
+    so the assembled global array must exactly match the device_put path."""
+    mesh = make_data_mesh(4)
+    batch = make_batch(8, seed=9)
+    expected = shard_batch(dict(batch), mesh)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    got = shard_batch(dict(batch), mesh)
+    for k in batch:
+        assert got[k].shape == expected[k].shape
+        assert got[k].sharding.spec == P("data")
+        assert len(got[k].sharding.device_set) == 4
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(expected[k]))
