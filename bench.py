@@ -110,18 +110,22 @@ def main() -> None:
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
-    # The 512×640 train step (G+D+VGG fwd+bwd) takes several minutes to
-    # compile through this environment's remote-compile path; the headline
-    # metric is inference, so the train bench is opt-in.
-    p.add_argument("--with-train", action="store_true")
+    # The 512×640 train step (G+D+VGG fwd+bwd) compiles in minutes through
+    # this environment's remote-compile path, but the executable persists in
+    # the compile cache — the train number is part of the standing bench
+    # (BASELINE config 5 axis). Opt out with --no-train.
+    p.add_argument("--no-train", dest="with_train", action="store_false")
     args = p.parse_args()
 
     infer_fps = bench_inference(args.height, args.width, args.batch,
                                 args.dtype, args.iters, args.warmup)
     train_fps = None
     if args.with_train:
-        train_fps = bench_train_step(args.height, args.width, args.train_batch,
-                                     args.dtype, max(5, args.iters // 4), 2)
+        try:
+            train_fps = bench_train_step(args.height, args.width, args.train_batch,
+                                         args.dtype, max(5, args.iters // 4), 2)
+        except Exception as exc:  # never lose the headline number to a train hiccup
+            print(f"# train bench failed: {exc!r}", flush=True)
 
     result = {
         "metric": f"test-mode inference frames/sec/chip at {args.height}x{args.width}",

@@ -130,6 +130,12 @@ class Config:
     # must be supplied externally for loss parity).
     vgg16_weights: str | None = None
 
+    # Rematerialize generator ResNet blocks in the backward pass
+    # (jax.checkpoint): caps train-step activation memory at the cost of one
+    # extra block forward — avoids the large-batch HBM cliff. Inference
+    # graphs are unaffected.
+    remat: bool = True
+
     # Pallas fused kernels gate (parity-tested). Default OFF: measured on
     # v5e (r1), the fused IN kernel is within noise of XLA's own fusion in
     # the full generator graph (204 vs 212 fps at 256²/b16) — XLA fuses IN

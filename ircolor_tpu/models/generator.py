@@ -126,6 +126,11 @@ class ResnetUNetGenerator(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     use_pallas: bool = False
+    # Rematerialize each ResnetBlock in the backward pass (jax.checkpoint):
+    # trades one extra block forward for not keeping 4 bottleneck-plane
+    # activations per block alive — the lever that avoids the HBM cliff at
+    # larger train batches. No effect on inference graphs.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -169,8 +174,11 @@ class ResnetUNetGenerator(nn.Module):
 
         # --- bottleneck ---
         h = x2
+        block_cls = (
+            nn.remat(ResnetBlock, static_argnums=(2,)) if self.remat else ResnetBlock
+        )
         for i in range(self.n_blocks):
-            h = ResnetBlock(
+            h = block_cls(
                 ngf * 4,
                 padding_type=self.padding_type,
                 norm=self.norm,

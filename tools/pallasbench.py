@@ -1,0 +1,124 @@
+"""In-graph Pallas vs XLA comparison at the bottleneck shape.
+
+Round-1 comparisons used single-dispatch timing, which the axon relay's
+fixed per-call cost polluted badly (XLA's chained 3×3 conv actually runs at
+~194 TF/s, not the 72 previously recorded). This re-measures with the
+fori_loop-chained method from tools/stagebench.py:
+
+  * XLA 3×3 conv (SAME) — the floor any custom conv must match
+  * Pallas implicit-GEMM conv (single/double buffered)
+  * XLA full ResnetBlock (pad+conv+IN+ReLU+pad+conv+IN+residual)
+  * Pallas fused block (conv3x3_stats + conv3x3_norm_in_stats + epilogue)
+
+Run SERIALLY on the TPU.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax_comp_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ircolor_tpu.ops.conv import conv2d
+from ircolor_tpu.ops.norm import instance_norm
+from ircolor_tpu.ops.padding import reflect_pad2d
+from ircolor_tpu.ops.pallas_conv import conv3x3_valid_pallas
+from ircolor_tpu.ops.pallas_block import conv3x3_stats, conv3x3_norm_in_stats
+
+DT = jnp.bfloat16
+
+
+def _chained_runner(fn, x0, iters):
+    @jax.jit
+    def run(x):
+        def body(i, carry):
+            y = fn(carry)
+            s = (jnp.sum(y.astype(jnp.float32)) * 1e-12).astype(carry.dtype)
+            return carry.at[(0,) * carry.ndim].add(s)
+
+        x = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(x.astype(jnp.float32))
+
+    return run
+
+
+def stage_time(fn, x0, iters=12, reps=3):
+    r1 = _chained_runner(fn, x0, iters)
+    r2 = _chained_runner(fn, x0, 2 * iters)
+    float(r1(x0))
+    float(r2(x0))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(r1(x0))
+        t1 = time.perf_counter()
+        float(r2(x0))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / iters)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--hw", default="128x160")
+    ap.add_argument("--c", type=int, default=256)
+    ap.add_argument("--tile-h", type=int, default=16)
+    args = ap.parse_args()
+    b, c = args.batch, args.c
+    h, w = (int(v) for v in args.hw.split("x"))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32) * 2 - 1).astype(DT)
+    k1 = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.05).astype(DT)
+    k2 = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.05).astype(DT)
+    conv_flops = 2 * b * h * w * 9 * c * c
+
+    cases = {
+        "xla conv3x3 SAME": lambda v: conv2d(v, k1, padding=((1, 1), (1, 1))),
+        "pallas conv3x3 db": lambda v: conv3x3_valid_pallas(
+            jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0))), k1,
+            tile_h=args.tile_h, double_buffer=True,
+        ),
+        "pallas conv3x3 sb": lambda v: conv3x3_valid_pallas(
+            jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0))), k1,
+            tile_h=args.tile_h, double_buffer=False,
+        ),
+    }
+    for name, fn in cases.items():
+        t = stage_time(fn, x)
+        print(f"{name:24s} {t*1e3:8.2f} ms  {conv_flops/t/1e12:7.1f} TF/s", flush=True)
+
+    def xla_block(v):
+        r = jax.nn.relu(instance_norm(conv2d(reflect_pad2d(v, 1), k1, padding="VALID")))
+        return v + instance_norm(conv2d(reflect_pad2d(r, 1), k2, padding="VALID"))
+
+    def fused_block(v):
+        raw1, m1, i1 = conv3x3_stats(reflect_pad2d(v, 1), k1, tile_h=args.tile_h)
+        raw2, m2, i2 = conv3x3_norm_in_stats(
+            reflect_pad2d(raw1, 1), k2, m1, i1, tile_h=args.tile_h
+        )
+        return v + ((raw2.astype(jnp.float32) - m2[:, None, None, :])
+                    * i2[:, None, None, :]).astype(v.dtype)
+
+    for name, fn in (("xla resblock", xla_block), ("pallas fused block", fused_block)):
+        t = stage_time(fn, x)
+        print(f"{name:24s} {t*1e3:8.2f} ms  {2*conv_flops/t/1e12:7.1f} TF/s-equiv",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
