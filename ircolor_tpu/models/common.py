@@ -115,11 +115,23 @@ class Conv(nn.Conv):
     bias_init: Any = bias_init
 
 
+def lanepack_p(cout: int, out_w: int, max_p: int = 32) -> int:
+    """Largest power-of-2 pixel-packing factor that fills MXU lanes
+    (p·cout ≤ 128) and divides the output width. 1 = don't pack."""
+    p = 1
+    while p < max_p and 2 * p * cout <= 128 and out_w % (2 * p) == 0:
+        p *= 2
+    return p
+
+
 class ConcatConv3x3(nn.Module):
     """3×3 SAME(zero) conv over the concat of two tensors, WITHOUT
     materializing the concat: conv(concat(a, b), K) ≡ conv(a, K[..., :Ca, :])
     + conv(b, K[..., Ca:, :]). Measured 18% faster than concat→conv on v5e
     at the decoder shapes (XLA does not fuse the concatenate away).
+    Small-Cout instances (up2: 64 = half the MXU lane width) additionally
+    lane-pack 2 output pixels per feature column — 15.9 → 7.9 ms for the
+    conv at 16×512×640 (docs/PERF.md round 2).
 
     Param layout matches a single Conv over the concatenated input (kernel
     (3, 3, Ca+Cb, features)), so checkpoints are interchangeable with the
@@ -133,22 +145,66 @@ class ConcatConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        from ircolor_tpu.ops.conv import conv2d
+        from ircolor_tpu.ops.conv import conv2d, conv2d_lanepack
 
         ca, cb = a.shape[-1], b.shape[-1]
         kernel = self.param("kernel", kernel_init, (3, 3, ca + cb, self.features))
         kernel = kernel.astype(self.dtype)
-        y = conv2d(
-            a.astype(self.dtype), kernel[:, :, :ca],
-            padding=((1, 1), (1, 1)), precision=self.precision,
-        ) + conv2d(
-            b.astype(self.dtype), kernel[:, :, ca:],
-            padding=((1, 1), (1, 1)), precision=self.precision,
-        )
+        p = lanepack_p(self.features, a.shape[2], max_p=2)
+        if p > 1:
+            y = conv2d_lanepack(
+                a.astype(self.dtype), kernel[:, :, :ca], p, precision=self.precision
+            ) + conv2d_lanepack(
+                b.astype(self.dtype), kernel[:, :, ca:], p, precision=self.precision
+            )
+        else:
+            y = conv2d(
+                a.astype(self.dtype), kernel[:, :, :ca],
+                padding=((1, 1), (1, 1)), precision=self.precision,
+            ) + conv2d(
+                b.astype(self.dtype), kernel[:, :, ca:],
+                padding=((1, 1), (1, 1)), precision=self.precision,
+            )
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,))
             y = y + bias.astype(self.dtype)
         return y
+
+
+class LanePackConv(nn.Module):
+    """K×K VALID conv on pre-padded input, computed lane-packed when the
+    output-channel count underfills the MXU's 128-wide lane dimension
+    (``ops.conv.conv2d_lanepack``). Param layout matches ``Conv``
+    (kernel/bias), so checkpoints are interchangeable; math is exact.
+    """
+
+    features: int
+    ksize: int = 7
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ircolor_tpu.ops.conv import conv2d, conv2d_lanepack
+
+        k = self.ksize
+        kernel = self.param(
+            "kernel", kernel_init, (k, k, x.shape[-1], self.features)
+        ).astype(self.dtype)
+        bias = (
+            self.param("bias", bias_init, (self.features,)).astype(self.dtype)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        p = lanepack_p(self.features, x.shape[2] - (k - 1))
+        if p > 1:
+            return conv2d_lanepack(
+                x, kernel, p, padding="VALID", bias=bias, precision=self.precision
+            )
+        y = conv2d(x, kernel, padding="VALID", precision=self.precision)
+        return y if bias is None else y + bias
 
 
 class ReflectConv3x3(nn.Module):

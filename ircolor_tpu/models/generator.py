@@ -33,7 +33,13 @@ import jax.numpy as jnp
 
 import jax
 
-from ircolor_tpu.models.common import ConcatConv3x3, Conv, Norm, use_bias_for_norm
+from ircolor_tpu.models.common import (
+    ConcatConv3x3,
+    Conv,
+    LanePackConv,
+    Norm,
+    use_bias_for_norm,
+)
 from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
 from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
 from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
@@ -240,6 +246,12 @@ class ResnetUNetGenerator(nn.Module):
         y = norm_relu("up2_norm", y)
 
         # --- output head (bias always on: ref :529 has no bias= kwarg) ---
+        # Cout=3 uses 3/128 MXU lanes; lane-packing p output pixels into the
+        # feature dim runs the same 7×7 conv at 22.7 → 6.4 ms (p=32) at
+        # 16×512×640 (docs/PERF.md round 2). Exact math, identical params.
         y = reflect_pad2d(y, 3)
-        y = conv("outc_conv", self.output_nc, 7, bias=True)(y)
+        y = LanePackConv(
+            self.output_nc, 7, dtype=self.dtype, precision=self.precision,
+            name="outc_conv",
+        )(y)
         return jnp.tanh(y)

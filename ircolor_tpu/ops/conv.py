@@ -52,6 +52,55 @@ def conv2d(
     )
 
 
+def conv2d_lanepack(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    p: int,
+    *,
+    padding: str = "SAME",
+    bias: jnp.ndarray | None = None,
+    precision=None,
+) -> jnp.ndarray:
+    """Conv with ``p`` horizontally-adjacent output pixels packed into the
+    feature dimension — the MXU-lane-utilization transform for small-Cout
+    convs.
+
+    The generator's output head (7×7, Cout=3; ref
+    `/root/reference/Code/ir_colorization.py:527-531`) and the last decoder
+    conv (3×3, Cout=64) use 3/128 and 64/128 of the MXU's lane dimension —
+    measured 44 / 60 TF/s vs the 192 TF/s XLA reaches on full-width convs
+    (docs/PERF.md round 2). Packing p output pixels as ``p·Cout`` features
+    widens the kernel to ``kw+p−1`` taps, strides W by p, and unpacks the
+    output back; the added taps multiply structural zeros so the math is
+    EXACT (floating-point reassociation aside) while lane utilization rises
+    p-fold.
+
+    ``padding``: "SAME" (zero) or "VALID" (caller pre-padded, e.g. reflect).
+    Requires output W divisible by p and odd kw.
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert kw % 2 == 1, "lane-packing assumes odd kernel width"
+    # K2[dy, dx, ci, q·cout+co] = K[dy, dx−q, ci, co] (zero outside).
+    k2 = jnp.concatenate(
+        [
+            jnp.pad(kernel, ((0, 0), (q, p - 1 - q), (0, 0), (0, 0)))
+            for q in range(p)
+        ],
+        axis=-1,
+    )
+    pad = kw // 2
+    pad_w = ((pad, pad), (pad, pad)) if padding == "SAME" else ((0, 0), (0, 0))
+    y = lax.conv_general_dilated(
+        x, k2, (1, p), pad_w, dimension_numbers=_DIMS, precision=precision
+    )
+    b, h, wp, _ = y.shape
+    assert (x.shape[2] if padding == "SAME" else x.shape[2] - 2 * pad) == wp * p
+    y = y.reshape(b, h, wp, p, cout).reshape(b, h, wp * p, cout)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def conv3x3_reflect(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

@@ -138,3 +138,43 @@ def test_conv3x3_reflect_gradients_match():
     )(x, k)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestLanePack:
+    """conv2d_lanepack must be exact vs the plain conv for any p."""
+
+    def _check(self, kh_kw, cin, cout, p, h=12, w=32, padding="SAME"):
+        import numpy as np
+        import jax.numpy as jnp
+        from ircolor_tpu.ops.conv import conv2d, conv2d_lanepack
+
+        rng = np.random.RandomState(p * 100 + cout)
+        kh, kw = kh_kw
+        if padding == "VALID":  # caller pre-padded (e.g. reflect), both dims
+            x = jnp.asarray(rng.randn(2, h + kh - 1, w + kw - 1, cin).astype(np.float32))
+            ref = conv2d(x, k := jnp.asarray(rng.randn(kh, kw, cin, cout).astype(np.float32)), padding="VALID")
+        else:
+            x = jnp.asarray(rng.randn(2, h, w, cin).astype(np.float32))
+            ref = conv2d(x, k := jnp.asarray(rng.randn(kh, kw, cin, cout).astype(np.float32)),
+                         padding=((kh // 2, kh // 2), (kw // 2, kw // 2)))
+        bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+        ref = ref + bias
+        got = conv2d_lanepack(x, k, p, padding=padding, bias=bias)
+        assert got.shape == ref.shape
+        # exact up to f32 reassociation of the widened contraction
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+    def test_3x3_cout64_p2(self):
+        self._check((3, 3), 8, 64, 2)
+
+    def test_7x7_cout3_p8(self):
+        self._check((7, 7), 5, 3, 8)
+
+    def test_7x7_cout3_p32(self):
+        self._check((7, 7), 5, 3, 32)
+
+    def test_valid_prepadded(self):
+        self._check((7, 7), 5, 3, 8, padding="VALID")
+
+    def test_p1_degenerates_to_plain(self):
+        self._check((3, 3), 4, 6, 1)
