@@ -164,7 +164,10 @@ class ResnetUNetGenerator(nn.Module):
 
         # --- encoder ---
         x0 = reflect_pad2d(x, 3)
-        x0 = conv("inc_conv", ngf, 7)(x0)
+        x0 = LanePackConv(
+            ngf, 7, use_bias=use_bias, dtype=self.dtype,
+            precision=self.precision, name="inc_conv",
+        )(x0)
         x0 = norm_relu("inc_norm", x0)                       # (B, H, W, 64)
 
         stride_d = 2 if self.no_antialias else 1

@@ -1,0 +1,140 @@
+"""Pallas blur-pool downsample kernel (filt 3, stride 2, reflect pad).
+
+The reference's ``Downsample`` (`/root/reference/Code/ir_colorization.py:
+269-310`) with the default binomial-3 filter computes, separably per axis,
+
+    y[i] = (x[2i−1] + 2·x[2i] + x[2i+1]) / 4     (x[−1] ≡ x[1], reflect)
+
+Pure bandwidth: read the plane once, write a quarter of it. XLA's best
+formulations (the banded-matrix einsum — which XLA itself rewrites into
+convolutions, see tools/blurprobe.py — and the depthwise conv) both measure
+~6 ms at 16×512×640×128 bf16 where the roofline is ~1.2 ms; this kernel is
+a straight VPU shift-add over H-tiles with one halo-row DMA per tile,
+double-buffered so the stream stays at memory speed.
+
+Layout trick: the W-axis stride-2 pairing is done OUTSIDE the kernel by the
+free contiguous reshape (B,H,W,C) → (B,H,W/2,2C); inside, the even/odd
+W-phases are lane-dim slices at C boundaries (Mosaic-friendly — no sublane
+splits). Top-row reflect is handled in-kernel; the left-column reflect is a
+one-row sublane shift. Requires even H and W; H/2 must tile (``supported``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAVE_PLTPU = False
+
+
+def _kernel(x_hbm, o_ref, x_vmem, sems, *, th: int, nh: int, c: int):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    lin = b * nh + h
+    total = pl.num_programs(0) * nh
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def dma_for(linear, slot_idx):
+        bb = jax.lax.div(linear, nh)
+        hh = jax.lax.rem(linear, nh)
+        s = jnp.maximum(2 * hh * th - 1, 0)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(s, 2 * th + 1)], x_vmem.at[slot_idx], sems.at[slot_idx]
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        dma_for(lin, slot).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        dma_for(lin + 1, nslot).start()
+
+    dma_for(lin, slot).wait()
+    buf = x_vmem[slot].astype(jnp.float32)  # (2th+1, W/2, 2C)
+
+    w2 = buf.shape[1]
+    b0 = buf[0 : 2 * th].reshape(th, 2, w2, 2 * c)
+    b1 = buf[1 : 2 * th + 1].reshape(th, 2, w2, 2 * c)
+    first = h == 0
+    # Tile 0 buffers x rows [0 : 2th+1]; others buffer [2r0−1 : 2r0+2th].
+    xe = jnp.where(first, b0[:, 0], b1[:, 0])  # row x[2i]
+    xo = jnp.where(first, b0[:, 1], b1[:, 1])  # row x[2i+1]
+    xm = jnp.where(
+        first,
+        jnp.concatenate([b0[0:1, 1], b0[:-1, 1]], axis=0),  # x[2i−1], x[−1]≡x[1]
+        b0[:, 0],
+    )
+    yh = xm + 2.0 * xe + xo  # (th, W/2, 2C): [.., :C] = col 2w', [.., C:] = 2w'+1
+
+    ye, yo_ = yh[:, :, :c], yh[:, :, c:]
+    ym = jnp.concatenate([yo_[:, 0:1], yo_[:, :-1]], axis=1)  # col 2w'−1, reflect
+    o_ref[...] = ((ym + 2.0 * ye + yo_) * (1.0 / 16.0)).astype(o_ref.dtype)[None]
+
+
+_VMEM_LIMIT = 64 * 1024 * 1024  # raiseable on v5e (CLAUDE.md vmem note)
+
+
+def _pick_tile(h2: int, w: int = 0, c: int = 0) -> int | None:
+    """Largest H-tile whose VMEM footprint (double-buffered bf16 scratch +
+    ~6 f32 tile temporaries, which Mosaic's OOM accounting includes) stays
+    well under the scoped limit."""
+    for th in (16, 8, 4, 2):
+        if h2 % th != 0 or h2 // th < 2:
+            continue
+        if w and c:
+            scratch = 2 * (2 * th + 1) * w * c * 2
+            temps = 8 * (2 * th + 1) * w * c * 4
+            if scratch + temps > int(_VMEM_LIMIT * 0.75):
+                continue
+        return th
+    return None
+
+
+def supported(shape: tuple[int, ...]) -> bool:
+    _, h, w, c = shape
+    return h % 2 == 0 and w % 2 == 0 and _pick_tile(h // 2, w, c) is not None
+
+
+def blur_downsample_pallas(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """(B,H,W,C) → (B,H/2,W/2,C) binomial-3 reflect blur-pool."""
+    b, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    th = _pick_tile(h2, w, c)
+    assert th is not None and h % 2 == 0 and w % 2 == 0, x.shape
+    nh = h2 // th
+    xr = x.reshape(b, h, w2, 2 * c)  # contiguous: W-phases land in lanes
+    vmem = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
+    return pl.pallas_call(
+        functools.partial(_kernel, th=th, nh=nh, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, h2, w2, c), x.dtype),
+        grid=(b, nh),
+        in_specs=[
+            pl.BlockSpec(
+                memory_space=pltpu.ANY if (_HAVE_PLTPU and not interpret) else None
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w2, c), lambda i, j: (i, j, 0, 0), memory_space=vmem
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * th + 1, w2, 2 * c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=(
+            None
+            if interpret or not _HAVE_PLTPU
+            else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+        ),
+        interpret=interpret,
+    )(xr)

@@ -33,9 +33,12 @@ def _chained_runner(fn, x0, iters):
     def run(x):
         def body(i, carry):
             y = fn(carry)
-            s = jnp.asarray(
-                jax.tree_util.tree_leaves(y)[0], jnp.float32
-            ).sum() * 1e-12
+            # Sum EVERY output leaf into the dependency — feeding only one
+            # leaf lets XLA dead-code-eliminate the rest of the computation.
+            s = sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(y)
+            ) * 1e-12
             return carry.at[(0,) * carry.ndim].add(s.astype(carry.dtype))
 
         x = jax.lax.fori_loop(0, iters, body, x)
