@@ -106,8 +106,8 @@ def main() -> None:
     # Batch 16 is the measured v5e sweet spot at 512×640 (b8: 50.7 fps
     # forward-only, b16: 53, b32: regresses on HBM pressure).
     p.add_argument("--batch", type=int, default=16)
-    # b8 + remat is the measured train sweet spot (b4: 10.2, b8: 23.3,
-    # b16: 23.2 f/s on v5e at 512×640 bf16).
+    # b8 is the measured train sweet spot (b4: 10.2, b8: 27.5 without remat
+    # / 23.3 with, b16: 25.4 f/s on v5e at 512×640 bf16).
     p.add_argument("--train-batch", type=int, default=8)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--iters", type=int, default=20)

@@ -132,9 +132,10 @@ class Config:
 
     # Rematerialize generator ResNet blocks in the backward pass
     # (jax.checkpoint): caps train-step activation memory at the cost of one
-    # extra block forward — avoids the large-batch HBM cliff. Inference
-    # graphs are unaffected.
-    remat: bool = True
+    # extra block forward. Off by default — measured on v5e at 512×640 bf16,
+    # b8 fits without it and runs 27.5 vs 23.3 f/s; enable for batches or
+    # resolutions that hit the HBM cliff. Inference graphs are unaffected.
+    remat: bool = False
 
     # Pallas fused kernels gate (parity-tested). Default OFF: measured on
     # v5e (r1), the fused IN kernel is within noise of XLA's own fusion in
