@@ -88,13 +88,20 @@ def bench_train_step(h: int, w: int, batch: int, dtype: str, iters: int, warmup:
         "ir": jnp.asarray(rng.rand(batch, h, w, 1).astype(np.float32) * 2 - 1),
         "rgb": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 2 - 1),
     }
+    # Host-fetch a scalar that depends on the final params: through the axon
+    # relay, block_until_ready alone can return early (CLAUDE.md) — the fetch
+    # is data-dependent on every chained step, so wall clock covers the full
+    # execution.
+    def param_probe(st):
+        return float(jax.tree_util.tree_leaves(st.g_params)[0].sum())
+
     for _ in range(warmup):
         state, metrics = step(state, batch_data, vgg_params)
-    jax.block_until_ready(state.step)
+    param_probe(state)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch_data, vgg_params)
-    jax.block_until_ready(state.step)
+    param_probe(state)
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

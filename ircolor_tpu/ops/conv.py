@@ -57,7 +57,8 @@ def conv2d_lanepack(
     kernel: jnp.ndarray,
     p: int,
     *,
-    padding: str = "SAME",
+    stride: int | tuple[int, int] = 1,
+    padding: str | tuple[tuple[int, int], tuple[int, int]] = "SAME",
     bias: jnp.ndarray | None = None,
     precision=None,
 ) -> jnp.ndarray:
@@ -70,31 +71,42 @@ def conv2d_lanepack(
     conv (3×3, Cout=64) use 3/128 and 64/128 of the MXU's lane dimension —
     measured 44 / 60 TF/s vs the 192 TF/s XLA reaches on full-width convs
     (docs/PERF.md round 2). Packing p output pixels as ``p·Cout`` features
-    widens the kernel to ``kw+p−1`` taps, strides W by p, and unpacks the
-    output back; the added taps multiply structural zeros so the math is
-    EXACT (floating-point reassociation aside) while lane utilization rises
-    p-fold.
+    widens the kernel to ``kw+sw·(p−1)`` taps, strides W by ``sw·p``, and
+    unpacks the output back; the added taps multiply structural zeros so the
+    math is EXACT (floating-point reassociation aside) while lane
+    utilization rises p-fold.
 
-    ``padding``: "SAME" (zero) or "VALID" (caller pre-padded, e.g. reflect).
-    Requires output W divisible by p and odd kw.
+    ``stride``: the ORIGINAL conv's stride (H, W) — supports the strided
+    PatchGAN 4×4 convs (ref :599-630). ``padding``: "SAME" (zero; odd kw
+    only), "VALID" (caller pre-padded, e.g. reflect), or an explicit
+    ((top,bottom),(left,right)) tuple. Requires output W divisible by p.
     """
     kh, kw, cin, cout = kernel.shape
-    assert kw % 2 == 1, "lane-packing assumes odd kernel width"
-    # K2[dy, dx, ci, q·cout+co] = K[dy, dx−q, ci, co] (zero outside).
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    sh, sw = stride
+    if padding == "SAME":
+        assert kw % 2 == 1 and sh == sw == 1, "SAME lane-packing: odd kw, stride 1"
+        pad_h = pad_w = (kw // 2, kw // 2)
+    elif padding == "VALID":
+        pad_h = pad_w = (0, 0)
+    else:
+        pad_h, pad_w = padding
+    # K2[dy, dx, ci, q·cout+co] = K[dy, dx−q·sw, ci, co] (zero outside).
     k2 = jnp.concatenate(
         [
-            jnp.pad(kernel, ((0, 0), (q, p - 1 - q), (0, 0), (0, 0)))
+            jnp.pad(kernel, ((0, 0), (q * sw, sw * (p - 1 - q)), (0, 0), (0, 0)))
             for q in range(p)
         ],
         axis=-1,
     )
-    pad = kw // 2
-    pad_w = ((pad, pad), (pad, pad)) if padding == "SAME" else ((0, 0), (0, 0))
     y = lax.conv_general_dilated(
-        x, k2, (1, p), pad_w, dimension_numbers=_DIMS, precision=precision
+        x, k2, (sh, sw * p), (pad_h, pad_w),
+        dimension_numbers=_DIMS, precision=precision,
     )
     b, h, wp, _ = y.shape
-    assert (x.shape[2] if padding == "SAME" else x.shape[2] - 2 * pad) == wp * p
+    out_w = (x.shape[2] + pad_w[0] + pad_w[1] - kw) // sw + 1
+    assert out_w == wp * p, (out_w, wp, p)
     y = y.reshape(b, h, wp, p, cout).reshape(b, h, wp * p, cout)
     if bias is not None:
         y = y + bias

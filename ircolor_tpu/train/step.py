@@ -48,8 +48,17 @@ def make_train_step(
     opt_g: optax.GradientTransformation,
     opt_d: optax.GradientTransformation,
     donate: bool = True,
+    update_d: bool = True,
 ) -> Callable[[TrainState, dict[str, jnp.ndarray], Any], tuple[TrainState, dict[str, jnp.ndarray]]]:
     """Build the jitted step: (state, batch, vgg_params) → (state, metrics).
+
+    Loss terms whose λ is exactly 0 are skipped STRUCTURALLY (the VGG tower /
+    SSIM windows / D forward never enter the graph): XLA cannot fold
+    ``x * 0.0`` away itself (NaN/inf semantics), so a zero weight would
+    otherwise still pay the full compute. Metrics keys stay present (as 0.0)
+    for logging stability. ``update_d=False`` additionally skips the D phase
+    entirely — an ablation/benchmark knob (tools/trainbench.py), not a
+    reference behavior (the reference always steps D, ref :1647-1651).
 
     BatchNorm (``cfg.norm == "batch"``): running stats follow torch train-mode
     semantics — every train-mode forward updates them, including the
@@ -80,38 +89,78 @@ def make_train_step(
     def step_fn(state: TrainState, batch: dict[str, jnp.ndarray], vgg_params: Any):
         ir, rgb = batch["ir"], batch["rgb"]
 
+        # ONE generator forward serves both phases. The reference runs G
+        # twice per step (no-grad for D at ref :1637-1638, with grad at
+        # :1657) but G is deterministic (instance norm, dropout off,
+        # ref :771), so both forwards produce the SAME tensor — and XLA does
+        # NOT CSE the duplicate (measured: the two-forward step compiles to
+        # one extra full G forward ≈ 0.69 TFLOP/frame at 512×640). Here the
+        # D phase consumes the primal of the same jax.vjp the G phase
+        # backprops through. BatchNorm configs keep the literal two-forward
+        # structure below: their running stats must update twice per step to
+        # match torch train-mode semantics.
+        single_forward = not has_bn
+
+        if single_forward:
+            # Non-BN g_apply passes stats through unchanged, so vjp over the
+            # image output alone is complete; g_stats stays state.g_stats.
+            fake_primal, g_vjp = jax.vjp(
+                lambda p: g_apply(p, state.g_stats, ir)[0], state.g_params
+            )
+            fake_detached = jax.lax.stop_gradient(fake_primal)
+            g_stats = state.g_stats
+        else:
+            fake_detached, g_stats = g_apply(state.g_params, state.g_stats, ir)
+
         # ---- D phase (hinge) ----
-        fake_detached, g_stats = g_apply(state.g_params, state.g_stats, ir)
+        if update_d:
+            def d_loss_fn(d_params):
+                pred_real, ds1 = d_apply(d_params, state.d_stats, jnp.concatenate([ir, rgb], axis=-1))
+                pred_fake, ds2 = d_apply(d_params, ds1, jnp.concatenate([ir, fake_detached], axis=-1))
+                return hinge_d_loss(pred_real, pred_fake), ds2
 
-        def d_loss_fn(d_params):
-            pred_real, ds1 = d_apply(d_params, state.d_stats, jnp.concatenate([ir, rgb], axis=-1))
-            pred_fake, ds2 = d_apply(d_params, ds1, jnp.concatenate([ir, fake_detached], axis=-1))
-            return hinge_d_loss(pred_real, pred_fake), ds2
-
-        (loss_d, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
-        d_updates, d_opt = opt_d.update(d_grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+            (loss_d, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+            d_updates, d_opt = opt_d.update(d_grads, state.d_opt, state.d_params)
+            d_params = optax.apply_updates(state.d_params, d_updates)
+        else:
+            loss_d = jnp.float32(0.0)
+            d_stats = state.d_stats
+            d_params, d_opt = state.d_params, state.d_opt
 
         # ---- G phase (uses the freshly updated D, matching ref ordering) ----
-        def g_loss_fn(g_params):
-            fake, gs = g_apply(g_params, g_stats, ir)
-            pred_fake, ds = d_apply(d_params, d_stats, jnp.concatenate([ir, fake], axis=-1))
-            loss_gan = hinge_g_loss(pred_fake)
+        def g_loss_terms(fake, gs):
+            ds = d_stats
+            if cfg.lambda_gan != 0.0:
+                pred_fake, ds = d_apply(d_params, d_stats, jnp.concatenate([ir, fake], axis=-1))
+                loss_gan = hinge_g_loss(pred_fake)
+            else:
+                loss_gan = jnp.float32(0.0)
             # Loss terms in float32 even under a bf16 compute path: the SSIM
             # covariance terms cancel catastrophically in bf16 (observed
             # SSIM map means > 1.7, i.e. negative "1−SSIM" loss) and the L1
             # reductions lose precision. Networks stay bf16; losses don't.
             fake32 = fake.astype(jnp.float32)
             rgb32 = rgb.astype(jnp.float32)
-            loss_l1 = jnp.mean(jnp.abs(fake32 - rgb32)) * cfg.lambda_L1
-            feat_fake = vgg_module.apply({"params": vgg_params}, fake)
-            feat_real = vgg_module.apply({"params": vgg_params}, rgb)
-            loss_perc = (
-                jnp.mean(jnp.abs(feat_fake.astype(jnp.float32) - feat_real.astype(jnp.float32)))
-                * cfg.lambda_perc
+            loss_l1 = (
+                jnp.mean(jnp.abs(fake32 - rgb32)) * cfg.lambda_L1
+                if cfg.lambda_L1 != 0.0
+                else jnp.float32(0.0)
             )
-            loss_tv = tv_loss(fake32) * cfg.lambda_tv
-            loss_ssim = ssim_loss((fake32 + 1.0) / 2.0, (rgb32 + 1.0) / 2.0) * cfg.lambda_ssim
+            if cfg.lambda_perc != 0.0:
+                feat_fake = vgg_module.apply({"params": vgg_params}, fake)
+                feat_real = vgg_module.apply({"params": vgg_params}, rgb)
+                loss_perc = (
+                    jnp.mean(jnp.abs(feat_fake.astype(jnp.float32) - feat_real.astype(jnp.float32)))
+                    * cfg.lambda_perc
+                )
+            else:
+                loss_perc = jnp.float32(0.0)
+            loss_tv = tv_loss(fake32) * cfg.lambda_tv if cfg.lambda_tv != 0.0 else jnp.float32(0.0)
+            loss_ssim = (
+                ssim_loss((fake32 + 1.0) / 2.0, (rgb32 + 1.0) / 2.0) * cfg.lambda_ssim
+                if cfg.lambda_ssim != 0.0
+                else jnp.float32(0.0)
+            )
             total = cfg.lambda_gan * loss_gan + loss_l1 + loss_perc + loss_tv + loss_ssim
             aux = {
                 "metrics": {
@@ -127,7 +176,18 @@ def make_train_step(
             }
             return total, aux
 
-        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        if single_forward:
+            (_, aux), dl_dfake = jax.value_and_grad(
+                lambda f: g_loss_terms(f, g_stats), has_aux=True
+            )(fake_primal)
+            (g_grads,) = g_vjp(dl_dfake)
+        else:
+
+            def g_loss_fn(g_params):
+                fake, gs = g_apply(g_params, g_stats, ir)
+                return g_loss_terms(fake, gs)
+
+            (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
         g_updates, g_opt = opt_g.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 

@@ -59,9 +59,17 @@ def make_train_step_shardmap(
     def per_device_step(state: TrainState, batch, vgg_params):
         ir, rgb = batch["ir"], batch["rgb"]
 
-        # ---- D phase: local grads, explicit all-reduce, identical update ----
-        fake_detached = g_apply(state.g_params, ir)
+        # ONE generator forward serves both phases (same restructure as
+        # train.step: G is deterministic here — instance/none norm, no
+        # dropout — and XLA does not CSE a duplicated forward, so the
+        # D-phase fake is the primal of the vjp the G phase backprops
+        # through).
+        fake_primal, g_vjp = jax.vjp(
+            lambda p: g_apply(p, ir), state.g_params
+        )
+        fake_detached = jax.lax.stop_gradient(fake_primal)
 
+        # ---- D phase: local grads, explicit all-reduce, identical update ----
         def d_loss_fn(d_params):
             pred_real = d_apply(d_params, jnp.concatenate([ir, rgb], axis=-1))
             pred_fake = d_apply(d_params, jnp.concatenate([ir, fake_detached], axis=-1))
@@ -73,9 +81,8 @@ def make_train_step_shardmap(
         d_updates, d_opt = opt_d.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
-        # ---- G phase (fresh forward against the updated D) ----
-        def g_loss_fn(g_params):
-            fake = g_apply(g_params, ir)
+        # ---- G phase (losses against the updated D, grads via the vjp) ----
+        def g_loss_fn(fake):
             pred_fake = d_apply(d_params, jnp.concatenate([ir, fake], axis=-1))
             fake32 = fake.astype(jnp.float32)
             rgb32 = rgb.astype(jnp.float32)
@@ -99,7 +106,8 @@ def make_train_step_shardmap(
                 "loss_G_SSIM": loss_ssim,
             }
 
-        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        (_, aux), dl_dfake = jax.value_and_grad(g_loss_fn, has_aux=True)(fake_primal)
+        (g_grads,) = g_vjp(dl_dfake)
         g_grads = jax.lax.pmean(g_grads, "data")
         aux = jax.lax.pmean(aux, "data")
         g_updates, g_opt = opt_g.update(g_grads, state.g_opt, state.g_params)

@@ -178,3 +178,29 @@ class TestLanePack:
 
     def test_p1_degenerates_to_plain(self):
         self._check((3, 3), 4, 6, 1)
+
+    def _check_strided(self, kh_kw, cin, cout, p, stride, pad, h=16, w=32):
+        """Strided/even-kernel packing (the PatchGAN 4x4 s2 shape, ref :599-630)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from ircolor_tpu.ops.conv import conv2d, conv2d_lanepack
+
+        rng = np.random.RandomState(p * 10 + cout)
+        kh, kw = kh_kw
+        x = jnp.asarray(rng.randn(2, h, w, cin).astype(np.float32))
+        k = jnp.asarray(rng.randn(kh, kw, cin, cout).astype(np.float32))
+        bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+        ref = conv2d(x, k, stride=stride, padding=pad) + bias
+        got = conv2d_lanepack(x, k, p, stride=stride, padding=pad, bias=bias)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+    def test_4x4_s2_cout64_p2(self):
+        self._check_strided((4, 4), 4, 64, 2, 2, ((1, 1), (1, 1)))
+
+    def test_4x4_s1_cout1_p8(self):
+        self._check_strided((4, 4), 8, 1, 8, 1, ((1, 2), (1, 2)))
+
+    def test_3x3_s2_explicit_pad_p4(self):
+        self._check_strided((3, 3), 4, 8, 4, 2, ((1, 1), (1, 1)))
+

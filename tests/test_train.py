@@ -200,3 +200,66 @@ def test_train_kaist_shard_map_mode(kaist_tree, tmp_path):
     cfg = tiny_cfg(root, tmp_path / "sm_ckpt", epochs=1, dp_mode="shard_map")
     summary = train_kaist(cfg)
     assert np.isfinite(summary["best_val_l1"])
+
+
+def test_single_forward_step_matches_two_forward_reference(step_setup):
+    """The fused step runs ONE generator forward per step (the D phase
+    consumes the vjp primal the G phase backprops through); the reference
+    runs G twice (ref :1637, :1657) — deterministic G makes them equal.
+    Guard the restructure against an explicit two-forward formulation."""
+    import optax  # noqa: F401 (sgd below)
+    from ircolor_tpu.losses.gan import hinge_d_loss, hinge_g_loss
+    from ircolor_tpu.losses.ssim import ssim_loss
+    from ircolor_tpu.losses.tv import tv_loss
+    from ircolor_tpu.train.state import TrainState
+
+    cfg, state, _, batch, (g_mod, d_mod, vgg_mod, vgg_params) = step_setup
+    # Plain SGD so updated params differ from originals by exactly the raw
+    # gradients: biases that the following instance norm cancels have a TRUE
+    # gradient of zero, and an adaptive optimizer (Adam) amplifies their
+    # float-noise-level grads to ±lr with compilation-dependent sign.
+    opt_g = opt_d = optax.sgd(1.0)
+    step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, donate=False)
+
+    def two_forward_step(state, batch, vgg_params):
+        ir, rgb = batch["ir"], batch["rgb"]
+        fake_detached = g_mod.apply({"params": state.g_params}, ir, train=True)
+
+        def d_loss_fn(d_params):
+            pr = d_mod.apply({"params": d_params}, jnp.concatenate([ir, rgb], -1), train=True)
+            pf = d_mod.apply({"params": d_params}, jnp.concatenate([ir, fake_detached], -1), train=True)
+            return hinge_d_loss(pr, pf)
+
+        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        d_upd, d_opt = opt_d.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_upd)
+
+        def g_loss_fn(g_params):
+            fake = g_mod.apply({"params": g_params}, ir, train=True)
+            pf = d_mod.apply({"params": d_params}, jnp.concatenate([ir, fake], -1), train=True)
+            fake32, rgb32 = fake.astype(jnp.float32), rgb.astype(jnp.float32)
+            feat_f = vgg_mod.apply({"params": vgg_params}, fake).astype(jnp.float32)
+            feat_r = vgg_mod.apply({"params": vgg_params}, rgb).astype(jnp.float32)
+            total = (
+                cfg.lambda_gan * hinge_g_loss(pf)
+                + jnp.mean(jnp.abs(fake32 - rgb32)) * cfg.lambda_L1
+                + jnp.mean(jnp.abs(feat_f - feat_r)) * cfg.lambda_perc
+                + tv_loss(fake32) * cfg.lambda_tv
+                + ssim_loss((fake32 + 1) / 2, (rgb32 + 1) / 2) * cfg.lambda_ssim
+            )
+            return total
+
+        g_grads = jax.grad(g_loss_fn)(state.g_params)
+        g_upd, g_opt = opt_g.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_upd)
+        return TrainState(
+            g_params=g_params, d_params=d_params, g_opt=g_opt, d_opt=d_opt,
+            step=state.step + 1, g_stats=state.g_stats, d_stats=state.d_stats,
+        ), loss_d
+
+    got, _ = step(state, batch, vgg_params)
+    want, _ = jax.jit(two_forward_step, donate_argnums=())(state, batch, vgg_params)
+    for a, b in zip(jax.tree_util.tree_leaves(got.g_params), jax.tree_util.tree_leaves(want.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(got.d_params), jax.tree_util.tree_leaves(want.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)

@@ -1,0 +1,124 @@
+"""Knockout attribution for the fused train step at the flagship shape.
+
+Times the full 512×640 bf16 train step (D update + G update + composite
+loss, `ircolor_tpu/train/step.py`) against variants with individual loss
+terms structurally removed (λ=0 skips the term's subgraph entirely — see
+make_train_step) and with the D phase disabled. Steps chain through the
+donated TrainState (each step consumes the previous params), so iterations
+cannot overlap; a terminal ``block_until_ready`` on state.step closes the
+measurement. Knockout deltas are non-additive (XLA schedules each variant
+differently) but bound where the time goes.
+
+Run SERIALLY on the TPU (CLAUDE.md). Each variant compiles its own
+executable (~minutes for 512×640 the first time; persistent-cached after).
+
+Usage: python tools/trainbench.py [--batch 8] [--iters 10] [--variants a,b]
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax_comp_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+VARIANTS: dict[str, tuple[dict, bool]] = {
+    # name: (config overrides, update_d)
+    "full": ({}, True),
+    "no_perc": ({"lambda_perc": 0.0}, True),
+    "no_ssim": ({"lambda_ssim": 0.0}, True),
+    "no_tv": ({"lambda_tv": 0.0}, True),
+    "no_gan_d": ({"lambda_gan": 0.0}, False),
+    "l1_only": (
+        {"lambda_perc": 0.0, "lambda_ssim": 0.0, "lambda_tv": 0.0, "lambda_gan": 0.0},
+        False,
+    ),
+}
+
+
+def bench_variant(
+    name: str, h: int, w: int, batch: int, iters: int, warmup: int, remat: bool
+) -> float:
+    from ircolor_tpu.config import Config
+    from ircolor_tpu.losses.vgg import VGG16Features, init_vgg16_params
+    from ircolor_tpu.train.state import create_train_state
+    from ircolor_tpu.train.step import make_train_step
+
+    overrides, update_d = VARIANTS[name]
+    cfg = Config(
+        img_height=h, img_width=w, batch_size=batch, compute_dtype="bf16",
+        remat=remat, **overrides,
+    )
+    state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=100)
+    vgg_mod = VGG16Features(dtype=g_mod.dtype, precision=g_mod.precision)
+    vgg_params = init_vgg16_params()
+    step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, update_d=update_d)
+    rng = np.random.RandomState(0)
+    data = {
+        "ir": jnp.asarray(rng.rand(batch, h, w, 1).astype(np.float32) * 2 - 1),
+        "rgb": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32) * 2 - 1),
+    }
+    # Completion is forced by a HOST FETCH of a scalar that depends on the
+    # final params (float() below) — through the axon relay,
+    # block_until_ready alone can return early (CLAUDE.md); the fetched
+    # scalar is data-dependent on every chained step, so the wall clock
+    # covers the full execution.
+    def param_probe(st):
+        return float(jax.tree_util.tree_leaves(st.g_params)[0].sum())
+
+    for _ in range(warmup):
+        state, metrics = step(state, data, vgg_params)
+    param_probe(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, data, vgg_params)
+    param_probe(state)
+    dt = time.perf_counter() - t0
+    return dt / iters
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--variants", default=",".join(VARIANTS))
+    args = p.parse_args()
+
+    results: dict[str, float] = {}
+    for name in args.variants.split(","):
+        sec = bench_variant(
+            name, args.height, args.width, args.batch, args.iters, args.warmup,
+            args.remat,
+        )
+        results[name] = sec
+        fps = args.batch / sec
+        print(f"{name:10s}  {sec * 1e3:8.1f} ms/step  {fps:6.2f} frames/s", flush=True)
+
+    if "full" in results:
+        full = results["full"]
+        print("\nknockout deltas vs full:")
+        for name, sec in results.items():
+            if name != "full":
+                print(f"  {name:10s}  -{(full - sec) * 1e3:7.1f} ms  ({(full - sec) / full * 100:5.1f}%)")
+
+
+if __name__ == "__main__":
+    main()
