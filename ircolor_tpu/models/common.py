@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.nn import initializers
 
-from ircolor_tpu.ops.norm import instance_norm
+from ircolor_tpu.ops.norm import instance_norm, instance_norm_onepass
 
 # Reference init: N(0, 0.02) kernels, zero bias (ref :180-181, :190-191).
 kernel_init = initializers.normal(stddev=0.02)
@@ -94,6 +94,13 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.norm == "instance":
+            # bf16 compute path: single-pass E[x²]−μ² statistics save one
+            # full-tensor HBM read per norm (−6.0 ms over the 512×640 b16
+            # forward, tools/fwdvariants.py best vs best_in1p); the
+            # difference vs two-pass stats is far below bf16 quantization.
+            # f32 (the parity/validation path) keeps two-pass stats.
+            if x.dtype == jnp.bfloat16:
+                return instance_norm_onepass(x)
             return instance_norm(x)
         if self.norm == "none" or self.norm is None:
             return x
@@ -129,9 +136,11 @@ class ConcatConv3x3(nn.Module):
     materializing the concat: conv(concat(a, b), K) ≡ conv(a, K[..., :Ca, :])
     + conv(b, K[..., Ca:, :]). Measured 18% faster than concat→conv on v5e
     at the decoder shapes (XLA does not fuse the concatenate away).
-    Small-Cout instances (up2: 64 = half the MXU lane width) additionally
+    Small-Cout instances (up2: 64 = half the MXU lane width) can additionally
     lane-pack 2 output pixels per feature column — 15.9 → 7.9 ms for the
-    conv at 16×512×640 (docs/PERF.md round 2).
+    isolated conv at 16×512×640 — but in FULL-FORWARD context the packing's
+    unpack reshape poisons the consumer's layout and costs +6.2 ms net
+    (tools/fwdvariants.py), so ``max_p`` defaults to 1 (off).
 
     Param layout matches a single Conv over the concatenated input (kernel
     (3, 3, Ca+Cb, features)), so checkpoints are interchangeable with the
@@ -142,6 +151,7 @@ class ConcatConv3x3(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     precision: Any = None
+    max_p: int = 1
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -150,7 +160,7 @@ class ConcatConv3x3(nn.Module):
         ca, cb = a.shape[-1], b.shape[-1]
         kernel = self.param("kernel", kernel_init, (3, 3, ca + cb, self.features))
         kernel = kernel.astype(self.dtype)
-        p = lanepack_p(self.features, a.shape[2], max_p=2)
+        p = lanepack_p(self.features, a.shape[2], max_p=self.max_p)
         if p > 1:
             y = conv2d_lanepack(
                 a.astype(self.dtype), kernel[:, :, :ca], p, precision=self.precision
@@ -176,6 +186,11 @@ class LanePackConv(nn.Module):
     output-channel count underfills the MXU's 128-wide lane dimension
     (``ops.conv.conv2d_lanepack``). Param layout matches ``Conv``
     (kernel/bias), so checkpoints are interchangeable; math is exact.
+
+    ``max_p`` caps the packing factor: the outc head (Cout=3, p=32) wins
+    16.3 ms in full-forward context, but packing the inc conv (Cout=64,
+    p=2) LOSES 8.1 ms in context despite winning isolated — callers set
+    ``max_p=1`` for such sites (tools/fwdvariants.py measurements).
     """
 
     features: int
@@ -183,6 +198,7 @@ class LanePackConv(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     precision: Any = None
+    max_p: int = 32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -198,7 +214,7 @@ class LanePackConv(nn.Module):
             else None
         )
         x = x.astype(self.dtype)
-        p = lanepack_p(self.features, x.shape[2] - (k - 1))
+        p = lanepack_p(self.features, x.shape[2] - (k - 1), max_p=self.max_p)
         if p > 1:
             return conv2d_lanepack(
                 x, kernel, p, padding="VALID", bias=bias, precision=self.precision

@@ -163,10 +163,14 @@ class ResnetUNetGenerator(nn.Module):
             return nn.relu(y)
 
         # --- encoder ---
+        # inc stays UNPACKED (max_p=1): lane-packing it wins isolated
+        # (4.9→3.0 ms) but costs +8.1 ms in full-forward context — the
+        # unpack reshape degrades the layout its consumers read
+        # (tools/fwdvariants.py, docs/PERF.md round 2).
         x0 = reflect_pad2d(x, 3)
         x0 = LanePackConv(
             ngf, 7, use_bias=use_bias, dtype=self.dtype,
-            precision=self.precision, name="inc_conv",
+            precision=self.precision, max_p=1, name="inc_conv",
         )(x0)
         x0 = norm_relu("inc_norm", x0)                       # (B, H, W, 64)
 
@@ -250,8 +254,9 @@ class ResnetUNetGenerator(nn.Module):
 
         # --- output head (bias always on: ref :529 has no bias= kwarg) ---
         # Cout=3 uses 3/128 MXU lanes; lane-packing p output pixels into the
-        # feature dim runs the same 7×7 conv at 22.7 → 6.4 ms (p=32) at
-        # 16×512×640 (docs/PERF.md round 2). Exact math, identical params.
+        # feature dim runs the same 7×7 conv at 22.7 → 6.4 ms isolated and
+        # wins 16.3 ms in full-forward context (p=32, 16×512×640) — the one
+        # packing site that survives in-context validation. Exact math, identical params.
         y = reflect_pad2d(y, 3)
         y = LanePackConv(
             self.output_nc, 7, dtype=self.dtype, precision=self.precision,

@@ -29,11 +29,14 @@ from ircolor_tpu.ops.padding import pad2d
 from ircolor_tpu.ops.resize import bilinear_align_corners
 from ircolor_tpu.ops.separable import separable_filter2d
 
-# Measured on v5e (16,512,640,128) bf16: per-axis MXU matmuls (ops.linops)
-# beat both a depthwise conv (one HBM pass, 17.9 ms) and separable
-# shift-and-add (28.5 ms) — and fold padding+blur+stride (+the align-corners
-# upsample) into a single pair of matmuls. Small channel counts (the C=3
-# SSIM paths) still use separable shift-and-add.
+# Measured on v5e (16,512,640,128) bf16, IN FULL-FORWARD CONTEXT
+# (tools/fwdvariants.py, round 2): the down path is fastest as an honest
+# pad + depthwise blur (-13.9 ms vs the matmul pair over the whole
+# generator forward), while the UP path keeps the per-axis MXU matmul
+# composition (ops.linops) — it folds the align-corners upsample + pad +
+# blur into one matmul pair and switching it to depthwise costs +18.6 ms.
+# Isolated-stage numbers ranked these differently; in-context wins rule.
+# Small channel counts (the C=3 SSIM paths) use separable shift-and-add.
 _MATMUL_MIN_CHANNELS = 32
 _SEPARABLE_MAX_CHANNELS = 16
 
@@ -70,13 +73,15 @@ def blur_downsample(
     pad_type: str = "reflect",
     pad_off: int = 0,
     precision=None,
+    use_matmul: bool = False,
 ) -> jnp.ndarray:
     """Pad + depthwise binomial blur at stride (ref Downsample.forward :307-310).
 
-    For MXU-friendly channel counts the whole pad+blur+stride pipeline is two
-    axis matmuls with exact (out×in) operator matrices (ops.linops).
+    Shipped as the honest pad + depthwise conv: in full-forward context this
+    beats the matmul-pair formulation by 13.9 ms at 16×512×640 (see module
+    note). ``use_matmul=True`` keeps the matmul path available for A/Bs.
     """
-    if x.shape[-1] >= _MATMUL_MIN_CHANNELS:
+    if use_matmul and x.shape[-1] >= _MATMUL_MIN_CHANNELS:
         from ircolor_tpu.ops.linops import apply_axis_ops, blur_matrix
 
         _, h, w, _ = x.shape

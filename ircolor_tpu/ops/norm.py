@@ -28,3 +28,22 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     y = (x32 - mean) * lax.rsqrt(var + eps)
     return y.astype(x.dtype)
+
+
+def instance_norm_onepass(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Instance norm with single-pass statistics (E[x²] − μ², f32 accum).
+
+    The two-pass form's centered-square reduction depends on the mean, so
+    XLA runs two sequential read passes over the tensor just for stats; the
+    moment form fuses both into ONE reduction pass — one less full-tensor
+    HBM read per norm. Numerics: f32 accumulation over ≤10⁶-element spatial
+    planes with O(1) activations keeps |var_onepass − var_twopass| ≲ 1e-6 —
+    inside the bf16 quantization the compute path already accepts. Two-pass
+    stays the default for the f32 parity path.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    meansq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    return y.astype(x.dtype)

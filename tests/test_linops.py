@@ -46,12 +46,15 @@ def test_blur_matrix_rows_sum_to_one_reflect():
 
 
 def test_matmul_blur_downsample_matches_torch_wide():
-    """C=64 ≥ threshold → matmul path; must equal the torch golden."""
+    """Both down-blur forms (shipped depthwise default and the opt-in
+    matmul path) must equal the torch golden at wide channel counts."""
     x = rand(2, 16, 20, 64, seed=1)
-    ours = np.asarray(blur_downsample(jnp.asarray(x)))
     gold = GoldDownsample(64)
     theirs = nhwc(gold(nchw(x)))
-    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+    default = np.asarray(blur_downsample(jnp.asarray(x)))
+    np.testing.assert_allclose(default, theirs, atol=2e-5)
+    matmul = np.asarray(blur_downsample(jnp.asarray(x), use_matmul=True))
+    np.testing.assert_allclose(matmul, theirs, atol=2e-5)
 
 
 def test_matmul_blur_upsample_matches_torch_wide():

@@ -66,6 +66,16 @@ def test_instance_norm_matches_torch():
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
+def test_instance_norm_onepass_matches_torch():
+    from ircolor_tpu.ops.norm import instance_norm_onepass
+
+    # Large mean relative to variance stresses the E[x²]−μ² cancellation.
+    x = rand(3, 8, 9, 5, seed=2) * 4 + 10
+    ours = np.asarray(instance_norm_onepass(jnp.asarray(x)))
+    theirs = nhwc(torch.nn.InstanceNorm2d(5)(nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
 @pytest.mark.parametrize("filt_size", [1, 2, 3, 4, 5])
 @pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
 def test_blur_downsample_matches_torch(filt_size, pad_type):

@@ -1,0 +1,215 @@
+"""In-context A/B of generator-forward op implementations (b16, 512×640).
+
+The isolated-stage winners (ops.linops matmul blurs, lane-packed convs) were
+picked from stagebench numbers, but in-context scheduling differs by ~30%
+(docs/PERF.md "Attribution caveat"). This tool times the FULL forward
+composition with one implementation knob flipped at a time, so choices are
+validated where they actually run. Also provides in-context knockouts
+(no-IN, no-reflect-pad) with sound chained timing — the honest version of
+tools/knockout.py.
+
+Run SERIALLY on TPU: python tools/fwdvariants.py [--variants a,b,c]
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax_comp_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ircolor_tpu.ops.blurpool import (
+    _blur_pad_sizes,
+    blur_downsample,
+    blur_upsample_aa,
+)
+from ircolor_tpu.ops.conv import conv2d, conv2d_lanepack, depthwise_conv2d
+from ircolor_tpu.ops.filters import binomial_filter_2d
+from ircolor_tpu.ops.norm import instance_norm, instance_norm_onepass
+from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
+from ircolor_tpu.ops.resize import upsample2x_align_corners
+
+DT = jnp.bfloat16
+B = 16
+
+
+def _chained_runner(fn, x0, iters):
+    @jax.jit
+    def run(x):
+        def body(i, carry):
+            y = fn(carry)
+            s = (jnp.sum(y.astype(jnp.float32)) * 1e-12).astype(carry.dtype)
+            return carry.at[(0,) * carry.ndim].add(s)
+
+        x = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(x.astype(jnp.float32))
+
+    return run
+
+
+def time_fn(fn, x0, iters=10, reps=3):
+    r1, r2 = _chained_runner(fn, x0, iters), _chained_runner(fn, x0, 2 * iters)
+    float(r1(x0)); float(r2(x0))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter(); float(r1(x0))
+        t1 = time.perf_counter(); float(r2(x0))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / iters)
+    return best
+
+
+def dw_blur_down(x):
+    y = pad2d(x, _blur_pad_sizes(3), "reflect")
+    return depthwise_conv2d(y, binomial_filter_2d(3), stride=2, padding="VALID")
+
+
+def dw_blur_up(x):
+    y = upsample2x_align_corners(x)
+    y = pad2d(y, _blur_pad_sizes(3), "reflect")
+    return depthwise_conv2d(y, binomial_filter_2d(3), stride=1, padding="VALID")
+
+
+def build_forward(
+    *,
+    down_blur,
+    up_blur,
+    use_in=True,
+    in_onepass=False,
+    pad_mode="reflect",
+    lp_inc=True,
+    lp_up2=True,
+    lp_outc=True,
+    res_scan=False,
+):
+    rng = np.random.RandomState(0)
+
+    def w(kh, kw, ci, co):
+        return jnp.asarray(rng.randn(kh, kw, ci, co).astype(np.float32) * 0.05).astype(DT)
+
+    ngf = 64
+    p = {
+        "inc": w(7, 7, 1, ngf),
+        "d1": w(3, 3, ngf, 2 * ngf),
+        "d2": w(3, 3, 2 * ngf, 4 * ngf),
+        "res": [(w(3, 3, 256, 256), w(3, 3, 256, 256)) for _ in range(9)],
+        "u1": w(3, 3, 6 * ngf, 2 * ngf),
+        "u2": w(3, 3, 3 * ngf, ngf),
+        "out": w(7, 7, ngf, 3),
+    }
+
+    in_fn = instance_norm_onepass if in_onepass else instance_norm
+
+    def inr(v):
+        return jax.nn.relu(in_fn(v)) if use_in else jax.nn.relu(v)
+
+    def innorm(v):
+        return in_fn(v) if use_in else v
+
+    def rpad(v, n):
+        if pad_mode == "reflect":
+            return reflect_pad2d(v, n)
+        return v  # zero-SAME handled by the conv padding below
+
+    def conv_pad(v, k, n):
+        """reflect: pre-padded VALID conv; zero: SAME conv."""
+        if pad_mode == "reflect":
+            return conv2d(rpad(v, n), k, padding="VALID")
+        return conv2d(v, k, padding=((n, n), (n, n)))
+
+    def lp(v, k, pnum, enabled, padding="SAME"):
+        if enabled:
+            return conv2d_lanepack(v, k, pnum, padding=padding)
+        return conv2d(v, k, padding=((1, 1), (1, 1)) if padding == "SAME" else "VALID")
+
+    def one_res(h, kpair):
+        k1, k2 = kpair
+        r = inr(conv_pad(h, k1, 1))
+        return h + innorm(conv_pad(r, k2, 1))
+
+    res_stack = (
+        jnp.stack([k1 for k1, _ in p["res"]]),
+        jnp.stack([k2 for _, k2 in p["res"]]),
+    )
+
+    def fwd(v):
+        x0 = lp(reflect_pad2d(v.astype(DT), 3), p["inc"], 2, lp_inc, padding="VALID")
+        x0 = inr(x0)
+        x1 = down_blur(inr(conv2d(x0, p["d1"], padding=((1, 1), (1, 1)))))
+        h = down_blur(inr(conv2d(x1, p["d2"], padding=((1, 1), (1, 1)))))
+        if res_scan:
+            h = jax.lax.scan(
+                lambda c, ks: (one_res(c, ks), None), h, res_stack
+            )[0]
+        else:
+            for k1, k2 in p["res"]:
+                h = one_res(h, (k1, k2))
+        y = up_blur(h)
+        ca = y.shape[-1]
+        y = inr(conv2d(y, p["u1"][:, :, :ca], padding=((1, 1), (1, 1)))
+                + conv2d(x1, p["u1"][:, :, ca:], padding=((1, 1), (1, 1))))
+        y = up_blur(y)
+        ca = y.shape[-1]
+        y = inr(lp(y, p["u2"][:, :, :ca], 2, lp_up2)
+                + lp(x0, p["u2"][:, :, ca:], 2, lp_up2))
+        return jnp.tanh(lp(reflect_pad2d(y, 3), p["out"], 32, lp_outc, padding="VALID"))
+
+    return fwd
+
+
+_BASE = dict(down_blur=blur_downsample, up_blur=blur_upsample_aa)
+VARIANTS = {
+    "base": dict(_BASE),
+    "dw_blurs": dict(down_blur=dw_blur_down, up_blur=dw_blur_up),
+    "dw_up_only": dict(_BASE, up_blur=dw_blur_up),
+    "dw_down_only": dict(_BASE, down_blur=dw_blur_down),
+    "no_in": dict(_BASE, use_in=False),
+    "zero_pads": dict(_BASE, pad_mode="zero"),
+    "no_lp_inc": dict(_BASE, lp_inc=False),
+    "no_lp_up2": dict(_BASE, lp_up2=False),
+    "no_lp_outc": dict(_BASE, lp_outc=False),
+    "no_lp_all": dict(_BASE, lp_inc=False, lp_up2=False, lp_outc=False),
+    # composite of the measured in-context winners
+    "best": dict(_BASE, down_blur=dw_blur_down, lp_inc=False, lp_up2=False),
+    "best_in1p": dict(
+        _BASE, down_blur=dw_blur_down, lp_inc=False, lp_up2=False, in_onepass=True
+    ),
+    "best_scan": dict(
+        _BASE, down_blur=dw_blur_down, lp_inc=False, lp_up2=False, res_scan=True
+    ),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(1)
+    ir = jnp.asarray(rng.rand(B, 512, 640, 1).astype(np.float32) * 2 - 1)
+    base = None
+    for name in args.variants.split(","):
+        fwd = build_forward(**VARIANTS[name])
+        t = time_fn(fwd, ir, iters=args.iters)
+        if name == "base":
+            base = t
+        rel = f"  ({(t - base) * 1e3:+6.2f} ms vs base)" if base is not None and name != "base" else ""
+        print(f"{name:14s} {t * 1e3:8.2f} ms  {B / t:6.1f} fps{rel}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
