@@ -3,8 +3,9 @@
 Isolated stage timings (tools/stagebench.py) don't add up to the full graph
 — XLA schedules/fuses differently in context. Timing prefixes of the real
 composition and differencing adjacent prefixes attributes wall time
-in-context. Uses the same ops the model uses (incl. lane-packed inc/up2/
-outc and concat-free skip convs). Run SERIALLY on TPU.
+in-context. Uses the same ops the model uses (round-2 shipped config:
+depthwise down-blur, matmul up-blur, lane-packing only at outc, one-pass
+IN stats, concat-free skip convs). Run SERIALLY on TPU.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
 from ircolor_tpu.ops.conv import conv2d, conv2d_lanepack
-from ircolor_tpu.ops.norm import instance_norm
+from ircolor_tpu.ops.norm import instance_norm_onepass as instance_norm
 from ircolor_tpu.ops.padding import reflect_pad2d
 
 DT = jnp.bfloat16
@@ -87,7 +88,7 @@ def main():
 
         def s_inc(v):
             nonlocal x0
-            x0 = inr(conv2d_lanepack(reflect_pad2d(v.astype(DT), 3), p["inc"], 2, padding="VALID"))
+            x0 = inr(conv2d(reflect_pad2d(v.astype(DT), 3), p["inc"], padding="VALID"))
             return x0
 
         def s_d1(v):
@@ -116,8 +117,8 @@ def main():
         def s_up2(v):
             y = blur_upsample_aa(v)
             ca = y.shape[-1]
-            y2 = conv2d_lanepack(y, p["u2"][:, :, :ca], 2) + conv2d_lanepack(
-                x0, p["u2"][:, :, ca:], 2
+            y2 = conv2d(y, p["u2"][:, :, :ca], padding=((1, 1), (1, 1))) + conv2d(
+                x0, p["u2"][:, :, ca:], padding=((1, 1), (1, 1))
             )
             return inr(y2)
 
