@@ -43,7 +43,6 @@ from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
 from ircolor_tpu.ops.resize import upsample2x_align_corners
 
 DT = jnp.bfloat16
-B = 16
 
 
 def _chained_runner(fn, x0, iters):
@@ -197,10 +196,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=640)
     args = ap.parse_args()
 
     rng = np.random.RandomState(1)
-    ir = jnp.asarray(rng.rand(B, 512, 640, 1).astype(np.float32) * 2 - 1)
+    b = args.batch
+    ir = jnp.asarray(rng.rand(b, args.height, args.width, 1).astype(np.float32) * 2 - 1)
     base = None
     for name in args.variants.split(","):
         fwd = build_forward(**VARIANTS[name])
@@ -208,7 +211,7 @@ def main():
         if name == "base":
             base = t
         rel = f"  ({(t - base) * 1e3:+6.2f} ms vs base)" if base is not None and name != "base" else ""
-        print(f"{name:14s} {t * 1e3:8.2f} ms  {B / t:6.1f} fps{rel}", flush=True)
+        print(f"{name:14s} {t * 1e3:8.2f} ms  {b / t:6.1f} fps{rel}", flush=True)
 
 
 if __name__ == "__main__":
