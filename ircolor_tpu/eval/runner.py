@@ -21,6 +21,7 @@ a writer thread pool.
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Any
@@ -37,6 +38,7 @@ from ircolor_tpu.export.collage import make_comparison_collage, save_comparison_
 from ircolor_tpu.export.topk import save_best_k_outputs, write_metrics_csv
 from ircolor_tpu.models.wrapper import IRColorizationModel
 from ircolor_tpu.utils.logging import get_logger
+from ircolor_tpu.utils.timing import start_transfer_warmup
 
 log = get_logger(__name__)
 
@@ -47,10 +49,25 @@ def make_infer_fn(module: Any):
     Metrics are computed against the quantized prediction (ref :1413 parity).
     ``params`` may be a bare param tree or a full variables dict (with
     ``batch_stats`` for norm="batch" models).
+
+    Inputs may use the integer transport encoding (3.2× less H2D — matters
+    on bandwidth-limited links): ``ir`` as uint16 ``round(ir01·65535)`` and
+    ``gt01`` as uint8 ``round(gt01·255)``. The integer sample values are
+    transported exactly (k/255 == 257k/65535 as rationals; m/65535 for
+    16-bit IR); the device-side divide can differ from the host-float path
+    by 1 ulp (XLA strength-reduces /c to ·(1/c)), which moves metrics by
+    ≲1e-7 — four orders below the 0.05 dB / 0.005 SSIM parity budget —
+    and leaves uint8 predictions identical in practice. Float inputs keep
+    the original meaning (ir in [-1,1], gt in [0,1]); the dtype dispatch is
+    trace-time static.
     """
 
     @partial(jax.jit, static_argnums=())
     def infer(params, ir, gt01):
+        if ir.dtype == jnp.uint16:
+            ir = ir.astype(jnp.float32) / 65535.0 * 2.0 - 1.0
+        if gt01.dtype == jnp.uint8:
+            gt01 = gt01.astype(jnp.float32) / 255.0
         variables = params if "params" in params else {"params": params}
         fake = module.apply(variables, ir, train=False)      # (B,H,W,3) [-1,1]
         pred01q = quantize_to_uint8_01((fake + 1.0) / 2.0)
@@ -80,6 +97,17 @@ def _decode_one(entry: tuple[str, str, str], size_hw: tuple[int, int]):
 def run_test(cfg: Config) -> dict[str, Any]:
     """Batched test mode; returns the summary dict (also printed/saved)."""
     log.info("[TEST] Devices: %s", jax.devices())
+    # Overlap the backend's first-D2H handshake with the host-side dataset
+    # scan, then JOIN before any other device work — concurrent RPCs during
+    # model init/compile can wedge relay-attached transports.
+    warmup = start_transfer_warmup()
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    if not cfg.test_roots:
+        raise ValueError("cfg.test_roots is empty. Please set cfg.test_roots to KAIST set paths.")
+    entries = collect_kaist_ir_files_from_sets(list(cfg.test_roots))
+    log.info("Found %d IR images across test sets: %s", len(entries), list(cfg.test_roots))
+    warmup.join()
 
     model = IRColorizationModel(cfg)
     if cfg.test_G_weights is not None and os.path.isfile(cfg.test_G_weights):
@@ -91,15 +119,19 @@ def run_test(cfg: Config) -> dict[str, Any]:
             "generator is randomly initialized, results will be meaningless."
         )
 
-    os.makedirs(cfg.output_dir, exist_ok=True)
-    if not cfg.test_roots:
-        raise ValueError("cfg.test_roots is empty. Please set cfg.test_roots to KAIST set paths.")
-    entries = collect_kaist_ir_files_from_sets(list(cfg.test_roots))
-    log.info("Found %d IR images across test sets: %s", len(entries), list(cfg.test_roots))
-
     size_hw = cfg.resolved_hw
     bsz = max(1, cfg.test_batch_size)
-    infer = make_infer_fn(model.module)
+    base_infer = make_infer_fn(model.module)
+
+    _MKEYS = ("mae", "mse", "psnr", "ssim")
+
+    @jax.jit
+    def infer(params, ir, gt):
+        # Stack per-image metrics into ONE device buffer so consume() pays a
+        # single D2H fetch instead of four (each fetch is an RPC round-trip
+        # on relay-attached transports).
+        pred_u8, m = base_infer(params, ir, gt)
+        return pred_u8, jnp.stack([m[k] for k in _MKEYS])
 
     metrics_list: list[dict[str, Any]] = []
     sums = {"mae": 0.0, "mse": 0.0, "psnr": 0.0, "ssim": 0.0}
@@ -125,7 +157,8 @@ def run_test(cfg: Config) -> dict[str, Any]:
         """Materialize one batch's device results and write artifacts."""
         nonlocal count, best_psnr, best_psnr_sample, best_ssim, best_ssim_sample, done
         pred_u8 = np.asarray(pred_dev)
-        m = {k: np.asarray(v) for k, v in m_dev.items()}
+        m_stack = np.asarray(m_dev)  # (4, B): one fetch for all metrics
+        m = {k: m_stack[i] for i, k in enumerate(_MKEYS)}
         n = len(decoded)
         for j in range(n):
             ir01, gt01, out_rel, base, gt_path, has_vis_dir = decoded[j]
@@ -189,6 +222,10 @@ def run_test(cfg: Config) -> dict[str, Any]:
     # serial per image, ref :1379-1465).
     pending = decode_pool.submit(decode_batch, batches[0]) if batches else None
     in_flight = None
+    _ir_scratch = np.empty(size_hw, np.float32)
+    _gt_scratch = np.empty((*size_hw, 3), np.float32)
+    t_pipeline0 = time.perf_counter()
+    t_steady0 = None  # set after the first batch is consumed (excludes compile)
     for bi, batch in enumerate(batches):
         decoded = pending.result()
         pending = (
@@ -197,18 +234,24 @@ def run_test(cfg: Config) -> dict[str, Any]:
             else None
         )
 
-        ir_np = np.zeros((bsz, *size_hw, 1), np.float32)
-        gt_np = np.zeros((bsz, *size_hw, 3), np.float32)
+        # Integer transport encoding (exact; see make_infer_fn): uint16 IR +
+        # uint8 GT cut the per-batch upload 84 MB → 26 MB at 512×640 b16.
+        ir_np = np.zeros((bsz, *size_hw, 1), np.uint16)
+        gt_np = np.zeros((bsz, *size_hw, 3), np.uint8)
         has_gt = np.zeros((bsz,), bool)
         for j, (ir01, gt01, *_rest) in enumerate(decoded):
-            ir_np[j, :, :, 0] = ir01 * 2.0 - 1.0
+            np.rint(ir01 * 65535.0, out=_ir_scratch)
+            ir_np[j, :, :, 0] = _ir_scratch
             if gt01 is not None:
-                gt_np[j] = gt01
+                np.rint(gt01 * 255.0, out=_gt_scratch)
+                gt_np[j] = _gt_scratch
                 has_gt[j] = True
 
         pred_dev, m_dev = infer(variables, jnp.asarray(ir_np), jnp.asarray(gt_np))
         if in_flight is not None:
             consume(*in_flight)
+            if t_steady0 is None:
+                t_steady0, done_at_steady = time.perf_counter(), done
         in_flight = (decoded, has_gt, pred_dev, m_dev)
     if in_flight is not None:
         consume(*in_flight)
@@ -217,7 +260,16 @@ def run_test(cfg: Config) -> dict[str, Any]:
         f.result()
     decode_pool.shutdown()
     writer_pool.shutdown()
+    t_end = time.perf_counter()
     log.info("Test finished.")
+    if done:
+        log.info(
+            "End-to-end: %d frames in %.1f s (%.1f frames/s incl. first-batch "
+            "compile/fetch)", done, t_end - t_pipeline0, done / (t_end - t_pipeline0),
+        )
+        if t_steady0 is not None and done > done_at_steady:
+            rate = (done - done_at_steady) / (t_end - t_steady0)
+            log.info("Steady-state (decode+infer+metrics+write): %.1f frames/s", rate)
 
     summary: dict[str, Any] = {"count": count}
     if count > 0:

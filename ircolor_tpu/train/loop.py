@@ -39,6 +39,7 @@ from ircolor_tpu.train.checkpoint import (
 from ircolor_tpu.train.state import create_train_state
 from ircolor_tpu.train.step import make_train_step, make_val_step
 from ircolor_tpu.utils.logging import JsonlLogger, get_logger
+from ircolor_tpu.utils.timing import start_transfer_warmup
 
 log = get_logger(__name__)
 
@@ -57,6 +58,10 @@ def train_kaist(
         jax.config.update("jax_debug_nans", True)
     h, w = cfg.resolved_hw
     log.info("[TRAIN] Devices: %s", jax.devices())
+    # Overlap the backend's first-D2H handshake with the host-side dataset
+    # scan, then JOIN before any other device work — concurrent RPCs during
+    # state init/compile can wedge relay-attached transports.
+    warmup = start_transfer_warmup()
 
     # ---- data: one scan, seed-42 split (ref :1555-1573 collapses to this) ----
     all_ir, all_rgb = scan_kaist_pairs(list(cfg.train_roots))
@@ -74,6 +79,7 @@ def train_kaist(
         [all_ir[i] for i in val_idx], [all_rgb[i] for i in val_idx],
         size_hw=(h, w), augment=False,
     )
+    warmup.join()
 
     shard_count = max(1, jax.process_count())
     train_loader = BatchLoader(

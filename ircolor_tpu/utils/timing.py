@@ -74,3 +74,34 @@ def profiler_trace(logdir: str | None) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def start_transfer_warmup() -> "threading.Thread":
+    """Kick off the backend's FIRST device→host transfer on a daemon thread.
+
+    Some remote-attached TPU transports (e.g. the axon relay used in dev)
+    spend 1.5–2.5 minutes of wall clock completing the first D2H fetch of a
+    process — a one-time handshake, after which transfers run at full rate
+    (measured: first 64 KB fetch 94–158 s, subsequent 4 MB fetches ~0.13 s).
+    Calling this at runtime startup overlaps that handshake with HOST-ONLY
+    work (dataset scan, decode); callers must ``join()`` the returned thread
+    before issuing any other device op — concurrent RPCs during compile/init
+    have been observed to wedge the relay transport. On directly-attached
+    TPUs the fetch costs microseconds — always safe to call.
+    """
+    import threading
+
+    import jax.numpy as jnp
+
+    def _warm() -> None:
+        try:
+            import numpy as _np
+
+            x = jnp.zeros((8, 128), jnp.float32) + 1.0
+            _np.asarray(x)
+        except Exception:
+            pass  # warmup is best-effort; real transfers will pay instead
+
+    t = threading.Thread(target=_warm, name="d2h-warmup", daemon=True)
+    t.start()
+    return t

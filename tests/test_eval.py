@@ -161,3 +161,38 @@ def test_topk_and_csv_ssim_none_paths(tmp_path):
     text = open(csv_path).read()
     assert ",20.000000,\n" in text      # empty per-image ssim cell
     assert "# mean_ssim,\n" in text     # empty summary ssim line
+
+
+def test_integer_transport_encoding_is_exact():
+    """uint16 IR / uint8 GT transport: bit-identical uint8 predictions; the
+    metrics may differ by the 1-ulp constant-divide strength reduction
+    (make_infer_fn docstring invariant)."""
+    import jax.numpy as jnp
+
+    from ircolor_tpu.eval.runner import make_infer_fn
+    from ircolor_tpu.models.wrapper import generator_from_config
+
+    cfg = Config(img_size=32, n_blocks=1, ngf=8)
+    module = generator_from_config(cfg)
+    rng = np.random.RandomState(0)
+    # Values exactly representable as k/255 (8-bit sources) and m/65535.
+    ir_k = rng.randint(0, 256, (2, 32, 32, 1)).astype(np.float32)
+    gt_k = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.float32)
+    ir01 = ir_k / 255.0
+    gt01 = gt_k / 255.0
+
+    import jax
+
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    infer = make_infer_fn(module)
+
+    pred_f, m_f = infer(params, jnp.asarray(ir01 * 2.0 - 1.0), jnp.asarray(gt01))
+    ir_u16 = np.rint(ir01 * 65535.0).astype(np.uint16)
+    gt_u8 = np.rint(gt01 * 255.0).astype(np.uint8)
+    pred_i, m_i = infer(params, jnp.asarray(ir_u16), jnp.asarray(gt_u8))
+
+    np.testing.assert_array_equal(np.asarray(pred_f), np.asarray(pred_i))
+    for k in m_f:
+        np.testing.assert_allclose(
+            np.asarray(m_f[k]), np.asarray(m_i[k]), rtol=1e-5, atol=1e-6
+        )
