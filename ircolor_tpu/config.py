@@ -114,6 +114,12 @@ class Config:
     # XLA conv/matmul precision for f32 path ("default" | "highest").
     conv_precision: str = "highest"
 
+    # Host→device batch transport: "int" ships uint16 IR + uint8 RGB (the
+    # exact integer sample values, decoded inside the jitted step — 1/3 the
+    # bytes, which matters on PCIe and is decisive on relay-attached dev
+    # TPUs); "float" ships reference-layout float32 [-1,1] batches.
+    batch_transport: str = "int"
+
     # Data-parallel mesh: number of devices on the 'data' axis (0 = all).
     dp_devices: int = 0
     # DP implementation: "gspmd" (XLA inserts the gradient all-reduces) or

@@ -199,3 +199,37 @@ class KAISTPairDataset:
             "ir": (ir[:, :, None] * 2.0 - 1.0).astype(np.float32),
             "rgb": (rgb * 2.0 - 1.0).astype(np.float32),
         }
+
+    def int_item(self, idx: int) -> dict[str, np.ndarray]:
+        """Integer-transport sample: ``{'ir': uint16 HW1, 'rgb': uint8 HWC}``
+        with the flip applied — 1/3 the host→device bytes of the float form.
+
+        Encodes the EXACT values ``__getitem__`` would produce (the jitted
+        step decodes, train/step.py:_decode_transport): 8-bit IR value k →
+        257·k (k/255 == 257k/65535 as rationals); the reference's max≤1
+        no-normalize quirk (ref :822-827: images whose values are all 0/1
+        skip the divide) → k·65535; RGB value k → k (÷255 on device).
+        """
+        import cv2
+
+        ir_u = cv2.imread(self.ir_paths[idx], cv2.IMREAD_GRAYSCALE)
+        if ir_u is None:
+            raise RuntimeError(f"Could not read IR image: {self.ir_paths[idx]}")
+        rgb_u = cv2.imread(self.rgb_paths[idx], cv2.IMREAD_COLOR)
+        if rgb_u is None:
+            raise RuntimeError(f"Could not read RGB image: {self.rgb_paths[idx]}")
+        h, w = self.size_hw
+        ir_u = cv2.resize(ir_u, (w, h), interpolation=cv2.INTER_AREA)
+        rgb_u = cv2.resize(
+            cv2.cvtColor(rgb_u, cv2.COLOR_BGR2RGB), (w, h),
+            interpolation=cv2.INTER_AREA,
+        )
+        scale = 65535 if ir_u.max() <= 1 else 257  # ref :822-827 quirk
+        ir16 = ir_u.astype(np.uint16) * np.uint16(scale)
+        if self._flip(idx):
+            ir16 = np.fliplr(ir16)
+            rgb_u = np.fliplr(rgb_u)
+        return {
+            "ir": np.ascontiguousarray(ir16[:, :, None]),
+            "rgb": np.ascontiguousarray(rgb_u),
+        }

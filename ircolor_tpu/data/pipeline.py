@@ -69,9 +69,12 @@ class BatchLoader:
         shard_index: int = 0,
         shard_count: int = 1,
         use_native: bool = True,
+        transport: str = "float",
     ) -> None:
         if batch_size % shard_count != 0:
             raise ValueError("global batch_size must divide by shard_count")
+        if transport not in ("float", "int"):
+            raise ValueError(f"transport must be 'float' or 'int', got {transport!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -82,6 +85,12 @@ class BatchLoader:
         self.shard_index = shard_index
         self.shard_count = shard_count
         self._epoch = 0
+        # 'int': uint16 IR + uint8 RGB batches (1/3 the H2D bytes; the jitted
+        # step decodes — train/step.py:_decode_transport). Assembly is a
+        # flip+stack of integer arrays, so the native f32 assembler is moot.
+        self.transport = transport
+        if transport == "int":
+            use_native = False
         if use_native:
             from ircolor_tpu.data import native
 
@@ -132,6 +141,10 @@ class BatchLoader:
                     for b in batches:
                         if stop.is_set():
                             return
+                        if self.transport == "int":
+                            samples = list(pool.map(self.dataset.int_item, b))
+                            out_q.put(_stack(samples))
+                            continue
                         if self.use_native:
                             raw = list(pool.map(self.dataset.raw_item, b))
                             if all(r is not None for r in raw):

@@ -86,11 +86,13 @@ def train_kaist(
         train_ds, cfg.batch_size, shuffle=True, drop_last=True,
         num_workers=cfg.num_workers, seed=cfg.seed,
         shard_index=jax.process_index(), shard_count=shard_count,
+        transport=cfg.batch_transport,
     )
     val_loader = BatchLoader(
         val_ds, cfg.batch_size, shuffle=False, drop_last=False,
         num_workers=cfg.num_workers,
         shard_index=jax.process_index(), shard_count=shard_count,
+        transport=cfg.batch_transport,
     )
     steps_per_epoch = len(train_loader)
     if max_steps_per_epoch is not None:

@@ -40,6 +40,21 @@ from ircolor_tpu.losses.tv import tv_loss
 from ircolor_tpu.train.state import TrainState
 
 
+def _decode_transport(ir: jnp.ndarray, rgb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace-time decode of the integer batch transport (see BatchLoader).
+
+    Batches may arrive as uint16 IR (``k·257`` for 8-bit sources — exactly
+    k/255 as a rational — or the raw 16-bit value) and uint8 RGB, at 1/3 the
+    host→device bytes of float32. Float batches pass through unchanged (the
+    [-1,1] convention of the reference, ref :855-862, :1170-1177).
+    """
+    if ir.dtype == jnp.uint16:
+        ir = ir.astype(jnp.float32) / 65535.0 * 2.0 - 1.0
+    if rgb.dtype == jnp.uint8:
+        rgb = rgb.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    return ir, rgb
+
+
 def make_train_step(
     cfg: Config,
     g_module: Any,
@@ -87,7 +102,7 @@ def make_train_step(
         return out, upd["batch_stats"]
 
     def step_fn(state: TrainState, batch: dict[str, jnp.ndarray], vgg_params: Any):
-        ir, rgb = batch["ir"], batch["rgb"]
+        ir, rgb = _decode_transport(batch["ir"], batch["rgb"])
 
         # ONE generator forward serves both phases. The reference runs G
         # twice per step (no-grad for D at ref :1637-1638, with grad at
@@ -216,10 +231,11 @@ def make_val_step(g_module: Any) -> Callable[..., jnp.ndarray]:
     """
 
     def val_fn(g_params, batch, g_stats=None):
+        ir, rgb = _decode_transport(batch["ir"], batch["rgb"])
         variables = {"params": g_params}
         if g_stats:
             variables["batch_stats"] = g_stats
-        fake = g_module.apply(variables, batch["ir"], train=False)
-        return jnp.mean(jnp.abs(fake - batch["rgb"]), axis=(1, 2, 3))
+        fake = g_module.apply(variables, ir, train=False)
+        return jnp.mean(jnp.abs(fake - rgb), axis=(1, 2, 3))
 
     return jax.jit(val_fn)

@@ -210,3 +210,30 @@ def test_augmentation_deterministic_across_threads(kaist_tree):
         ds2.set_epoch(epoch)
         flips_by_epoch.add(tuple(ds2._flip(i) for i in range(len(ds2))))
     assert len(flips_by_epoch) > 1
+
+
+def test_int_item_encodes_getitem_exactly(kaist_tree):
+    """uint16/uint8 transport decodes to the exact float values __getitem__
+    produces (train/step.py:_decode_transport contract)."""
+    root, _ = kaist_tree
+    ds = KAISTPairDataset.from_roots([os.path.join(root, "set00")],
+                                     size_hw=(32, 32), augment=True, seed=3)
+    ds.set_epoch(2)
+    for idx in range(min(4, len(ds))):
+        f = ds[idx]
+        i = ds.int_item(idx)
+        assert i["ir"].dtype == np.uint16 and i["rgb"].dtype == np.uint8
+        ir_dec = i["ir"].astype(np.float32) / 65535.0 * 2.0 - 1.0
+        rgb_dec = i["rgb"].astype(np.float32) / 255.0 * 2.0 - 1.0
+        np.testing.assert_array_equal(ir_dec, f["ir"])
+        np.testing.assert_array_equal(rgb_dec, f["rgb"])
+
+
+def test_batch_loader_int_transport(kaist_tree):
+    root, _ = kaist_tree
+    ds = KAISTPairDataset.from_roots([os.path.join(root, "set00")],
+                                     size_hw=(32, 32), augment=False)
+    loader = BatchLoader(ds, 2, transport="int", num_workers=2)
+    batch = next(iter(loader))
+    assert batch["ir"].dtype == np.uint16 and batch["ir"].shape == (2, 32, 32, 1)
+    assert batch["rgb"].dtype == np.uint8 and batch["rgb"].shape == (2, 32, 32, 3)

@@ -263,3 +263,35 @@ def test_single_forward_step_matches_two_forward_reference(step_setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(got.d_params), jax.tree_util.tree_leaves(want.d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
+
+
+def test_int_transport_step_matches_float(step_setup):
+    """A step fed the integer-encoded batch must produce the same losses and
+    params as the float batch (transport exactness through the whole D+G
+    update; tolerance covers the 1-ulp constant-divide strength reduction)."""
+    cfg, state, step, batch, (_, _, _, vgg_params) = step_setup
+    ir01 = (np.asarray(batch["ir"]) + 1.0) / 2.0
+    rgb01 = (np.asarray(batch["rgb"]) + 1.0) / 2.0
+    # Quantize to representable sample values so both encodings are exact.
+    ir01 = np.rint(ir01 * 255.0) / np.float32(255.0)
+    rgb01 = np.rint(rgb01 * 255.0) / np.float32(255.0)
+    fbatch = {
+        "ir": jnp.asarray((ir01 * 2.0 - 1.0).astype(np.float32)),
+        "rgb": jnp.asarray((rgb01 * 2.0 - 1.0).astype(np.float32)),
+    }
+    ibatch = {
+        "ir": jnp.asarray((np.rint(ir01 * 255.0) * 257).astype(np.uint16)),
+        "rgb": jnp.asarray(np.rint(rgb01 * 255.0).astype(np.uint8)),
+    }
+    s_f, m_f = step(state, fbatch, vgg_params)
+    s_i, m_i = step(state, ibatch, vgg_params)
+    for k in m_f:
+        np.testing.assert_allclose(float(m_f[k]), float(m_i[k]), rtol=2e-4, atol=2e-5)
+    # NOTE: post-Adam params are NOT compared — at step 1 Adam's update is
+    # ±lr·sign(grad), so a 1-ulp input difference flips near-zero-gradient
+    # entries by 2·lr. The val step (pure forward) must agree tightly:
+    g_mod = step_setup[4][0]
+    val = make_val_step(g_mod)
+    v_f = np.asarray(val(state.g_params, fbatch))
+    v_i = np.asarray(val(state.g_params, ibatch))
+    np.testing.assert_allclose(v_f, v_i, rtol=1e-5, atol=1e-6)
