@@ -169,26 +169,25 @@ def build_forward(
     return fwd
 
 
-_BASE = dict(down_blur=blur_downsample, up_blur=blur_upsample_aa)
+# "base" = the SHIPPED model configuration (round 2 winners): depthwise
+# down-blur (blur_downsample's default), matmul up-blur, lane-packing only
+# at outc, one-pass IN stats. Other variants flip one knob AWAY from it so
+# future measurements test against what actually runs.
+_BASE = dict(
+    down_blur=blur_downsample, up_blur=blur_upsample_aa,
+    lp_inc=False, lp_up2=False, in_onepass=True,
+)
 VARIANTS = {
     "base": dict(_BASE),
-    "dw_blurs": dict(down_blur=dw_blur_down, up_blur=dw_blur_up),
-    "dw_up_only": dict(_BASE, up_blur=dw_blur_up),
-    "dw_down_only": dict(_BASE, down_blur=dw_blur_down),
-    "no_in": dict(_BASE, use_in=False),
-    "zero_pads": dict(_BASE, pad_mode="zero"),
-    "no_lp_inc": dict(_BASE, lp_inc=False),
-    "no_lp_up2": dict(_BASE, lp_up2=False),
+    "matmul_down": dict(_BASE, down_blur=lambda x: blur_downsample(x, use_matmul=True)),
+    "dw_up": dict(_BASE, up_blur=dw_blur_up),
+    "twopass_in": dict(_BASE, in_onepass=False),
+    "no_in": dict(_BASE, use_in=False),                # knockout, not shippable
+    "zero_pads": dict(_BASE, pad_mode="zero"),         # knockout, not shippable
+    "lp_inc": dict(_BASE, lp_inc=True),
+    "lp_up2": dict(_BASE, lp_up2=True),
     "no_lp_outc": dict(_BASE, lp_outc=False),
-    "no_lp_all": dict(_BASE, lp_inc=False, lp_up2=False, lp_outc=False),
-    # composite of the measured in-context winners
-    "best": dict(_BASE, down_blur=dw_blur_down, lp_inc=False, lp_up2=False),
-    "best_in1p": dict(
-        _BASE, down_blur=dw_blur_down, lp_inc=False, lp_up2=False, in_onepass=True
-    ),
-    "best_scan": dict(
-        _BASE, down_blur=dw_blur_down, lp_inc=False, lp_up2=False, res_scan=True
-    ),
+    "res_scan": dict(_BASE, res_scan=True),
 }
 
 
