@@ -167,19 +167,14 @@ class KAISTPairDataset:
     def __len__(self) -> int:
         return len(self.ir_paths)
 
-    def raw_item(self, idx: int):
-        """Fast path for the native batch assembler: resized uint8 images +
-        a deferred flip flag (normalize/flip/stack happen in C++,
-        ``ircolor_tpu.data.native``). Returns None for non-8-bit sources
-        (16-bit TIFF IR goes through the float path, ref :822-827).
-        """
+    def _read_pair(self, idx: int):
+        """Shared decode for the fast paths: resized IR (native dtype, as
+        ``load_ir_image`` reads it) + resized uint8 RGB (BGR→RGB)."""
         import cv2
 
         ir_u = cv2.imread(self.ir_paths[idx], cv2.IMREAD_GRAYSCALE)
         if ir_u is None:
             raise RuntimeError(f"Could not read IR image: {self.ir_paths[idx]}")
-        if ir_u.dtype != np.uint8:
-            return None
         rgb_u = cv2.imread(self.rgb_paths[idx], cv2.IMREAD_COLOR)
         if rgb_u is None:
             raise RuntimeError(f"Could not read RGB image: {self.rgb_paths[idx]}")
@@ -187,6 +182,17 @@ class KAISTPairDataset:
         ir_u = cv2.resize(ir_u, (w, h), interpolation=cv2.INTER_AREA)
         rgb_u = cv2.cvtColor(rgb_u, cv2.COLOR_BGR2RGB)
         rgb_u = cv2.resize(rgb_u, (w, h), interpolation=cv2.INTER_AREA)
+        return ir_u, rgb_u
+
+    def raw_item(self, idx: int):
+        """Fast path for the native batch assembler: resized uint8 images +
+        a deferred flip flag (normalize/flip/stack happen in C++,
+        ``ircolor_tpu.data.native``). Returns None for non-8-bit sources
+        (16-bit TIFF IR goes through the float path, ref :822-827).
+        """
+        ir_u, rgb_u = self._read_pair(idx)
+        if ir_u.dtype != np.uint8:
+            return None
         return ir_u[:, :, None], rgb_u, self._flip(idx)
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
@@ -206,25 +212,19 @@ class KAISTPairDataset:
 
         Encodes the EXACT values ``__getitem__`` would produce (the jitted
         step decodes, train/step.py:_decode_transport): 8-bit IR value k →
-        257·k (k/255 == 257k/65535 as rationals); the reference's max≤1
-        no-normalize quirk (ref :822-827: images whose values are all 0/1
-        skip the divide) → k·65535; RGB value k → k (÷255 on device).
+        257·k (k/255 == 257k/65535 as rationals); 16-bit IR value m → m
+        (÷65535 on device, matching load_ir_image's 16-bit branch); the
+        reference's max≤1 no-normalize quirk (ref :822-827: images whose
+        values are all 0/1 skip the divide) → k·65535; RGB value k → k
+        (÷255 on device).
         """
-        import cv2
-
-        ir_u = cv2.imread(self.ir_paths[idx], cv2.IMREAD_GRAYSCALE)
-        if ir_u is None:
-            raise RuntimeError(f"Could not read IR image: {self.ir_paths[idx]}")
-        rgb_u = cv2.imread(self.rgb_paths[idx], cv2.IMREAD_COLOR)
-        if rgb_u is None:
-            raise RuntimeError(f"Could not read RGB image: {self.rgb_paths[idx]}")
-        h, w = self.size_hw
-        ir_u = cv2.resize(ir_u, (w, h), interpolation=cv2.INTER_AREA)
-        rgb_u = cv2.resize(
-            cv2.cvtColor(rgb_u, cv2.COLOR_BGR2RGB), (w, h),
-            interpolation=cv2.INTER_AREA,
-        )
-        scale = 65535 if ir_u.max() <= 1 else 257  # ref :822-827 quirk
+        ir_u, rgb_u = self._read_pair(idx)
+        if ir_u.max() <= 1:          # ref :822-827 quirk: divide skipped
+            scale = 65535
+        elif ir_u.dtype == np.uint8:
+            scale = 257              # k/255 == 257k/65535 exactly
+        else:
+            scale = 1                # 16-bit source: raw value, ÷65535
         ir16 = ir_u.astype(np.uint16) * np.uint16(scale)
         if self._flip(idx):
             ir16 = np.fliplr(ir16)

@@ -75,6 +75,11 @@ class BatchLoader:
             raise ValueError("global batch_size must divide by shard_count")
         if transport not in ("float", "int"):
             raise ValueError(f"transport must be 'float' or 'int', got {transport!r}")
+        if transport == "int" and not hasattr(dataset, "int_item"):
+            raise TypeError(
+                f"transport='int' needs a dataset with int_item(); "
+                f"{type(dataset).__name__} has none"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -141,6 +141,10 @@ def run_test(cfg: Config) -> dict[str, Any]:
     done = 0
 
     decode_pool = ThreadPoolExecutor(max_workers=max(1, cfg.num_workers))
+    # Separate orchestrator thread: decode_batch fans out onto decode_pool,
+    # so submitting it to decode_pool itself would deadlock at num_workers=1
+    # (the orchestrating task occupies the only worker its map tasks need).
+    prefetch_pool = ThreadPoolExecutor(max_workers=1)
     writer_pool = ThreadPoolExecutor(max_workers=max(1, cfg.num_workers))
     write_futures: list[Any] = []
 
@@ -220,7 +224,7 @@ def run_test(cfg: Config) -> dict[str, Any]:
     # (np.asarray forces the D2H) — so host fetch/writes overlap device
     # compute instead of serializing per batch (the reference is fully
     # serial per image, ref :1379-1465).
-    pending = decode_pool.submit(decode_batch, batches[0]) if batches else None
+    pending = prefetch_pool.submit(decode_batch, batches[0]) if batches else None
     in_flight = None
     _ir_scratch = np.empty(size_hw, np.float32)
     _gt_scratch = np.empty((*size_hw, 3), np.float32)
@@ -229,7 +233,7 @@ def run_test(cfg: Config) -> dict[str, Any]:
     for bi, batch in enumerate(batches):
         decoded = pending.result()
         pending = (
-            decode_pool.submit(decode_batch, batches[bi + 1])
+            prefetch_pool.submit(decode_batch, batches[bi + 1])
             if bi + 1 < len(batches)
             else None
         )
@@ -259,6 +263,7 @@ def run_test(cfg: Config) -> dict[str, Any]:
     for f in write_futures:
         f.result()
     decode_pool.shutdown()
+    prefetch_pool.shutdown()
     writer_pool.shutdown()
     t_end = time.perf_counter()
     log.info("Test finished.")

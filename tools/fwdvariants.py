@@ -134,6 +134,16 @@ def build_forward(
             return conv2d_lanepack(v, k, pnum, padding=padding)
         return conv2d(v, k, padding=((1, 1), (1, 1)) if padding == "SAME" else "VALID")
 
+    def pad7_conv(v, k, pnum, enabled):
+        """7×7 head conv: reflect pre-pad (real model) or, in the zero_pads
+        knockout, zero padding folded into the conv — so the knockout covers
+        the inc/outc pads too, not just the 18 resblock pads."""
+        if pad_mode == "reflect":
+            return lp(reflect_pad2d(v, 3), k, pnum, enabled, padding="VALID")
+        if enabled:
+            return conv2d_lanepack(v, k, pnum, padding=((3, 3), (3, 3)))
+        return conv2d(v, k, padding=((3, 3), (3, 3)))
+
     def one_res(h, kpair):
         k1, k2 = kpair
         r = inr(conv_pad(h, k1, 1))
@@ -145,8 +155,7 @@ def build_forward(
     )
 
     def fwd(v):
-        x0 = lp(reflect_pad2d(v.astype(DT), 3), p["inc"], 2, lp_inc, padding="VALID")
-        x0 = inr(x0)
+        x0 = inr(pad7_conv(v.astype(DT), p["inc"], 2, lp_inc))
         x1 = down_blur(inr(conv2d(x0, p["d1"], padding=((1, 1), (1, 1)))))
         h = down_blur(inr(conv2d(x1, p["d2"], padding=((1, 1), (1, 1)))))
         if res_scan:
@@ -164,7 +173,7 @@ def build_forward(
         ca = y.shape[-1]
         y = inr(lp(y, p["u2"][:, :, :ca], 2, lp_up2)
                 + lp(x0, p["u2"][:, :, ca:], 2, lp_up2))
-        return jnp.tanh(lp(reflect_pad2d(y, 3), p["out"], 32, lp_outc, padding="VALID"))
+        return jnp.tanh(pad7_conv(y, p["out"], 32, lp_outc))
 
     return fwd
 
