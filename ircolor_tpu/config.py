@@ -143,6 +143,14 @@ class Config:
     # resolutions that hit the HBM cliff. Inference graphs are unaffected.
     remat: bool = False
 
+    # Lane-packing of small-Cout convs (the outc head). Exact math, a
+    # single-chip micro-layout win (−16 ms at 512×640 b16). Turn OFF for
+    # 2-D spatial sharding: GSPMD mispartitions the packed-stride conv's
+    # unpack reshape when BOTH image axes are sharded (wrong results,
+    # detected by tests/test_parallel.py); 1-D spatial and data-parallel
+    # sharding are unaffected.
+    lanepack: bool = True
+
     # Pallas fused kernels gate (parity-tested). Default OFF: measured on
     # v5e (r1), the fused IN kernel is within noise of XLA's own fusion in
     # the full generator graph (204 vs 212 fps at 256²/b16) — XLA fuses IN

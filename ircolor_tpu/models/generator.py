@@ -132,6 +132,10 @@ class ResnetUNetGenerator(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     use_pallas: bool = False
+    # Lane-packing of the outc head (exact math, single-chip layout win).
+    # Disable for 2-D spatial sharding — GSPMD mispartitions the packed-
+    # stride conv's unpack reshape when both image axes are sharded.
+    lanepack: bool = True
     # Rematerialize each ResnetBlock in the backward pass (jax.checkpoint):
     # trades one extra block forward for not keeping 4 bottleneck-plane
     # activations per block alive — the lever that avoids the HBM cliff at
@@ -260,6 +264,6 @@ class ResnetUNetGenerator(nn.Module):
         y = reflect_pad2d(y, 3)
         y = LanePackConv(
             self.output_nc, 7, dtype=self.dtype, precision=self.precision,
-            name="outc_conv",
+            max_p=32 if self.lanepack else 1, name="outc_conv",
         )(y)
         return jnp.tanh(y)

@@ -1,0 +1,74 @@
+"""Spatial (image-axis) sharding — the CNN analog of sequence parallelism.
+
+The reference has no attention and no sequence axis; SURVEY.md §5 records
+that the "large input" axis of this workload is image RESOLUTION, and that
+the idiomatic TPU answer when a resolution exceeds per-chip HBM is 2-D
+spatial sharding of the image under GSPMD, with halo exchange over ICI for
+the convolutions. This module provides exactly that, as a pure sharding
+layout on the UNCHANGED model:
+
+* activations are sharded on H (and optionally W) over mesh axes;
+* params stay replicated;
+* XLA's GSPMD spatial partitioner inserts the conv halo exchanges
+  (collective-permutes of the kernel-support border rows) and turns the
+  instance-norm spatial means into cross-shard all-reduces — no model or
+  kernel changes, bit-compatible up to float reduction order (tested to
+  ≤1e-5 against the single-device forward on a fake 8-device mesh).
+
+Caveat: 2-D H×W tiling requires ``cfg.lanepack=False`` — GSPMD
+mispartitions the lane-packed outc conv's strided unpack reshape when BOTH
+image axes are sharded (silently wrong output; isolated per-module and
+regression-tested in tests/test_parallel.py). 1-D sharding of either axis
+is correct with packing on.
+
+Composability: a leading ``'data'`` mesh axis can shard batch at the same
+time (``P('data', 'sp', None, None)``), giving DP×SP over a 2-D mesh — the
+layout that keeps the halo traffic on ICI while batch gradients reduce over
+the outer axis.
+
+Typical use (inference at a resolution that does not fit one chip)::
+
+    mesh = make_spatial_mesh(8)                       # ('sp',) over 8 chips
+    fwd = jax.jit(lambda p, x: module.apply({'params': p}, x),
+                  out_shardings=spatial_sharding(mesh))
+    out = fwd(jax.device_put(params, replicated_sharding(mesh)),
+              jax.device_put(big_image_batch, spatial_sharding(mesh)))
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_spatial_mesh(
+    n_devices: int = 0, devices: Any = None, w_devices: int = 1
+) -> Mesh:
+    """Mesh for spatial sharding: ``('sp',)`` 1-D over H, or
+    ``('sp', 'spw')`` 2-D when ``w_devices > 1`` (H × W tiling)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices == 0:
+        n_devices = len(devs)
+    devs = devs[:n_devices]
+    if w_devices <= 1:
+        return Mesh(np.asarray(devs), ("sp",))
+    if n_devices % w_devices:
+        raise ValueError(f"{n_devices} devices do not tile into w_devices={w_devices}")
+    grid = np.asarray(devs).reshape(n_devices // w_devices, w_devices)
+    return Mesh(grid, ("sp", "spw"))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC activation sharding: H on ``'sp'`` (and W on ``'spw'`` if the
+    mesh has it); batch and channels unsharded."""
+    wspec = "spw" if "spw" in mesh.axis_names else None
+    return NamedSharding(mesh, P(None, "sp", wspec, None))
+
+
+def data_spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC sharding for a ``('data', 'sp')`` mesh: batch on ``'data'``,
+    H on ``'sp'`` — DP×SP."""
+    return NamedSharding(mesh, P("data", "sp", None, None))
