@@ -1,0 +1,61 @@
+"""AOT serving export: the jitted inference step as a serialized artifact.
+
+The reference's only deployment artifact is a ``.pth`` weights file that
+requires the full Python model code to use (`/root/reference/Code/
+ir_colorization.py:781-789`). The TPU-native serving story is ahead-of-time
+export via ``jax.export``: the ENTIRE inference computation — generator
+forward with the weights baked in as constants, [-1,1] → uint8 RGB
+conversion included — is serialized as a portable StableHLO artifact that a
+serving process can deserialize and call with zero model code, and that XLA
+compiles for the requested platform(s) at load time.
+
+Shapes are static per the TPU compilation model: one artifact per batch
+size (export several; the eval runner's padded-batch convention applies).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def export_inference(
+    module: Any,
+    params: Any,
+    height: int,
+    width: int,
+    *,
+    batch_size: int = 16,
+    input_nc: int = 1,
+    platforms: Sequence[str] | None = None,
+) -> bytes:
+    """Serialize ``IR [-1,1] float32 (B,H,W,C) → uint8 RGB`` with weights
+    baked in. ``platforms`` e.g. ``("tpu",)`` or ``("tpu", "cpu")``; None →
+    the default export platform of the current backend."""
+
+    def serve(ir: jnp.ndarray) -> jnp.ndarray:
+        fake = module.apply({"params": params}, ir, train=False)
+        out01 = jnp.clip((fake + 1.0) / 2.0, 0.0, 1.0)
+        return jnp.floor(out01 * 255.0).astype(jnp.uint8)
+
+    spec = jax.ShapeDtypeStruct((batch_size, height, width, input_nc), jnp.float32)
+    exp = jax_export.export(
+        jax.jit(serve),
+        platforms=tuple(platforms) if platforms is not None else None,
+    )(spec)
+    return exp.serialize()
+
+
+def save_exported(path: str, blob: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_exported(path: str):
+    """Deserialize an exported artifact; returns an object whose ``.call(ir)``
+    runs the full inference step (compiles on first call)."""
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())

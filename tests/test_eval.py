@@ -202,3 +202,33 @@ def test_integer_transport_encoding_is_exact():
         np.testing.assert_allclose(
             np.asarray(m_f[k]), np.asarray(m_i[k]), rtol=1e-5, atol=1e-6
         )
+
+
+def test_aot_export_roundtrip(tmp_path):
+    """jax.export serving artifact: serialize with weights baked in, reload,
+    and match the live module's uint8 output exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ircolor_tpu.export.aot import export_inference, load_exported, save_exported
+    from ircolor_tpu.models.wrapper import generator_from_config
+
+    cfg = Config(img_size=32, n_blocks=1, ngf=8)
+    module = generator_from_config(cfg)
+    rng = np.random.RandomState(0)
+    ir = (rng.rand(2, 32, 32, 1).astype(np.float32) * 2 - 1)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+
+    blob = export_inference(module, params, 32, 32, batch_size=2, platforms=("cpu",))
+    path = str(tmp_path / "netG_serve.stablehlo")
+    save_exported(path, blob)
+
+    served = load_exported(path)
+    got = np.asarray(served.call(jnp.asarray(ir)))
+
+    fake = module.apply({"params": params}, jnp.asarray(ir), train=False)
+    want = np.asarray(
+        jnp.floor(jnp.clip((fake + 1.0) / 2.0, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    )
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)

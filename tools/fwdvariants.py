@@ -124,7 +124,12 @@ def build_forward(
         return v  # zero-SAME handled by the conv padding below
 
     def conv_pad(v, k, n):
-        """reflect: pre-padded VALID conv; zero: SAME conv."""
+        """reflect: pre-padded VALID conv; fold: border-corrected zero-SAME
+        (ops.conv.conv3x3_reflect, no materialized pad); zero: SAME conv."""
+        if pad_mode == "fold":
+            from ircolor_tpu.ops.conv import conv3x3_reflect
+
+            return conv3x3_reflect(v, k)
         if pad_mode == "reflect":
             return conv2d(rpad(v, n), k, padding="VALID")
         return conv2d(v, k, padding=((n, n), (n, n)))
@@ -138,7 +143,7 @@ def build_forward(
         """7×7 head conv: reflect pre-pad (real model) or, in the zero_pads
         knockout, zero padding folded into the conv — so the knockout covers
         the inc/outc pads too, not just the 18 resblock pads."""
-        if pad_mode == "reflect":
+        if pad_mode in ("reflect", "fold"):  # fold targets only resblocks
             return lp(reflect_pad2d(v, 3), k, pnum, enabled, padding="VALID")
         if enabled:
             return conv2d_lanepack(v, k, pnum, padding=((3, 3), (3, 3)))
@@ -197,6 +202,8 @@ VARIANTS = {
     "lp_up2": dict(_BASE, lp_up2=True),
     "no_lp_outc": dict(_BASE, lp_outc=False),
     "res_scan": dict(_BASE, res_scan=True),
+    # Border-corrected reflect conv in the resblocks (no materialized pad).
+    "reflect_fold": dict(_BASE, pad_mode="fold"),
 }
 
 
