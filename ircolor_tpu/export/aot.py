@@ -11,6 +11,13 @@ compiles for the requested platform(s) at load time.
 
 Shapes are static per the TPU compilation model: one artifact per batch
 size (export several; the eval runner's padded-batch convention applies).
+
+Numerics: reloading recompiles the StableHLO, and XLA may fuse/schedule it
+differently from the live jitted module — exact on the f32 path (tested),
+within bf16 rounding on the bf16 path (measured on v5e at 512×640: uint8
+outputs within 8/255 of the live bf16 model, i.e. ordinary bf16
+reassociation noise; export the f32 graph when bit-stability across
+processes matters more than speed).
 """
 
 from __future__ import annotations
