@@ -85,3 +85,22 @@ def test_cli_test_mode_end_to_end(kaist_tree, tmp_path):
     ])
     assert rc == 0
     assert os.path.isfile(os.path.join(out, "metrics_test.csv"))
+
+
+def test_cli_round2_extension_flags():
+    """--batch-transport / --lanepack round-trip through the parser into
+    typed Config fields."""
+    import argparse
+
+    ns = argparse.Namespace(
+        config=None, batch_transport="float", lanepack=False,
+        train_roots=["a"], test_roots=None,
+    )
+    cfg = build_config(ns, "train")
+    assert cfg.batch_transport == "float"
+    assert cfg.lanepack is False
+    # Defaults
+    ns2 = argparse.Namespace(config=None, train_roots=["a"], test_roots=None)
+    cfg2 = build_config(ns2, "train")
+    assert cfg2.batch_transport == "int"
+    assert cfg2.lanepack is True
