@@ -40,13 +40,18 @@ def export_inference(
     platforms: Sequence[str] | None = None,
 ) -> bytes:
     """Serialize ``IR [-1,1] float32 (B,H,W,C) → uint8 RGB`` with weights
-    baked in. ``platforms`` e.g. ``("tpu",)`` or ``("tpu", "cpu")``; None →
+    baked in. ``params`` may be a bare param tree or a full variables dict
+    (with ``batch_stats`` for norm="batch" models, as make_infer_fn
+    accepts). ``platforms`` e.g. ``("tpu",)`` or ``("tpu", "cpu")``; None →
     the default export platform of the current backend."""
+    from ircolor_tpu.eval.metrics import quantize_to_uint8_01
+
+    variables = params if "params" in params else {"params": params}
 
     def serve(ir: jnp.ndarray) -> jnp.ndarray:
-        fake = module.apply({"params": params}, ir, train=False)
-        out01 = jnp.clip((fake + 1.0) / 2.0, 0.0, 1.0)
-        return jnp.floor(out01 * 255.0).astype(jnp.uint8)
+        fake = module.apply(variables, ir, train=False)
+        # Same uint8 convention as the metrics path (ref :1413 pinning).
+        return (quantize_to_uint8_01((fake + 1.0) / 2.0) * 255.0).astype(jnp.uint8)
 
     spec = jax.ShapeDtypeStruct((batch_size, height, width, input_nc), jnp.float32)
     exp = jax_export.export(

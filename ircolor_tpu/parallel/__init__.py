@@ -21,6 +21,7 @@ from ircolor_tpu.parallel.spatial import (
     make_spatial_mesh,
     spatial_sharding,
     data_spatial_sharding,
+    check_spatial_compat,
 )
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "make_spatial_mesh",
     "spatial_sharding",
     "data_spatial_sharding",
+    "check_spatial_compat",
 ]

@@ -48,17 +48,46 @@ def make_spatial_mesh(
     n_devices: int = 0, devices: Any = None, w_devices: int = 1
 ) -> Mesh:
     """Mesh for spatial sharding: ``('sp',)`` 1-D over H, or
-    ``('sp', 'spw')`` 2-D when ``w_devices > 1`` (H × W tiling)."""
+    ``('sp', 'spw')`` 2-D when ``w_devices > 1`` (H × W tiling).
+
+    2-D tiling emits a loud warning: it requires a ``lanepack=False`` model
+    (see module docstring / ``check_spatial_compat``)."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices == 0:
         n_devices = len(devs)
+    if len(devs) < n_devices:
+        raise ValueError(
+            f"need {n_devices} devices for the spatial mesh, have {len(devs)}"
+        )
     devs = devs[:n_devices]
     if w_devices <= 1:
         return Mesh(np.asarray(devs), ("sp",))
     if n_devices % w_devices:
         raise ValueError(f"{n_devices} devices do not tile into w_devices={w_devices}")
+    import warnings
+
+    warnings.warn(
+        "2-D H×W spatial tiling requires a lanepack=False model "
+        "(cfg.lanepack / --no-lanepack): GSPMD mispartitions the lane-packed "
+        "output head and produces silently wrong images. Validate with "
+        "check_spatial_compat(module, mesh).",
+        stacklevel=2,
+    )
     grid = np.asarray(devs).reshape(n_devices // w_devices, w_devices)
     return Mesh(grid, ("sp", "spw"))
+
+
+def check_spatial_compat(module: Any, mesh: Mesh) -> None:
+    """Raise if ``module`` is known to miscompute under this mesh: 2-D H×W
+    tiling with a lane-packed output head (``module.lanepack`` True) is the
+    known-silently-wrong combination (regression-tested in
+    tests/test_parallel.py)."""
+    if "spw" in mesh.axis_names and getattr(module, "lanepack", False):
+        raise ValueError(
+            "2-D spatial tiling ('spw' axis) with a lanepack=True generator "
+            "produces silently wrong outputs — rebuild the model with "
+            "cfg.lanepack=False (CLI: --no-lanepack)"
+        )
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:

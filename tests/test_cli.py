@@ -88,19 +88,22 @@ def test_cli_test_mode_end_to_end(kaist_tree, tmp_path):
 
 
 def test_cli_round2_extension_flags():
-    """--batch-transport / --lanepack round-trip through the parser into
-    typed Config fields."""
+    """--batch-transport / --no-lanepack round-trip through the REAL
+    argparse parser (auto-generated flags) into typed Config fields."""
     import argparse
 
-    ns = argparse.Namespace(
-        config=None, batch_transport="float", lanepack=False,
-        train_roots=["a"], test_roots=None,
+    from ircolor_tpu.cli import _add_config_flags
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    _add_config_flags(parser)
+    ns = parser.parse_args(
+        ["--batch-transport", "float", "--no-lanepack", "--train-roots", "a"]
     )
     cfg = build_config(ns, "train")
     assert cfg.batch_transport == "float"
     assert cfg.lanepack is False
-    # Defaults
-    ns2 = argparse.Namespace(config=None, train_roots=["a"], test_roots=None)
+    ns2 = parser.parse_args(["--train-roots", "a"])
     cfg2 = build_config(ns2, "train")
     assert cfg2.batch_transport == "int"
     assert cfg2.lanepack is True

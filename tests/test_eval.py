@@ -232,3 +232,26 @@ def test_aot_export_roundtrip(tmp_path):
     )
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+
+
+def test_aot_export_batchnorm_variables_dict(tmp_path):
+    """norm='batch' models export with the full variables dict (batch_stats
+    baked in), matching make_infer_fn's accepted forms."""
+    import jax
+    import jax.numpy as jnp
+
+    from ircolor_tpu.export.aot import export_inference, load_exported, save_exported
+    from ircolor_tpu.models.wrapper import generator_from_config
+
+    cfg = Config(img_size=32, n_blocks=1, ngf=8, norm="batch")
+    module = generator_from_config(cfg)
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    blob = export_inference(
+        module, dict(variables), 32, 32, batch_size=1, platforms=("cpu",)
+    )
+    path = str(tmp_path / "bn_serve.stablehlo")
+    save_exported(path, blob)
+    served = load_exported(path)
+    ir = np.random.RandomState(0).rand(1, 32, 32, 1).astype(np.float32) * 2 - 1
+    out = np.asarray(served.call(jnp.asarray(ir)))
+    assert out.shape == (1, 32, 32, 3) and out.dtype == np.uint8

@@ -246,11 +246,24 @@ def test_spatial_sharding_2d_hw_matches_single_device(eight_cpu_devices):
     packed-stride outc conv's unpack reshape when BOTH image axes are
     sharded (isolated by module-intermediate capture: every other stage
     ≤1e-5, outc off by ~6). 1-D spatial sharding works with packing on."""
-    from ircolor_tpu.parallel.spatial import make_spatial_mesh, spatial_sharding
+    import warnings
+
+    from ircolor_tpu.parallel.spatial import (
+        check_spatial_compat,
+        make_spatial_mesh,
+        spatial_sharding,
+    )
     from ircolor_tpu.parallel.mesh import replicated_sharding
 
     mod, params, ir, ref = _small_gen_and_input(seed=1, lanepack=False)
-    mesh = make_spatial_mesh(8, w_devices=2)   # 4 × 2 H×W tiling
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the 2-D-tiling lanepack warning
+        mesh = make_spatial_mesh(8, w_devices=2)   # 4 × 2 H×W tiling
+    check_spatial_compat(mod, mesh)  # lanepack=False → OK
+    # The shipped default (lanepack=True) must be REFUSED for 2-D tiling.
+    bad_mod, *_ = _small_gen_and_input(seed=1)
+    with pytest.raises(ValueError, match="lanepack"):
+        check_spatial_compat(bad_mod, mesh)
     sh = spatial_sharding(mesh)
     assert sh.spec == P(None, "sp", "spw", None)
     fwd = jax.jit(lambda p, x: mod.apply({"params": p}, x), out_shardings=sh)
