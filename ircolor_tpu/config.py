@@ -122,6 +122,10 @@ class Config:
 
     # Data-parallel mesh: number of devices on the 'data' axis (0 = all).
     dp_devices: int = 0
+    # Test-mode spatial sharding: shard the image H axis over this many
+    # devices (parallel/spatial.py; GSPMD halo exchange). 1 = off. For
+    # resolutions that exceed per-chip HBM; H must divide evenly.
+    sp_devices: int = 1
     # DP implementation: "gspmd" (XLA inserts the gradient all-reduces) or
     # "shard_map" (explicit lax.pmean collectives; instance/none norms only).
     dp_mode: str = "gspmd"

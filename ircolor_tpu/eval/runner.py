@@ -157,6 +157,29 @@ def run_test(cfg: Config) -> dict[str, Any]:
     if model.batch_stats:
         variables["batch_stats"] = model.batch_stats
 
+    # Spatial sharding (cfg.sp_devices > 1): image H tiled over a 1-D mesh,
+    # params replicated; GSPMD inserts the conv halo exchanges. Each batch
+    # is placed with the spatial sharding before dispatch.
+    sp_sharding = None
+    if cfg.sp_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ircolor_tpu.parallel.spatial import (
+            check_spatial_compat,
+            make_spatial_mesh,
+            spatial_sharding,
+        )
+
+        if size_hw[0] % cfg.sp_devices:
+            raise ValueError(
+                f"img height {size_hw[0]} must divide by sp_devices={cfg.sp_devices}"
+            )
+        sp_mesh = make_spatial_mesh(cfg.sp_devices)
+        check_spatial_compat(model.module, sp_mesh)
+        sp_sharding = spatial_sharding(sp_mesh)
+        variables = jax.device_put(variables, NamedSharding(sp_mesh, PartitionSpec()))
+        log.info("[TEST] Spatial sharding: H over %d devices", cfg.sp_devices)
+
     def consume(decoded, has_gt, pred_dev, m_dev):
         """Materialize one batch's device results and write artifacts."""
         nonlocal count, best_psnr, best_psnr_sample, best_ssim, best_ssim_sample, done
@@ -251,7 +274,11 @@ def run_test(cfg: Config) -> dict[str, Any]:
                 gt_np[j] = _gt_scratch
                 has_gt[j] = True
 
-        pred_dev, m_dev = infer(variables, jnp.asarray(ir_np), jnp.asarray(gt_np))
+        ir_dev, gt_dev = jnp.asarray(ir_np), jnp.asarray(gt_np)
+        if sp_sharding is not None:
+            ir_dev = jax.device_put(ir_dev, sp_sharding)
+            gt_dev = jax.device_put(gt_dev, sp_sharding)
+        pred_dev, m_dev = infer(variables, ir_dev, gt_dev)
         if in_flight is not None:
             consume(*in_flight)
             if t_steady0 is None:

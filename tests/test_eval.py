@@ -255,3 +255,19 @@ def test_aot_export_batchnorm_variables_dict(tmp_path):
     ir = np.random.RandomState(0).rand(1, 32, 32, 1).astype(np.float32) * 2 - 1
     out = np.asarray(served.call(jnp.asarray(ir)))
     assert out.shape == (1, 32, 32, 3) and out.dtype == np.uint8
+
+
+def test_run_test_spatial_sharded(kaist_tree, tmp_path):
+    """--sp-devices shards the image H axis over the (fake) mesh; summary
+    metrics must match the single-device run up to float reduction order."""
+    root, _ = kaist_tree
+    base = dict(
+        mode="test", img_size=32, test_batch_size=4,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False,
+    )
+    s1 = run_test(Config(output_dir=str(tmp_path / "single"), **base))
+    s2 = run_test(Config(output_dir=str(tmp_path / "sp"), sp_devices=2, **base))
+    assert s2["count"] == s1["count"]
+    assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 0.1
+    assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-3
