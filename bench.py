@@ -124,6 +124,9 @@ def main() -> None:
     # the compile cache — the train number is part of the standing bench
     # (BASELINE config 5 axis). Opt out with --no-train.
     p.add_argument("--no-train", dest="with_train", action="store_false")
+    # 256² is the reference's published-table resolution — recorded as an
+    # auxiliary field every round (VERDICT r2 #8). Opt out with --no-aux.
+    p.add_argument("--no-aux", dest="with_aux", action="store_false")
     args = p.parse_args()
 
     infer_fps = bench_inference(args.height, args.width, args.batch,
@@ -135,6 +138,13 @@ def main() -> None:
                                          args.dtype, max(5, args.iters // 4), 2)
         except Exception as exc:  # never lose the headline number to a train hiccup
             print(f"# train bench failed: {exc!r}", flush=True)
+    aux_256 = None
+    if args.with_aux and (args.height, args.width) != (256, 256):
+        try:
+            aux_256 = bench_inference(256, 256, args.batch, args.dtype,
+                                      args.iters, args.warmup)
+        except Exception as exc:
+            print(f"# 256x256 aux bench failed: {exc!r}", flush=True)
 
     result = {
         "metric": f"test-mode inference frames/sec/chip at {args.height}x{args.width}",
@@ -142,6 +152,7 @@ def main() -> None:
         "unit": "frames/sec/chip",
         "vs_baseline": round(infer_fps / 2000.0, 4),
         "train_frames_per_sec_per_chip": round(train_fps, 2) if train_fps else None,
+        "infer_fps_256x256": round(aux_256, 2) if aux_256 else None,
         "batch": args.batch,
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),

@@ -126,6 +126,12 @@ class Config:
     # devices (parallel/spatial.py; GSPMD halo exchange). 1 = off. For
     # resolutions that exceed per-chip HBM; H must divide evenly.
     sp_devices: int = 1
+    # 2-D spatial tiling: additionally shard the image W axis over this many
+    # of the sp_devices (sp_devices must divide by it; the mesh becomes
+    # (sp_devices//sp_w_devices) × sp_w_devices H×W tiles). The runner
+    # auto-rebuilds the generator with lanepack=False when needed (GSPMD
+    # mispartitions the lane-packed output head under 2-D tiling). 1 = off.
+    sp_w_devices: int = 1
     # DP implementation: "gspmd" (XLA inserts the gradient all-reduces) or
     # "shard_map" (explicit lax.pmean collectives; instance/none norms only).
     dp_mode: str = "gspmd"

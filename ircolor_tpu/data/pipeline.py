@@ -17,6 +17,7 @@ unseeded DataLoader shuffle).
 
 from __future__ import annotations
 
+import logging
 import queue
 import random
 import threading
@@ -94,7 +95,14 @@ class BatchLoader:
         # step decodes — train/step.py:_decode_transport). Assembly is a
         # flip+stack of integer arrays, so the native f32 assembler is moot.
         self.transport = transport
-        if transport == "int":
+        if transport == "int" and use_native:
+            # Integer transport is a flip+stack of integer arrays — the C++
+            # f32 assembler doesn't apply. Say so instead of silently
+            # ignoring the caller's use_native.
+            logging.getLogger(__name__).debug(
+                "BatchLoader: use_native dropped — transport='int' assembles "
+                "integer batches in Python (the native assembler is f32-only)"
+            )
             use_native = False
         if use_native:
             from ircolor_tpu.data import native
@@ -119,15 +127,42 @@ class BatchLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
         elif batches and not batches[-1]:
             batches.pop()
-        # Per-host shard: contiguous slice of each global batch.
+        # Per-host shard: contiguous slice of each global batch. Every host
+        # MUST yield the same number of batches — hosts run collectives in
+        # lockstep, so a host silently dropping a batch the others keep would
+        # desynchronize multi-host validation (drop_last=False). A short final
+        # global batch (r < batch_size rows) is therefore split EVENLY across
+        # hosts (host h gets rows [h·r/S, (h+1)·r/S)); slices may be EMPTY
+        # (r < shard_count) but are still yielded as 0-row batches, and the
+        # concatenation of all hosts' slices is exactly the global sequence.
         if self.shard_count > 1:
             per = self.batch_size // self.shard_count
             sliced = []
             for b in batches:
-                lo = self.shard_index * per
-                sliced.append(b[lo : lo + per])
-            batches = [b for b in sliced if b]
+                if len(b) == self.batch_size:
+                    lo = self.shard_index * per
+                    sliced.append(b[lo : lo + per])
+                else:
+                    r, s = len(b), self.shard_count
+                    lo = self.shard_index * r // s
+                    hi = (self.shard_index + 1) * r // s
+                    sliced.append(b[lo:hi])
+            batches = sliced
         return batches
+
+    def _empty_batch(self) -> dict[str, np.ndarray]:
+        """0-row batch with the correct trailing shape/dtype (a host's share
+        of a final global batch shorter than shard_count)."""
+        h, w = self.dataset.size_hw
+        if self.transport == "int":
+            return {
+                "ir": np.zeros((0, h, w, 1), np.uint16),
+                "rgb": np.zeros((0, h, w, 3), np.uint8),
+            }
+        return {
+            "ir": np.zeros((0, h, w, 1), np.float32),
+            "rgb": np.zeros((0, h, w, 3), np.float32),
+        }
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -146,6 +181,9 @@ class BatchLoader:
                     for b in batches:
                         if stop.is_set():
                             return
+                        if not b:
+                            out_q.put(self._empty_batch())
+                            continue
                         if self.transport == "int":
                             samples = list(pool.map(self.dataset.int_item, b))
                             out_q.put(_stack(samples))

@@ -86,8 +86,11 @@ def conv2d_lanepack(
         stride = (stride, stride)
     sh, sw = stride
     if padding == "SAME":
-        assert kw % 2 == 1 and sh == sw == 1, "SAME lane-packing: odd kw, stride 1"
-        pad_h = pad_w = (kw // 2, kw // 2)
+        assert kh % 2 == 1 and kw % 2 == 1 and sh == sw == 1, (
+            "SAME lane-packing: odd kh/kw, stride 1"
+        )
+        pad_h = (kh // 2, kh // 2)
+        pad_w = (kw // 2, kw // 2)
     elif padding == "VALID":
         pad_h = pad_w = (0, 0)
     else:

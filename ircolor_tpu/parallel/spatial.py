@@ -90,9 +90,26 @@ def check_spatial_compat(module: Any, mesh: Mesh) -> None:
         )
 
 
-def spatial_sharding(mesh: Mesh) -> NamedSharding:
+def spatial_sharding(
+    mesh: Mesh, module: Any = None, *, allow_unchecked: bool = False
+) -> NamedSharding:
     """NHWC activation sharding: H on ``'sp'`` (and W on ``'spw'`` if the
-    mesh has it); batch and channels unsharded."""
+    mesh has it); batch and channels unsharded.
+
+    For a 2-D (H×W) mesh the known-silently-wrong combination (lane-packed
+    output head) is ENFORCED here, not just advised: pass the module so
+    ``check_spatial_compat`` can vet it, or explicitly opt out with
+    ``allow_unchecked=True`` (e.g. for non-generator arrays). 1-D meshes are
+    safe with any module and need neither."""
+    if "spw" in mesh.axis_names:
+        if module is not None:
+            check_spatial_compat(module, mesh)
+        elif not allow_unchecked:
+            raise ValueError(
+                "2-D H×W spatial tiling is silently wrong for lanepack=True "
+                "generators — pass the module (spatial_sharding(mesh, module)) "
+                "so it can be checked, or acknowledge with allow_unchecked=True"
+            )
     wspec = "spw" if "spw" in mesh.axis_names else None
     return NamedSharding(mesh, P(None, "sp", wspec, None))
 

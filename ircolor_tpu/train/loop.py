@@ -37,11 +37,32 @@ from ircolor_tpu.train.checkpoint import (
     save_netg_export,
 )
 from ircolor_tpu.train.state import create_train_state
-from ircolor_tpu.train.step import make_train_step, make_val_step
+from ircolor_tpu.train.step import make_train_step, make_val_sum_step
 from ircolor_tpu.utils.logging import JsonlLogger, get_logger
 from ircolor_tpu.utils.timing import start_transfer_warmup
 
 log = get_logger(__name__)
+
+
+def _check_loss_sanity(m: dict[str, float], cfg: Config, epoch: int, step: int) -> None:
+    """Cheap guard on the (already fetched) logged losses: raise on non-finite
+    values, and on an absurd early L1 magnitude that indicates the [-1,1]
+    input contract (ref :855-862, :1170-1177) was violated upstream — e.g. a
+    step variant that forgot to decode the integer batch transport. Inputs in
+    [-1,1] bound pixel L1 by 2, so loss_G_L1 ≤ 2·λ_L1 always; raw uint8/uint16
+    values push it orders of magnitude past that."""
+    bad = [k for k, v in m.items() if not np.isfinite(v)]
+    if bad:
+        raise FloatingPointError(
+            f"Non-finite training losses at epoch {epoch} step {step}: "
+            + ", ".join(f"{k}={m[k]}" for k in bad)
+        )
+    if cfg.lambda_L1 > 0.0 and m.get("loss_G_L1", 0.0) > 2.0 * cfg.lambda_L1 + 1e-6:
+        raise FloatingPointError(
+            f"loss_G_L1={m['loss_G_L1']:.3f} exceeds the [-1,1]-input bound "
+            f"2·lambda_L1={2.0 * cfg.lambda_L1:.3f} at epoch {epoch} step {step}; "
+            "inputs are likely not decoded to [-1,1] (check batch_transport handling)"
+        )
 
 
 def train_kaist(
@@ -138,7 +159,7 @@ def train_kaist(
         train_step = make_train_step(cfg, g_module, d_module, vgg_module, opt_g, opt_d)
     else:
         raise ValueError(f"dp_mode must be 'gspmd' or 'shard_map', got {cfg.dp_mode!r}")
-    val_step = make_val_step(g_module)
+    val_step = make_val_sum_step(g_module)
 
     # ---- resume ----
     orbax_dir = cfg.orbax_dir or os.path.join(cfg.save_dir, "orbax")
@@ -157,22 +178,33 @@ def train_kaist(
     best_stem = os.path.join(cfg.save_dir, "netG_best")
 
     def run_validation() -> float:
-        total, count = 0.0, 0
+        # Multihost-safe: every host pads its (possibly short, possibly
+        # empty) slice of the final batch to the static per-host shape and
+        # marks real rows in a mask; the jitted step reduces Σl1/Σmask over
+        # the data axis into REPLICATED scalars, so all hosts see the same
+        # val L1 (no per-host partial sums → no divergent best-val
+        # decisions) and batch counts stay in lockstep (BatchLoader yields
+        # the same count on every host, incl. 0-row slices).
+        total, count = 0.0, 0.0
+        full = val_loader.batch_size // shard_count
         for batch in val_loader:
             bsz = batch["ir"].shape[0]
-            full = val_loader.batch_size // shard_count
-            if bsz < full:  # pad to the static shape; mask on host
+            mask = np.zeros((full,), np.float32)
+            mask[:bsz] = 1.0
+            if bsz < full:  # pad to the static shape
                 pad = full - bsz
                 batch = {
                     k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
                     for k, v in batch.items()
                 }
-            per_sample = np.asarray(
-                val_step(state.g_params, shard_batch(batch, mesh), state.g_stats)
+            sharded = shard_batch({**batch, "mask": mask}, mesh)
+            s, c = val_step(
+                state.g_params, {k: sharded[k] for k in ("ir", "rgb")},
+                sharded["mask"], state.g_stats,
             )
-            total += float(per_sample[:bsz].sum())
-            count += bsz
-        return total / max(count, 1)
+            total += float(s)
+            count += float(c)
+        return total / max(count, 1.0)
 
     summary: dict[str, Any] = {}
     steps_total = 0
@@ -196,6 +228,7 @@ def train_kaist(
             epoch_metrics.append(metrics)  # device scalars; fetched lazily
             if i % cfg.log_every == 0 or i == 1:
                 m = {k: float(v) for k, v in metrics.items()}
+                _check_loss_sanity(m, cfg, epoch, i)
                 log.info(
                     "Epoch [%d/%d] Step [%d/%d] D: %.4f | G: %.4f "
                     "(GAN %.4f + L1 %.4f + Perc %.4f + TV %.6f + SSIM %.4f)",
@@ -208,6 +241,11 @@ def train_kaist(
         steps_done = len(epoch_metrics)
         steps_total += steps_done
 
+        if epoch_metrics:
+            summary["final_epoch_losses"] = {
+                k: float(np.mean([float(m[k]) for m in epoch_metrics]))
+                for k in epoch_metrics[0]
+            }
         avg_d = float(np.mean([float(m["loss_D"]) for m in epoch_metrics])) if epoch_metrics else 0.0
         avg_g = float(np.mean([float(m["loss_G"]) for m in epoch_metrics])) if epoch_metrics else 0.0
         val_l1 = run_validation()

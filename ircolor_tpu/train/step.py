@@ -239,3 +239,27 @@ def make_val_step(g_module: Any) -> Callable[..., jnp.ndarray]:
         return jnp.mean(jnp.abs(fake - rgb), axis=(1, 2, 3))
 
     return jax.jit(val_fn)
+
+
+def make_val_sum_step(g_module: Any) -> Callable[..., tuple[jnp.ndarray, jnp.ndarray]]:
+    """Multihost-safe validation step: (params, batch, mask) → (Σ l1, Σ mask).
+
+    ``mask`` is 1.0 for real rows, 0.0 for host-side padding of a short final
+    batch. The reductions over the data-sharded batch compile to GSPMD
+    all-reduces, so the returned scalars are REPLICATED — every host can
+    fetch them (a per-sample (B,) output sharded across hosts is not
+    addressable from any one host, and per-host partial sums would let
+    best-val decisions diverge between hosts). Sample-weighted mean semantics
+    match the reference (``total += loss·B; total/count``, ref :1532-1542).
+    """
+
+    def val_fn(g_params, batch, mask, g_stats=None):
+        ir, rgb = _decode_transport(batch["ir"], batch["rgb"])
+        variables = {"params": g_params}
+        if g_stats:
+            variables["batch_stats"] = g_stats
+        fake = g_module.apply(variables, ir, train=False)
+        per = jnp.mean(jnp.abs(fake.astype(jnp.float32) - rgb.astype(jnp.float32)), axis=(1, 2, 3))
+        return jnp.sum(per * mask), jnp.sum(mask)
+
+    return jax.jit(val_fn)

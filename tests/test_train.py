@@ -195,11 +195,54 @@ def test_none_norm_trains(kaist_tree, tmp_path):
 
 
 def test_train_kaist_shard_map_mode(kaist_tree, tmp_path):
-    """dp_mode='shard_map' drives the explicit-collectives step end to end."""
+    """dp_mode='shard_map' drives the explicit-collectives step end to end —
+    with the DEFAULT integer batch transport, asserting a sane TRAINING loss
+    magnitude (not just finite validation: validation decodes the transport
+    separately, so it stayed green while the round-2 shard_map step trained
+    on raw uint16/uint8 values)."""
     root, _ = kaist_tree
     cfg = tiny_cfg(root, tmp_path / "sm_ckpt", epochs=1, dp_mode="shard_map")
+    assert cfg.batch_transport == "int"  # the combination that was broken
     summary = train_kaist(cfg)
     assert np.isfinite(summary["best_val_l1"])
+    losses = summary["final_epoch_losses"]
+    assert np.isfinite(losses["loss_G"])
+    # [-1,1] inputs bound pixel L1 by 2 (raw integer inputs blow past this).
+    assert losses["loss_G_L1"] <= 2.0 * cfg.lambda_L1
+
+
+@pytest.mark.parametrize("dp_mode", ["gspmd", "shard_map"])
+@pytest.mark.parametrize("transport", ["float", "int"])
+@pytest.mark.parametrize("norm", ["instance", "none"])
+def test_train_mode_matrix_smoke(kaist_tree, tmp_path, dp_mode, transport, norm):
+    """(dp_mode × transport × norm) combination matrix: every CLI-reachable
+    path trains one truncated epoch with sane losses (the loop's
+    _check_loss_sanity guard raises inside train_kaist on violation).
+    norm='batch' is excluded: the shard_map step rejects it by design
+    (cross-device batch-stats semantics)."""
+    root, _ = kaist_tree
+    cfg = tiny_cfg(
+        root, tmp_path / f"mx_{dp_mode}_{transport}_{norm}", epochs=1,
+        dp_mode=dp_mode, batch_transport=transport, norm=norm,
+    )
+    summary = train_kaist(cfg, max_steps_per_epoch=2)
+    losses = summary["final_epoch_losses"]
+    assert np.isfinite(losses["loss_G"]) and np.isfinite(losses["loss_D"])
+    assert losses["loss_G_L1"] <= 2.0 * cfg.lambda_L1
+
+
+def test_loss_sanity_guard():
+    """_check_loss_sanity raises on NaN and on an L1 past the [-1,1] bound."""
+    from ircolor_tpu.train.loop import _check_loss_sanity
+
+    cfg = Config(img_size=32)
+    ok = {"loss_D": 1.0, "loss_G": 35.0, "loss_G_L1": 20.0}
+    _check_loss_sanity(ok, cfg, 1, 1)
+    with pytest.raises(FloatingPointError, match="Non-finite"):
+        _check_loss_sanity({**ok, "loss_G": float("nan")}, cfg, 1, 1)
+    with pytest.raises(FloatingPointError, match="batch_transport"):
+        # raw-uint8-scale L1 ≈ 127 · λ_L1 — the round-2 failure signature
+        _check_loss_sanity({**ok, "loss_G_L1": 127.0 * cfg.lambda_L1}, cfg, 1, 1)
 
 
 def test_single_forward_step_matches_two_forward_reference(step_setup):

@@ -1,8 +1,12 @@
-"""Regenerate tests/goldens/generator_pinned.npz (the pinned-weights forward
-digest asserted by test_models.py::test_generator_pinned_golden_digest).
+"""Regenerate the committed pinned-weight goldens:
 
-Run ONLY after an intentional numeric change to the generator; the committed
-golden is the parity anchor across rounds.
+  * tests/goldens/generator_pinned.npz      (generator forward digest)
+  * tests/goldens/discriminator_pinned.npz  (PatchGAN forward digest)
+  * tests/goldens/vgg_import_pinned.npz     (VGG importer + tower digest)
+  * tests/goldens/composite_loss_pinned.npz (full composite-loss values)
+
+Run ONLY after an intentional numeric change; the committed goldens are the
+parity anchors across rounds (tests/test_models.py, tests/test_losses.py).
 """
 
 from __future__ import annotations
@@ -48,6 +52,36 @@ def main() -> None:
     np.savez_compressed(GOLDEN_PATH, out=out.astype(np.float32))
     print(f"wrote {GOLDEN_PATH}: shape {out.shape}, mean {out.mean():.6f}, "
           f"std {out.std():.6f}")
+
+    # --- discriminator digest ---
+    from test_models import DISC_GOLDEN_PATH, pinned_discriminator
+
+    tmp = tempfile.mkdtemp()
+    _, d_mod, d_params = pinned_discriminator(tmp)
+    xd = np.random.RandomState(321).rand(2, 32, 32, 4).astype(np.float32) * 2 - 1
+    d_out = np.asarray(d_mod.apply({"params": d_params}, jnp.asarray(xd)))
+    np.savez_compressed(DISC_GOLDEN_PATH, out=d_out.astype(np.float32))
+    print(f"wrote {DISC_GOLDEN_PATH}: shape {d_out.shape}, mean {d_out.mean():.6f}")
+
+    # --- VGG importer digest ---
+    from test_losses import (
+        LOSS_GOLDEN_PATH,
+        VGG_GOLDEN_PATH,
+        pinned_composite_loss_metrics,
+        pinned_vgg_forward,
+    )
+
+    v_out = pinned_vgg_forward(tmp)
+    np.savez_compressed(VGG_GOLDEN_PATH, out=v_out.astype(np.float32))
+    print(f"wrote {VGG_GOLDEN_PATH}: shape {v_out.shape}, mean {v_out.mean():.6f}")
+
+    # --- composite loss digest ---
+    metrics = pinned_composite_loss_metrics(tmp)
+    np.savez_compressed(
+        LOSS_GOLDEN_PATH, **{k: np.float64(v) for k, v in metrics.items()}
+    )
+    print(f"wrote {LOSS_GOLDEN_PATH}: " +
+          ", ".join(f"{k}={v:.6f}" for k, v in sorted(metrics.items())))
 
 
 if __name__ == "__main__":
