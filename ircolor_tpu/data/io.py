@@ -34,8 +34,16 @@ def _resize(img: np.ndarray, size_hw: tuple[int, int] | int | None) -> np.ndarra
     return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
 
 
-def load_ir_image(path: str, size_hw: tuple[int, int] | int | None = None) -> np.ndarray:
-    """Grayscale IR image → H×W float32 in [0,1] (ref :803-830)."""
+def load_ir_image(
+    path: str,
+    size_hw: tuple[int, int] | int | None = None,
+    *,
+    return_depth: bool = False,
+):
+    """Grayscale IR image → H×W float32 in [0,1] (ref :803-830).
+
+    With ``return_depth=True`` also returns the source bit depth (8 or 16),
+    so callers can pick the narrowest exact integer transport encoding."""
     img_u = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img_u is None:
         raise RuntimeError(f"Could not read image: {path}")
@@ -44,7 +52,10 @@ def load_ir_image(path: str, size_hw: tuple[int, int] | int | None = None) -> np
     img = img_u.astype(np.float32)
     if img.max() > 1.0:
         img /= 255.0 if orig_dtype == np.uint8 else 65535.0
-    return np.clip(img, 0.0, 1.0)
+    img = np.clip(img, 0.0, 1.0)
+    if return_depth:
+        return img, (8 if orig_dtype == np.uint8 else 16)
+    return img
 
 
 def load_rgb_image(path: str, size_hw: tuple[int, int] | int | None = None) -> np.ndarray:

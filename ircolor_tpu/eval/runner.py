@@ -66,6 +66,10 @@ def make_infer_fn(module: Any):
     def infer(params, ir, gt01):
         if ir.dtype == jnp.uint16:
             ir = ir.astype(jnp.float32) / 65535.0 * 2.0 - 1.0
+        elif ir.dtype == jnp.uint8:
+            # 8-bit-source batches ride the half-size uint8 transport
+            # (k/255 is the exact sample value for an 8-bit source).
+            ir = ir.astype(jnp.float32) / 255.0 * 2.0 - 1.0
         if gt01.dtype == jnp.uint8:
             gt01 = gt01.astype(jnp.float32) / 255.0
         variables = params if "params" in params else {"params": params}
@@ -79,9 +83,13 @@ def make_infer_fn(module: Any):
 
 
 def _decode_one(entry: tuple[str, str, str], size_hw: tuple[int, int]):
-    """Host decode of one frame: IR + (GT RGB | None)."""
+    """Host decode of one frame: IR + (GT RGB | None), plus the integer
+    transport encodings (computed HERE, in the decode pool, so the per-frame
+    ``rint`` cost parallelizes across workers instead of serializing on the
+    dispatch thread). 8-bit IR sources encode to uint8 (half the upload of
+    the uint16 form; k/255 is exact); 16-bit to uint16."""
     ir_path, set_name, seq_rel = entry
-    ir01 = load_ir_image(ir_path, size_hw)
+    ir01, ir_depth = load_ir_image(ir_path, size_hw, return_depth=True)
     base = os.path.basename(ir_path)
     seq_dir = os.path.dirname(os.path.dirname(ir_path))
     vis_dir = os.path.join(seq_dir, "visible")
@@ -91,7 +99,12 @@ def _decode_one(entry: tuple[str, str, str], size_hw: tuple[int, int]):
     if has_vis_dir and os.path.isfile(gt_path):
         gt01 = load_rgb_image(gt_path, size_hw)
     out_rel = os.path.join(set_name, seq_rel, base)
-    return ir01, gt01, out_rel, base, gt_path, has_vis_dir
+    if ir_depth == 8:
+        ir_enc = np.rint(ir01 * 255.0).astype(np.uint8)
+    else:
+        ir_enc = np.rint(ir01 * 65535.0).astype(np.uint16)
+    gt_enc = None if gt01 is None else np.rint(gt01 * 255.0).astype(np.uint8)
+    return ir01, gt01, out_rel, base, gt_path, has_vis_dir, ir_enc, gt_enc
 
 
 def run_test(cfg: Config) -> dict[str, Any]:
@@ -121,7 +134,54 @@ def run_test(cfg: Config) -> dict[str, Any]:
 
     size_hw = cfg.resolved_hw
     bsz = max(1, cfg.test_batch_size)
-    base_infer = make_infer_fn(model.module)
+
+    # Spatial sharding (cfg.sp_devices > 1): image H (and W when
+    # cfg.sp_w_devices > 1) tiled over a mesh, params replicated; GSPMD
+    # inserts the conv halo exchanges. 2-D H×W tiling is incompatible with
+    # the lane-packed output head (GSPMD mispartitions its unpack reshape) —
+    # rather than bouncing the user to --no-lanepack, transparently rebuild
+    # the generator with lanepack=False (identical params/math, different
+    # compute layout) and log it; check_spatial_compat stays as the backstop.
+    infer_module = model.module
+    sp_mesh = None
+    if cfg.sp_devices > 1:
+        from ircolor_tpu.parallel.spatial import (
+            check_spatial_compat,
+            make_spatial_mesh,
+        )
+
+        if size_hw[0] % cfg.sp_devices:
+            raise ValueError(
+                f"img height {size_hw[0]} must divide by sp_devices={cfg.sp_devices}"
+            )
+        if cfg.sp_w_devices > 1:
+            if size_hw[1] % cfg.sp_w_devices:
+                raise ValueError(
+                    f"img width {size_hw[1]} must divide by sp_w_devices={cfg.sp_w_devices}"
+                )
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # we handle the lanepack hazard here
+                sp_mesh = make_spatial_mesh(cfg.sp_devices, w_devices=cfg.sp_w_devices)
+            if getattr(infer_module, "lanepack", False):
+                import dataclasses
+
+                from ircolor_tpu.models.wrapper import generator_from_config
+
+                log.info(
+                    "[TEST] 2-D spatial tiling: rebuilding generator with "
+                    "lanepack=False (lane-packed output head is incompatible "
+                    "with W-axis sharding; params unchanged)"
+                )
+                infer_module = generator_from_config(
+                    dataclasses.replace(cfg, lanepack=False)
+                )
+        else:
+            sp_mesh = make_spatial_mesh(cfg.sp_devices)
+        check_spatial_compat(infer_module, sp_mesh)
+
+    base_infer = make_infer_fn(infer_module)
 
     _MKEYS = ("mae", "mse", "psnr", "ssim")
 
@@ -157,38 +217,58 @@ def run_test(cfg: Config) -> dict[str, Any]:
     if model.batch_stats:
         variables["batch_stats"] = model.batch_stats
 
-    # Spatial sharding (cfg.sp_devices > 1): image H tiled over a 1-D mesh,
-    # params replicated; GSPMD inserts the conv halo exchanges. Each batch
-    # is placed with the spatial sharding before dispatch.
+    # Place params/batches on the spatial mesh (built above, before the
+    # jitted infer fn was constructed over the possibly-rebuilt module).
     sp_sharding = None
-    if cfg.sp_devices > 1:
+    if sp_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        from ircolor_tpu.parallel.spatial import (
-            check_spatial_compat,
-            make_spatial_mesh,
-            spatial_sharding,
-        )
+        from ircolor_tpu.parallel.spatial import spatial_sharding
 
-        if size_hw[0] % cfg.sp_devices:
-            raise ValueError(
-                f"img height {size_hw[0]} must divide by sp_devices={cfg.sp_devices}"
-            )
-        sp_mesh = make_spatial_mesh(cfg.sp_devices)
-        check_spatial_compat(model.module, sp_mesh)
-        sp_sharding = spatial_sharding(sp_mesh)
+        sp_sharding = spatial_sharding(sp_mesh, infer_module)
         variables = jax.device_put(variables, NamedSharding(sp_mesh, PartitionSpec()))
-        log.info("[TEST] Spatial sharding: H over %d devices", cfg.sp_devices)
+        if cfg.sp_w_devices > 1:
+            log.info(
+                "[TEST] Spatial sharding: H×W over %d×%d devices",
+                cfg.sp_devices // cfg.sp_w_devices, cfg.sp_w_devices,
+            )
+        else:
+            log.info("[TEST] Spatial sharding: H over %d devices", cfg.sp_devices)
+
+    # Per-stage wall-clock accumulators (dispatch-thread perspective) — the
+    # breakdown the e2e number decomposes into (docs/PERF.md):
+    #   decode  = waiting on the host decode prefetch (cv2 + rint encode)
+    #   h2d     = batch assembly + device_put/dispatch of the jitted step
+    #   fetch   = waiting for D2H of pred/metrics (overlapped via
+    #             copy_to_host_async issued at dispatch time)
+    #   consume = metric bookkeeping + write/collage submission
+    stage_s = {"decode": 0.0, "h2d": 0.0, "fetch": 0.0, "consume": 0.0}
+
+    def _write_collage(cfg, out_rel, ir01, pred, gt01, metrics_text):
+        collage = make_comparison_collage(
+            ir01_hw=ir01,
+            pred_u8_hwc=pred,
+            gt01_hwc=gt01,
+            add_text=cfg.comparison_add_text,
+            pad=cfg.comparison_pad,
+            font_scale=cfg.comparison_font_scale,
+            thickness=cfg.comparison_thickness,
+            metrics_text=metrics_text,
+        )
+        save_comparison_image(cfg, out_rel, collage)
 
     def consume(decoded, has_gt, pred_dev, m_dev):
         """Materialize one batch's device results and write artifacts."""
         nonlocal count, best_psnr, best_psnr_sample, best_ssim, best_ssim_sample, done
+        t0 = time.perf_counter()
         pred_u8 = np.asarray(pred_dev)
         m_stack = np.asarray(m_dev)  # (4, B): one fetch for all metrics
+        t1 = time.perf_counter()
+        stage_s["fetch"] += t1 - t0
         m = {k: m_stack[i] for i, k in enumerate(_MKEYS)}
         n = len(decoded)
         for j in range(n):
-            ir01, gt01, out_rel, base, gt_path, has_vis_dir = decoded[j]
+            ir01, gt01, out_rel, base, gt_path, has_vis_dir = decoded[j][:6]
             out_path = os.path.join(cfg.output_dir, out_rel)
             pred = pred_u8[j]
             write_futures.append(writer_pool.submit(save_rgb, out_path, pred))
@@ -224,23 +304,19 @@ def run_test(cfg: Config) -> dict[str, Any]:
                     metrics_text = f"PSNR={psnr_val:.2f}dB  SSIM={ssim_val:.4f}"
                 elif psnr_val is not None:
                     metrics_text = f"PSNR={psnr_val:.2f}dB"
-                collage = make_comparison_collage(
-                    ir01_hw=ir01,
-                    pred_u8_hwc=pred,
-                    gt01_hwc=gt01,
-                    add_text=cfg.comparison_add_text,
-                    pad=cfg.comparison_pad,
-                    font_scale=cfg.comparison_font_scale,
-                    thickness=cfg.comparison_thickness,
-                    metrics_text=metrics_text,
-                )
+                # Collage BUILD (canvas assembly + cv2 text) moved into the
+                # writer pool too — it was ~1/3 of consume time on the
+                # dispatch thread.
                 write_futures.append(
-                    writer_pool.submit(save_comparison_image, cfg, out_rel, collage)
+                    writer_pool.submit(
+                        _write_collage, cfg, out_rel, ir01, pred, gt01, metrics_text
+                    )
                 )
 
             done += 1
             if done % 50 == 0 or done == len(entries):
                 log.info("[%d/%d] %s -> %s", done, len(entries), decoded[j][3], out_path)
+        stage_s["consume"] += time.perf_counter() - t1
 
     # Three-stage pipeline: decode batch i+1 on host threads, dispatch the
     # device step for batch i, and only THEN materialize batch i−1's results
@@ -249,29 +325,40 @@ def run_test(cfg: Config) -> dict[str, Any]:
     # serial per image, ref :1379-1465).
     pending = prefetch_pool.submit(decode_batch, batches[0]) if batches else None
     in_flight = None
-    _ir_scratch = np.empty(size_hw, np.float32)
-    _gt_scratch = np.empty((*size_hw, 3), np.float32)
     t_pipeline0 = time.perf_counter()
     t_steady0 = None  # set after the first batch is consumed (excludes compile)
     for bi, batch in enumerate(batches):
+        t0 = time.perf_counter()
         decoded = pending.result()
         pending = (
             prefetch_pool.submit(decode_batch, batches[bi + 1])
             if bi + 1 < len(batches)
             else None
         )
+        t1 = time.perf_counter()
+        stage_s["decode"] += t1 - t0
 
-        # Integer transport encoding (exact; see make_infer_fn): uint16 IR +
-        # uint8 GT cut the per-batch upload 84 MB → 26 MB at 512×640 b16.
-        ir_np = np.zeros((bsz, *size_hw, 1), np.uint16)
+        # Integer transport (exact; see make_infer_fn): uint8/uint16 IR +
+        # uint8 GT cut the per-batch upload 3.2–6.5× vs float32. Frames were
+        # already encoded in the decode pool; assembly here is a memcpy
+        # stack. IR rides uint8 when the whole batch is 8-bit-source (the
+        # KAIST norm), uint16 otherwise (at most two compile-cache entries).
+        ir_dt = (
+            np.uint8
+            if all(d[6].dtype == np.uint8 for d in decoded)
+            else np.uint16
+        )
+        ir_np = np.zeros((bsz, *size_hw, 1), ir_dt)
         gt_np = np.zeros((bsz, *size_hw, 3), np.uint8)
         has_gt = np.zeros((bsz,), bool)
-        for j, (ir01, gt01, *_rest) in enumerate(decoded):
-            np.rint(ir01 * 65535.0, out=_ir_scratch)
-            ir_np[j, :, :, 0] = _ir_scratch
-            if gt01 is not None:
-                np.rint(gt01 * 255.0, out=_gt_scratch)
-                gt_np[j] = _gt_scratch
+        for j, d in enumerate(decoded):
+            ir_enc, gt_enc = d[6], d[7]
+            if ir_enc.dtype == ir_dt:
+                ir_np[j, :, :, 0] = ir_enc
+            else:  # mixed batch: widen the 8-bit frame (k·257/65535 == k/255)
+                ir_np[j, :, :, 0] = ir_enc.astype(np.uint16) * 257
+            if gt_enc is not None:
+                gt_np[j] = gt_enc
                 has_gt[j] = True
 
         ir_dev, gt_dev = jnp.asarray(ir_np), jnp.asarray(gt_np)
@@ -279,6 +366,15 @@ def run_test(cfg: Config) -> dict[str, Any]:
             ir_dev = jax.device_put(ir_dev, sp_sharding)
             gt_dev = jax.device_put(gt_dev, sp_sharding)
         pred_dev, m_dev = infer(variables, ir_dev, gt_dev)
+        # Start the D2H for this batch NOW — it proceeds as soon as the
+        # device step finishes, overlapping the next batch's decode/upload
+        # instead of serializing inside consume()'s np.asarray.
+        try:
+            pred_dev.copy_to_host_async()
+            m_dev.copy_to_host_async()
+        except AttributeError:  # non-jax.Array backends
+            pass
+        stage_s["h2d"] += time.perf_counter() - t1
         if in_flight is not None:
             consume(*in_flight)
             if t_steady0 is None:
@@ -287,8 +383,10 @@ def run_test(cfg: Config) -> dict[str, Any]:
     if in_flight is not None:
         consume(*in_flight)
 
+    t_writes0 = time.perf_counter()
     for f in write_futures:
         f.result()
+    write_drain_s = time.perf_counter() - t_writes0
     decode_pool.shutdown()
     prefetch_pool.shutdown()
     writer_pool.shutdown()
@@ -302,6 +400,14 @@ def run_test(cfg: Config) -> dict[str, Any]:
         if t_steady0 is not None and done > done_at_steady:
             rate = (done - done_at_steady) / (t_end - t_steady0)
             log.info("Steady-state (decode+infer+metrics+write): %.1f frames/s", rate)
+        log.info(
+            "Pipeline stage wait (dispatch-thread ms/frame): decode %.2f | "
+            "h2d+dispatch %.2f | d2h fetch %.2f | consume %.2f | "
+            "final write drain %.2f",
+            1e3 * stage_s["decode"] / done, 1e3 * stage_s["h2d"] / done,
+            1e3 * stage_s["fetch"] / done, 1e3 * stage_s["consume"] / done,
+            1e3 * write_drain_s / done,
+        )
 
     summary: dict[str, Any] = {"count": count}
     if count > 0:

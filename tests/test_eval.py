@@ -203,6 +203,20 @@ def test_integer_transport_encoding_is_exact():
             np.asarray(m_f[k]), np.asarray(m_i[k]), rtol=1e-5, atol=1e-6
         )
 
+    # uint8 IR leg (8-bit sources ride the half-size encoding): same
+    # contract vs the uint16 form — k/255 == 257k/65535 exactly, so the two
+    # integer paths may themselves differ only by the 1-ulp divide.
+    ir_u8 = np.rint(ir01 * 255.0).astype(np.uint8)
+    pred_i8, m_i8 = infer(params, jnp.asarray(ir_u8), jnp.asarray(gt_u8))
+    diff8 = np.abs(
+        np.asarray(pred_i8).astype(np.int16) - np.asarray(pred_i).astype(np.int16)
+    )
+    assert diff8.max() <= 1
+    for k in m_i8:
+        np.testing.assert_allclose(
+            np.asarray(m_i8[k]), np.asarray(m_i[k]), rtol=1e-5, atol=1e-6
+        )
+
 
 def test_aot_export_roundtrip(tmp_path):
     """jax.export serving artifact: serialize with weights baked in, reload,
@@ -268,6 +282,27 @@ def test_run_test_spatial_sharded(kaist_tree, tmp_path):
     )
     s1 = run_test(Config(output_dir=str(tmp_path / "single"), **base))
     s2 = run_test(Config(output_dir=str(tmp_path / "sp"), sp_devices=2, **base))
+    assert s2["count"] == s1["count"]
+    assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 0.1
+    assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-3
+
+
+def test_run_test_2d_spatial_auto_degrades_lanepack(kaist_tree, tmp_path):
+    """--sp-devices 4 --sp-w-devices 2 with the DEFAULT lanepack=True config:
+    the runner must transparently rebuild the generator with lanepack=False
+    (instead of raising) and produce metrics matching the single-device run."""
+    root, _ = kaist_tree
+    base = dict(
+        mode="test", img_size=32, test_batch_size=4,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False,
+    )
+    cfg2d = Config(
+        output_dir=str(tmp_path / "sp2d"), sp_devices=4, sp_w_devices=2, **base
+    )
+    assert cfg2d.lanepack  # the combination that previously raised
+    s1 = run_test(Config(output_dir=str(tmp_path / "single2"), **base))
+    s2 = run_test(cfg2d)
     assert s2["count"] == s1["count"]
     assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 0.1
     assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-3
