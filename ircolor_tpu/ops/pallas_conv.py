@@ -95,6 +95,164 @@ def _conv_kernel_db(x_hbm, k_ref, o_ref, x_vmem, sems, *, th: int, w: int, nh: i
     _compute_taps(x_vmem.at[slot], k_ref, o_ref, th, w)
 
 
+def _compute_taps_preshift(x_vmem_slot, k_ref, o_ref, xs, th: int, w: int):
+    """Aligned-taps variant: copy the three dx-shifted windows into aligned
+    scratch ONCE, so all nine matmul operands are tile-aligned (the naive
+    form's dx∈{1,2} window slices are sublane-misaligned — Mosaic relayouts
+    the whole window per tap, 6 hidden copies per tile; this does 3)."""
+    cout = o_ref.shape[-1]
+    for dx in range(3):
+        xs[dx] = x_vmem_slot[:, dx : dx + w, :]
+    acc = jnp.zeros((th, w, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + jax.lax.dot_general(
+                xs[dx, dy : dy + th],
+                k_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[...] = acc.astype(o_ref.dtype)[None]
+
+
+def _compute_taps_dxcat(x_vmem_slot, k_ref, o_ref, xcat, th: int, w: int):
+    """dx-concat variant: build A[(th+2), w, 3C] (the three dx-shifted
+    windows concatenated along channels) once, then the conv is THREE
+    aligned matmuls with contraction 3C — one per dy, each a free
+    leading-dim slice of A — instead of nine. Cuts f32-accumulator
+    read-modify-write passes 9 → 3 (the acc is VMEM-resident at these tile
+    sizes, so acc traffic is a first-order cost). ``k_ref`` must be
+    pre-packed as (3, 3C, Cout): K[dy, dx·C+ci, co] = k[dy, dx, ci, co]."""
+    c = x_vmem_slot.shape[-1]
+    cout = o_ref.shape[-1]
+    for dx in range(3):
+        xcat[:, :, dx * c : (dx + 1) * c] = x_vmem_slot[:, dx : dx + w, :]
+    acc = jnp.zeros((th, w, cout), jnp.float32)
+    for dy in range(3):
+        acc = acc + jax.lax.dot_general(
+            xcat[dy : dy + th],
+            k_ref[dy],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = acc.astype(o_ref.dtype)[None]
+
+
+def _conv_kernel_db_v2(
+    x_hbm, k_ref, o_ref, x_vmem, xs, sems, *, th: int, w: int, nh: int, mode: str
+):
+    """Double-buffered halo DMA + aligned-tap compute (mode 'preshift' or
+    'dxcat')."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    lin = b * nh + h
+    total = pl.num_programs(0) * nh
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def dma_for(linear, slot_idx):
+        bb = jax.lax.div(linear, nh)
+        hh = jax.lax.rem(linear, nh)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(hh * th, th + 2)],
+            x_vmem.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        dma_for(lin, slot).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        dma_for(lin + 1, nslot).start()
+
+    dma_for(lin, slot).wait()
+    if mode == "preshift":
+        _compute_taps_preshift(x_vmem[slot], k_ref, o_ref, xs, th, w)
+    else:
+        _compute_taps_dxcat(x_vmem[slot], k_ref, o_ref, xs, th, w)
+
+
+def conv3x3_valid_pallas_v2(
+    x_padded: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    tile_h: int = 16,
+    mode: str = "dxcat",
+    vmem_limit_mb: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """VALID 3×3 conv, round-3 aligned-tap formulations (see kernel docs).
+
+    Differences vs ``conv3x3_valid_pallas``: all matmul operands are
+    tile-aligned (dx shifts paid once as explicit VPU copies instead of 6
+    hidden Mosaic relayouts), the 'dxcat' mode additionally folds dx into
+    the contraction dim (3 matmuls, 3 acc passes), and the Mosaic scoped
+    VMEM cap is raised (the f32 stack accumulator at 512×640-class tiles
+    exceeds the 32 MB default)."""
+    assert mode in ("preshift", "dxcat"), mode
+    b, hp, wp_orig, c = x_padded.shape
+    h, w = hp - 2, wp_orig - 2
+    cout = kernel.shape[-1]
+    assert kernel.shape[:3] == (3, 3, c), kernel.shape
+    assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
+    assert w % 8 == 0, f"W={w} must be 8-aligned for the shifted-copy layout"
+
+    wp = wp_orig
+    if wp % 8 != 0:
+        x_padded = jnp.pad(x_padded, ((0, 0), (0, 0), (0, 8 - wp % 8), (0, 0)))
+        wp = x_padded.shape[2]
+
+    if mode == "dxcat":
+        # (3, 3C, Cout): K[dy, dx·C+ci, co] = kernel[dy, dx, ci, co].
+        kpacked = kernel.reshape(3, 3 * c, cout)
+        xs_scratch = pltpu.VMEM((tile_h + 2, w, 3 * c), x_padded.dtype)
+    else:
+        kpacked = kernel
+        xs_scratch = pltpu.VMEM((3, tile_h + 2, w, c), x_padded.dtype)
+
+    nh = h // tile_h
+    grid = (b, nh)
+    kernel_fn = functools.partial(
+        _conv_kernel_db_v2, th=tile_h, w=w, nh=nh, mode=mode
+    )
+    flops = 2 * b * h * w * 9 * c * cout
+    vmem = pltpu.VMEM if not interpret else None
+    anym = pltpu.ANY if not interpret else None
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_padded.size * x_padded.dtype.itemsize
+            + b * h * w * cout * x_padded.dtype.itemsize,
+            transcendentals=0,
+        )
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x_padded.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=anym),
+            pl.BlockSpec(memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, cout), lambda i, j: (i, j, 0, 0),
+            memory_space=vmem,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, wp, c), x_padded.dtype),
+            xs_scratch,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(x_padded, kpacked)
+
+
 def conv3x3_valid_pallas(
     x_padded: jnp.ndarray,
     kernel: jnp.ndarray,

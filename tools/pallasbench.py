@@ -36,7 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from ircolor_tpu.ops.conv import conv2d
 from ircolor_tpu.ops.norm import instance_norm
 from ircolor_tpu.ops.padding import reflect_pad2d
-from ircolor_tpu.ops.pallas_conv import conv3x3_valid_pallas
+from ircolor_tpu.ops.pallas_conv import conv3x3_valid_pallas, conv3x3_valid_pallas_v2
 from ircolor_tpu.ops.pallas_block import conv3x3_stats, conv3x3_norm_in_stats
 
 DT = jnp.bfloat16
@@ -87,20 +87,31 @@ def main():
     k2 = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.05).astype(DT)
     conv_flops = 2 * b * h * w * 9 * c * c
 
+    def padded(v):
+        return jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
     cases = {
         "xla conv3x3 SAME": lambda v: conv2d(v, k1, padding=((1, 1), (1, 1))),
         "pallas conv3x3 db": lambda v: conv3x3_valid_pallas(
-            jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0))), k1,
-            tile_h=args.tile_h, double_buffer=True,
-        ),
-        "pallas conv3x3 sb": lambda v: conv3x3_valid_pallas(
-            jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0))), k1,
-            tile_h=args.tile_h, double_buffer=False,
+            padded(v), k1, tile_h=args.tile_h, double_buffer=True,
         ),
     }
+    for th in (args.tile_h, 32, 64):
+        if h % th:
+            continue
+        for mode in ("preshift", "dxcat"):
+            cases[f"pallas v2 {mode} th={th}"] = (
+                lambda v, th=th, mode=mode: conv3x3_valid_pallas_v2(
+                    padded(v), k1, tile_h=th, mode=mode,
+                )
+            )
     for name, fn in cases.items():
-        t = stage_time(fn, x)
-        print(f"{name:24s} {t*1e3:8.2f} ms  {conv_flops/t/1e12:7.1f} TF/s", flush=True)
+        try:
+            t = stage_time(fn, x)
+        except Exception as e:  # Mosaic compile failures are silent HTTP 500s
+            print(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
+            continue
+        print(f"{name:28s} {t*1e3:8.2f} ms  {conv_flops/t/1e12:7.1f} TF/s", flush=True)
 
     def xla_block(v):
         r = jax.nn.relu(instance_norm(conv2d(reflect_pad2d(v, 1), k1, padding="VALID")))
