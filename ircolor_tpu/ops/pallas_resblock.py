@@ -1,0 +1,298 @@
+"""Round-3 fused ResNet-block conv: reflect halos in-kernel, dx-concat MXU
+schedule, IN fused at both ends.
+
+The generator's 9 bottleneck ResnetBlocks (ref
+`/root/reference/Code/ir_colorization.py:362-418`: ReflectPad(1) → Conv3×3 →
+IN → ReLU → ReflectPad(1) → Conv3×3 → IN, +residual) are bandwidth-floor
+bound under XLA: each pad materializes a copy, each IN is a read(+write), so
+one block costs ~13 HBM tensor passes. This kernel collapses a whole
+conv(+pre-IN+ReLU)(+post-IN stats) stage into ONE read + ONE write:
+
+* **Reflect halos in the input DMA** — input is the UNPADDED (B, H, W, C)
+  tensor. H-axis: interior tiles DMA rows [r0−1, r0+th+1); boundary tiles
+  DMA the clamped range and restore the reflected row with a 1-row VMEM copy
+  (row −1 ≡ row 1, row H ≡ row H−2 — PyTorch ReflectionPad2d(1) semantics).
+  W-axis: the dx-shifted copies that build the matmul operand read the
+  reflected columns directly (col −1 ≡ col 1, col W ≡ col W−2). No padded
+  tensor ever exists in HBM.
+* **Normalize+ReLU on load** (optional ``mean``/``inv``): the previous
+  conv's instance norm + ReLU are applied to the VMEM-resident input tile,
+  so IN₁ costs zero HBM traffic. Reflect padding commutes with per-channel
+  affine normalization and ReLU, so normalizing the raw halo rows is exact.
+* **dx-concat compute** (see ``pallas_conv._compute_taps_dxcat``): the three
+  dx-shifted windows are packed along channels once, making the conv three
+  tile-aligned 3C-contraction matmuls (vs nine sublane-misaligned taps).
+* **Stats epilogue**: Σy and Σy² per (batch, channel) accumulate across
+  H-tiles in a revisited (1, 2, C) output block — IN₂'s reduce pass is free.
+* **Double-buffered halo DMA** so the HBM read of tile j+1 overlaps tile
+  j's matmuls (the kernel is bandwidth-bound at the bottleneck shapes).
+
+A full ResnetBlock is then::
+
+    raw1, m1, i1 = conv3x3_reflect_fused(x,    k1)            # read x, write raw1
+    raw2, m2, i2 = conv3x3_reflect_fused(raw1, k2, m1, i1)    # read raw1, write raw2
+    out = x + (raw2 - m2[:, None, None]) * i2[:, None, None]  # one XLA elementwise
+
+≈6 HBM tensor passes per block instead of ~13.
+
+Status: correctness-tested in interpret mode (`tests/test_pallas_resblock.py`)
+against the XLA reflect-pad/conv/IN chain; TPU benchmark in docs/PERF.md.
+Wired into the model behind a flag only if it beats the XLA block in-graph
+(the round-2 fused block lost 39.6 vs 28.2 ms on the misaligned-tap
+schedule; this one exists to retest with the aligned schedule).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAVE_PLTPU = False
+
+_EPS = 1e-5
+
+
+def _halo_copy(x_hbm, x_vmem, sems, bb, hh, slot, *, th: int, h: int, nh: int):
+    """The (branch-static) halo DMA descriptor set for tile ``hh``.
+
+    Returns a list of (when_predicate | None, copy) pairs; ``None`` means
+    unconditional. Every branch uses static sizes — Mosaic DMAs cannot be
+    variable-length — so boundary tiles get their own descriptors.
+    """
+    if nh == 1:
+        # Single tile: rows 0..h-1 land in slots 1..h; slots 0 and h+1 are
+        # restored from the reflected rows after the wait.
+        return [(None, pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(0, h)],
+            x_vmem.at[slot, pl.ds(1, h)],
+            sems.at[slot],
+        ))]
+    first = pltpu.make_async_copy(
+        x_hbm.at[bb, pl.ds(0, th + 1)],
+        x_vmem.at[slot, pl.ds(1, th + 1)],
+        sems.at[slot],
+    )
+    last = pltpu.make_async_copy(
+        x_hbm.at[bb, pl.ds(h - th - 1, th + 1)],
+        x_vmem.at[slot, pl.ds(0, th + 1)],
+        sems.at[slot],
+    )
+    mid = pltpu.make_async_copy(
+        x_hbm.at[bb, pl.ds(hh * th - 1, th + 2)],
+        x_vmem.at[slot],
+        sems.at[slot],
+    )
+    return [(hh == 0, first), (hh == nh - 1, last),
+            (jnp.logical_and(hh != 0, hh != nh - 1), mid)]
+
+
+def _kernel(
+    x_hbm, k_ref, *maybe_stats_and_out, th: int, w: int, h: int, nh: int,
+    norm_in: bool,
+):
+    if norm_in:
+        m_ref, i_ref, o_ref, s_ref, x_vmem, xcat, sems = maybe_stats_and_out
+    else:
+        o_ref, s_ref, x_vmem, xcat, sems = maybe_stats_and_out
+        m_ref = i_ref = None
+
+    b = pl.program_id(0)
+    hh = pl.program_id(1)
+    lin = b * nh + hh
+    total = pl.num_programs(0) * nh
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def start_for(linear, slot_idx):
+        bb = jax.lax.div(linear, nh)
+        jj = jax.lax.rem(linear, nh)
+        for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
+                                   th=th, h=h, nh=nh):
+            if pred is None:
+                cp.start()
+            else:
+                @pl.when(pred)
+                def _(cp=cp):
+                    cp.start()
+
+    def wait_for(linear, slot_idx):
+        bb = jax.lax.div(linear, nh)
+        jj = jax.lax.rem(linear, nh)
+        for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
+                                   th=th, h=h, nh=nh):
+            if pred is None:
+                cp.wait()
+            else:
+                @pl.when(pred)
+                def _(cp=cp):
+                    cp.wait()
+
+    @pl.when(lin == 0)
+    def _():
+        start_for(lin, slot)
+
+    @pl.when(lin + 1 < total)
+    def _():
+        start_for(lin + 1, nslot)
+
+    wait_for(lin, slot)
+
+    # H-axis reflect fixups (1-row VMEM copies, boundary tiles only).
+    if nh == 1:
+        x_vmem[slot, 0] = x_vmem[slot, 2]
+        x_vmem[slot, th + 1] = x_vmem[slot, th - 1]
+    else:
+        @pl.when(hh == 0)
+        def _():
+            x_vmem[slot, 0] = x_vmem[slot, 2]
+
+        @pl.when(hh == nh - 1)
+        def _():
+            x_vmem[slot, th + 1] = x_vmem[slot, th - 1]
+
+    xin = x_vmem[slot]
+    c = xin.shape[-1]
+    if norm_in:
+        mean = m_ref[b]  # (C,) rows of the whole (B, C) VMEM-resident stats
+        inv = i_ref[b]
+        xin = (xin.astype(jnp.float32) - mean[None, None, :]) * inv[None, None, :]
+        xin = jnp.maximum(xin, 0.0).astype(x_vmem.dtype)
+
+    # dx-concat operand with W-axis reflect: xcat[r, x, dx·C+ci] =
+    # xin[r, reflect(x+dx−1), ci].
+    xcat[:, :, c : 2 * c] = xin
+    xcat[:, 1:, 0:c] = xin[:, : w - 1]
+    xcat[:, 0:1, 0:c] = xin[:, 1:2]
+    xcat[:, : w - 1, 2 * c :] = xin[:, 1:]
+    xcat[:, w - 1 : w, 2 * c :] = xin[:, w - 2 : w - 1]
+
+    cout = o_ref.shape[-1]
+    acc = jnp.zeros((th, w, cout), jnp.float32)
+    for dy in range(3):
+        acc = acc + jax.lax.dot_general(
+            xcat[dy : dy + th],
+            k_ref[dy],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = acc.astype(o_ref.dtype)[None]
+
+    # Stats epilogue: Σy / Σy² per channel, accumulated over H-tiles.
+    tile = jnp.stack(
+        [jnp.sum(acc, axis=(0, 1)), jnp.sum(acc * acc, axis=(0, 1))]
+    )[None]
+
+    @pl.when(hh == 0)
+    def _():
+        s_ref[...] = tile
+
+    @pl.when(hh != 0)
+    def _():
+        s_ref[...] = s_ref[...] + tile
+
+
+def conv3x3_reflect_fused(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    mean: jnp.ndarray | None = None,
+    inv: jnp.ndarray | None = None,
+    *,
+    tile_h: int = 16,
+    vmem_limit_mb: int = 100,
+    interpret: bool = False,
+):
+    """Reflect-padded 3×3 conv of UNPADDED ``x`` (B, H, W, C) → raw output
+    plus per-(B, C) instance-norm ``(mean, inv_std)`` of that output.
+
+    With ``mean``/``inv`` given, the input is instance-normalized and ReLU'd
+    on load (fusing the previous conv's IN+ReLU). See module docstring.
+    Requires H % tile_h == 0 and W % 8 == 0 (true for all generator
+    bottleneck shapes: 128×160, 64×64, …).
+    """
+    b, h, w, c = x.shape
+    cout = kernel.shape[-1]
+    assert kernel.shape[:3] == (3, 3, c), kernel.shape
+    assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
+    assert w % 8 == 0, f"W={w} must be 8-aligned"
+    norm_in = mean is not None
+    nh = h // tile_h
+
+    kpacked = kernel.reshape(3, 3 * c, cout)  # K[dy, dx·C+ci, co]
+
+    vmem = pltpu.VMEM if not interpret else None
+    anym = pltpu.ANY if not interpret else None
+    in_specs = [pl.BlockSpec(memory_space=anym), pl.BlockSpec(memory_space=vmem)]
+    operands = [x, kpacked]
+    if norm_in:
+        stat_spec = pl.BlockSpec(memory_space=vmem)  # whole (B, C) arrays
+        in_specs += [stat_spec, stat_spec]
+        operands += [mean, inv]
+
+    kernel_fn = functools.partial(
+        _kernel, th=tile_h, w=w, h=h, nh=nh, norm_in=norm_in
+    )
+    kwargs = {}
+    if not interpret:
+        flops = 2 * b * h * w * 9 * c * cout
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x.size + b * h * w * cout) * x.dtype.itemsize,
+            transcendentals=0,
+        )
+    out, stats = pl.pallas_call(
+        kernel_fn,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+            jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+        ),
+        grid=(b, nh),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, tile_h, w, cout), lambda i, j: (i, j, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, 2, cout), lambda i, j: (i, 0, 0),
+                         memory_space=vmem),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, w, c), x.dtype),
+            pltpu.VMEM((tile_h + 2, w, 3 * c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*operands)
+    n = h * w
+    mean_out = stats[:, 0] / n
+    var = stats[:, 1] / n - mean_out * mean_out
+    inv_out = jax.lax.rsqrt(var + _EPS)
+    return out, mean_out, inv_out
+
+
+def resnet_block_pallas(
+    x: jnp.ndarray,
+    k1: jnp.ndarray,
+    k2: jnp.ndarray,
+    *,
+    tile_h: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One full ResnetBlock (ref :362-418) via two fused kernel launches +
+    one XLA elementwise pass (final IN normalize + residual add)."""
+    raw1, m1, i1 = conv3x3_reflect_fused(x, k1, tile_h=tile_h, interpret=interpret)
+    raw2, m2, i2 = conv3x3_reflect_fused(
+        raw1, k2, m1, i1, tile_h=tile_h, interpret=interpret
+    )
+    y = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
+    return x + y.astype(x.dtype)

@@ -38,6 +38,7 @@ from ircolor_tpu.ops.norm import instance_norm
 from ircolor_tpu.ops.padding import reflect_pad2d
 from ircolor_tpu.ops.pallas_conv import conv3x3_valid_pallas, conv3x3_valid_pallas_v2
 from ircolor_tpu.ops.pallas_block import conv3x3_stats, conv3x3_norm_in_stats
+from ircolor_tpu.ops.pallas_resblock import conv3x3_reflect_fused, resnet_block_pallas
 
 DT = jnp.bfloat16
 
@@ -125,9 +126,26 @@ def main():
         return v + ((raw2.astype(jnp.float32) - m2[:, None, None, :])
                     * i2[:, None, None, :]).astype(v.dtype)
 
-    for name, fn in (("xla resblock", xla_block), ("pallas fused block", fused_block)):
-        t = stage_time(fn, x)
-        print(f"{name:24s} {t*1e3:8.2f} ms  {2*conv_flops/t/1e12:7.1f} TF/s-equiv",
+    block_cases = [("xla resblock", xla_block), ("pallas fused block", fused_block)]
+    for th in (args.tile_h, 32):
+        if h % th:
+            continue
+        block_cases.append((
+            f"pallas v3 reflconv th={th}",
+            lambda v, th=th: conv3x3_reflect_fused(v, k1, tile_h=th)[0],
+        ))
+        block_cases.append((
+            f"pallas v3 block th={th}",
+            lambda v, th=th: resnet_block_pallas(v, k1, k2, tile_h=th),
+        ))
+    for name, fn in block_cases:
+        try:
+            t = stage_time(fn, x)
+        except Exception as e:
+            print(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
+            continue
+        mult = 1 if "reflconv" in name else 2
+        print(f"{name:28s} {t*1e3:8.2f} ms  {mult*conv_flops/t/1e12:7.1f} TF/s-equiv",
               flush=True)
 
 
