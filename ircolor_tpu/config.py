@@ -168,6 +168,13 @@ class Config:
     # "only keep kernels that win" rule (SURVEY.md §7.1 step 9).
     use_pallas: bool = False
 
+    # Round-3 fused reflect-conv-IN ResnetBlock kernel
+    # (ops/pallas_resblock.py): in-kernel reflect halos + IN at both ends,
+    # one HBM pass per conv instead of ~6. INFERENCE-ONLY (the manual-DMA
+    # kernel does not autodiff); training forces it off. Gated like
+    # use_pallas: only shipped on if it beats XLA in-graph (docs/PERF.md).
+    pallas_block: bool = False
+
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50
 

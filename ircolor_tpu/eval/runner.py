@@ -150,6 +150,23 @@ def run_test(cfg: Config) -> dict[str, Any]:
             make_spatial_mesh,
         )
 
+        if getattr(infer_module, "pallas_block", False):
+            # The fused-block kernel computes its own reflect halos from the
+            # full image; under spatial sharding each shard would reflect at
+            # its local edge — silently wrong. GSPMD halo exchange needs the
+            # plain XLA block (identical params).
+            import dataclasses as _dc
+
+            from ircolor_tpu.models.wrapper import generator_from_config
+
+            log.info(
+                "[TEST] spatial sharding: rebuilding generator with "
+                "pallas_block=False (in-kernel reflect halos are "
+                "incompatible with image-axis sharding; params unchanged)"
+            )
+            cfg = _dc.replace(cfg, pallas_block=False)
+            infer_module = generator_from_config(cfg)
+
         if size_hw[0] % cfg.sp_devices:
             raise ValueError(
                 f"img height {size_hw[0]} must divide by sp_devices={cfg.sp_devices}"

@@ -43,11 +43,49 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+class _LanePackSameConv(nn.Module):
+    """3×3 SAME conv computed lane-packed (``ops.conv.conv2d_lanepack``).
+
+    Param layout (kernel HWIO + bias) and init match ``nn.Conv`` exactly —
+    the RNG path is ``params/<name>/kernel``, identical to the plain tower's,
+    so the random fallback init and imported torchvision weights are
+    interchangeable between packed and unpacked towers. Math is exact
+    (structural-zero taps; reassociation aside)."""
+
+    features: int
+    p: int
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ircolor_tpu.ops.conv import conv2d_lanepack
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+        ).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,)).astype(
+            self.dtype
+        )
+        return conv2d_lanepack(
+            x.astype(self.dtype), kernel, self.p, padding="SAME", bias=bias,
+            precision=self.precision,
+        )
+
+
 class VGG16Features(nn.Module):
-    """Frozen VGG-16 features[:16]; input NHWC in [-1,1]; output relu3_3."""
+    """Frozen VGG-16 features[:16]; input NHWC in [-1,1]; output relu3_3.
+
+    ``lanepack_p > 1`` computes the Cout=64 convs (conv1_1/conv1_2 — 50% MXU
+    lane fill at full resolution) lane-packed with ``p`` output pixels in the
+    feature dim; applied only where ``Cout·p ≤ 128`` and W divides p. Param
+    trees are identical either way."""
 
     dtype: Any = jnp.float32
     precision: Any = None
+    lanepack_p: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -59,15 +97,22 @@ class VGG16Features(nn.Module):
             if ch is None:
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
             else:
-                h = nn.Conv(
-                    ch,
-                    (3, 3),
-                    padding=((1, 1), (1, 1)),
-                    use_bias=True,
-                    dtype=self.dtype,
-                    precision=self.precision,
-                    name=name,
-                )(h)
+                p = self.lanepack_p
+                if p > 1 and ch * p <= 128 and h.shape[2] % p == 0:
+                    h = _LanePackSameConv(
+                        features=ch, p=p, dtype=self.dtype,
+                        precision=self.precision, name=name,
+                    )(h)
+                else:
+                    h = nn.Conv(
+                        ch,
+                        (3, 3),
+                        padding=((1, 1), (1, 1)),
+                        use_bias=True,
+                        dtype=self.dtype,
+                        precision=self.precision,
+                        name=name,
+                    )(h)
                 h = nn.relu(h)
         return h
 

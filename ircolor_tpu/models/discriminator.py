@@ -21,7 +21,40 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ircolor_tpu.models.common import Conv, Norm, use_bias_for_norm
+from ircolor_tpu.models.common import (
+    Conv,
+    Norm,
+    bias_init,
+    kernel_init,
+    lanepack_p,
+    use_bias_for_norm,
+)
+
+
+class _LPConv4(nn.Module):
+    """4×4 pad-1 conv computed lane-packed (``ops.conv.conv2d_lanepack``) —
+    for the PatchGAN's lane-underfilled first (Cout=ndf) and last (Cout=1)
+    convs. Param layout/init matches ``Conv`` (kernel HWIO + bias, N(0,0.02)),
+    so checkpoints are interchangeable; math is exact."""
+
+    features: int
+    stride: int
+    p: int
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ircolor_tpu.ops.conv import conv2d_lanepack
+
+        kernel = self.param(
+            "kernel", kernel_init, (4, 4, x.shape[-1], self.features)
+        ).astype(self.dtype)
+        bias = self.param("bias", bias_init, (self.features,)).astype(self.dtype)
+        return conv2d_lanepack(
+            x.astype(self.dtype), kernel, self.p, stride=self.stride,
+            padding=((1, 1), (1, 1)), bias=bias, precision=self.precision,
+        )
 
 
 class NLayerDiscriminator(nn.Module):
@@ -31,6 +64,7 @@ class NLayerDiscriminator(nn.Module):
     norm: str = "instance"
     dtype: Any = jnp.float32
     precision: Any = None
+    lanepack: bool = False  # pack conv0/conv_out output pixels into MXU lanes
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -49,8 +83,18 @@ class NLayerDiscriminator(nn.Module):
                 name=name,
             )
 
+        def maybe_packed(name, feats, stride, bias, h):
+            out_w = (h.shape[2] + 2 - kw) // stride + 1
+            p = lanepack_p(feats, out_w) if self.lanepack else 1
+            if p > 1:
+                return _LPConv4(
+                    features=feats, stride=stride, p=p, dtype=self.dtype,
+                    precision=self.precision, name=name,
+                )(h)
+            return conv(name, feats, stride, bias)(h)
+
         # First layer: bias always on (ref :600 has no bias= kwarg).
-        h = conv("conv0", self.ndf, 2, True)(x)
+        h = maybe_packed("conv0", self.ndf, 2, True, x)
         h = nn.leaky_relu(h, 0.2)
 
         nf_mult = 1
@@ -67,4 +111,4 @@ class NLayerDiscriminator(nn.Module):
         h = nn.leaky_relu(h, 0.2)
 
         # Final 1-channel patch map: bias always on (ref :629).
-        return conv("conv_out", 1, 1, True)(h)
+        return maybe_packed("conv_out", 1, 1, True, h)

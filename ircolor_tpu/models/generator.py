@@ -43,6 +43,7 @@ from ircolor_tpu.models.common import (
 from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
 from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
 from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
+from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
 from ircolor_tpu.ops.resize import bilinear_align_corners
 
 
@@ -51,6 +52,32 @@ def _pallas_available() -> bool:
     models silently use the equivalent XLA ops — interpret mode is reserved
     for the dedicated kernel parity tests."""
     return jax.default_backend() in ("tpu", "axon")
+
+
+class _ConvParams(nn.Module):
+    """Declares a Conv-compatible (kernel, bias) param pair without applying
+    it — the fused-block path consumes raw kernels. Same names, shapes, and
+    initializers as ``Conv`` at the same module path, so parameter trees and
+    checkpoints are identical whichever path a config selects. The bias is
+    declared (checkpoint compat) but unused by the caller: conv bias is
+    mathematically inert through instance norm (IN(x + b) ≡ IN(x))."""
+
+    dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", Conv.kernel_init, (3, 3, cin, self.dim))
+        if self.use_bias:
+            self.param("bias", Conv.bias_init, (self.dim,))
+        return k
+
+
+def _fused_tile_h(h: int) -> int | None:
+    for th in (16, 8, 4):
+        if h % th == 0:
+            return th
+    return None
 
 
 class ResnetBlock(nn.Module):
@@ -64,6 +91,7 @@ class ResnetBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     use_pallas: bool = False
+    pallas_block: bool = False  # fused reflect-conv-IN kernel (inference)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -92,6 +120,26 @@ class ResnetBlock(nn.Module):
                 precision=self.precision,
                 name=name,
             )(y)
+
+        # Round-3 fully fused block: reflect halos in-kernel, IN at both
+        # ends, two kernel launches + one elementwise pass for the whole
+        # block. Static-shape guard falls back to the XLA path (identical
+        # params) when tiling constraints don't hold.
+        th = _fused_tile_h(x.shape[1])
+        if (
+            self.norm == "instance"
+            and self.pallas_block
+            and not self.use_dropout
+            and self.padding_type == "reflect"
+            and th is not None
+            and x.shape[2] % 8 == 0
+            and _pallas_available()
+        ):
+            k1 = _ConvParams(self.dim, self.use_bias, name="conv1")(x.shape[-1])
+            k2 = _ConvParams(self.dim, self.use_bias, name="conv2")(self.dim)
+            return resnet_block_pallas(
+                x, k1.astype(self.dtype), k2.astype(self.dtype), tile_h=th
+            )
 
         # Instance norm (the default) routes through the fused Pallas kernel
         # when enabled: conv→IN→ReLU and conv→IN(+residual) each collapse to
@@ -132,6 +180,7 @@ class ResnetUNetGenerator(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     use_pallas: bool = False
+    pallas_block: bool = False  # fused ResnetBlock kernel (inference-only)
     # Lane-packing of the outc head (exact math, single-chip layout win).
     # Disable for 2-D spatial sharding — GSPMD mispartitions the packed-
     # stride conv's unpack reshape when both image axes are sharded.
@@ -204,6 +253,7 @@ class ResnetUNetGenerator(nn.Module):
                 dtype=self.dtype,
                 precision=self.precision,
                 use_pallas=self.use_pallas,
+                pallas_block=self.pallas_block,
                 name=f"resblock_{i}",
             )(h, train)
 

@@ -48,6 +48,7 @@ def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
         dtype=dtype,
         precision=resolve_precision(cfg.conv_precision if cfg.compute_dtype == "f32" else "default"),
         use_pallas=cfg.use_pallas,
+        pallas_block=cfg.pallas_block,
         lanepack=cfg.lanepack,
         remat=cfg.remat,
     )

@@ -74,6 +74,11 @@ def create_train_state(
         rng = jax.random.PRNGKey(cfg.seed)
     rng_g, rng_d = jax.random.split(rng)
     h, w = cfg.resolved_hw
+    if cfg.pallas_block:
+        # The fused-block kernel's manual DMAs do not autodiff; training
+        # always uses the XLA block (identical params — checkpoints from
+        # either path load into the other).
+        cfg = cfg.replace(pallas_block=False)
     g_module = generator_from_config(cfg)
     d_module = discriminator_from_config(cfg)
     g_vars = g_module.init(rng_g, jnp.zeros((1, h, w, cfg.input_nc), jnp.float32))

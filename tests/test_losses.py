@@ -79,6 +79,24 @@ def test_vgg_tower_shapes():
     assert len(counts) == 7
 
 
+def test_vgg_lanepack_tower_matches_plain():
+    """lanepack_p=2 tower: identical param tree/init, same outputs (exact
+    structural-zero packing; f32 so no reassociation tolerance needed beyond
+    matmul reordering)."""
+    params = init_vgg16_params()
+    mod = VGG16Features()
+    mod_lp = VGG16Features(lanepack_p=2)
+    # Same init RNG paths -> identical param trees.
+    params_lp = mod_lp.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    ref_params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    for a, b in zip(jax.tree_util.tree_leaves(params_lp), jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x = jnp.asarray(np.random.RandomState(7).rand(2, 32, 40, 3).astype(np.float32) * 2 - 1)
+    want = mod.apply({"params": params}, x)
+    got = mod_lp.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
 def test_vgg_import_from_torch_state_dict(tmp_path):
     """A torchvision-layout features state_dict imports with value parity."""
     from ircolor_tpu.compat.torch_import import load_vgg16_pth

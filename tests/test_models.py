@@ -51,6 +51,50 @@ def test_discriminator_param_count_and_patch_map():
     assert out.shape == (2, 30, 30, 1)  # 30×30 patch score map at 256²
 
 
+def test_discriminator_lanepack_matches_plain():
+    """lanepack=True packs conv0/conv_out; identical param tree + outputs."""
+    import numpy as np
+
+    plain = NLayerDiscriminator()
+    packed = NLayerDiscriminator(lanepack=True)
+    params = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 80, 4)))["params"]
+    params_lp = packed.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 80, 4)))["params"]
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_lp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 80, 4)) * 2 - 1
+    want = plain.apply({"params": params}, x)
+    got = packed.apply({"params": params}, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_generator_pallas_block_path_matches_xla(monkeypatch):
+    """pallas_block=True: identical param tree; fused-kernel forward (run in
+    interpret mode on CPU) matches the XLA block path."""
+    import functools
+
+    import numpy as np
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(
+        gen_mod, "resnet_block_pallas",
+        functools.partial(resnet_block_pallas, interpret=True),
+    )
+    plain = ResnetUNetGenerator(n_blocks=2)
+    fused = ResnetUNetGenerator(n_blocks=2, pallas_block=True)
+    x0 = jnp.zeros((1, 32, 32, 1))
+    params = plain.init(jax.random.PRNGKey(0), x0)["params"]
+    params_f = fused.init(jax.random.PRNGKey(0), x0)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) * 2 - 1
+    want = plain.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_generator_output_shape_and_range():
     module = ResnetUNetGenerator(n_blocks=2)
     params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 80, 1)))["params"]

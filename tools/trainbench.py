@@ -39,6 +39,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 VARIANTS: dict[str, tuple[dict, bool]] = {
     # name: (config overrides, update_d)
     "full": ({}, True),
+    "vgg_lp2": ({}, True),  # lane-packed VGG conv1_1/conv1_2 (p=2)
+    "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
     "no_perc": ({"lambda_perc": 0.0}, True),
     "no_ssim": ({"lambda_ssim": 0.0}, True),
     "no_tv": ({"lambda_tv": 0.0}, True),
@@ -64,7 +66,12 @@ def bench_variant(
         remat=remat, **overrides,
     )
     state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=100)
-    vgg_mod = VGG16Features(dtype=g_mod.dtype, precision=g_mod.precision)
+    if name == "d_lp2":
+        d_mod = d_mod.clone(lanepack=True)  # same param layout, packed convs
+    vgg_mod = VGG16Features(
+        dtype=g_mod.dtype, precision=g_mod.precision,
+        lanepack_p=2 if name == "vgg_lp2" else 1,
+    )
     vgg_params = init_vgg16_params()
     step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, update_d=update_d)
     rng = np.random.RandomState(0)
