@@ -79,7 +79,15 @@ def main():
     ap.add_argument("--hw", default="128x160")
     ap.add_argument("--c", type=int, default=256)
     ap.add_argument("--tile-h", type=int, default=16)
+    ap.add_argument("--cases", default=None,
+                    help="comma-separated substrings; run only matching cases "
+                    "(one wedged Mosaic compile must not kill the batch)")
     args = ap.parse_args()
+
+    def selected(name: str) -> bool:
+        if args.cases is None:
+            return True
+        return any(s.strip() in name for s in args.cases.split(","))
     b, c = args.batch, args.c
     h, w = (int(v) for v in args.hw.split("x"))
     rng = np.random.RandomState(0)
@@ -107,6 +115,8 @@ def main():
                 )
             )
     for name, fn in cases.items():
+        if not selected(name):
+            continue
         try:
             t = stage_time(fn, x)
         except Exception as e:  # Mosaic compile failures are silent HTTP 500s
@@ -139,6 +149,8 @@ def main():
             lambda v, th=th: resnet_block_pallas(v, k1, k2, tile_h=th),
         ))
     for name, fn in block_cases:
+        if not selected(name):
+            continue
         try:
             t = stage_time(fn, x)
         except Exception as e:

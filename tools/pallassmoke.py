@@ -1,0 +1,79 @@
+"""TPU compile + parity smoke for the round-3 Pallas kernels at tiny shapes.
+
+Mosaic remote-compile failures in this environment are silent HTTP 500s
+(CLAUDE.md) — this runs each new kernel at a small shape FIRST, asserting
+numerics against XLA, so a broken kernel is caught in seconds instead of
+wedging a full pallasbench sweep. Run SERIALLY on the TPU.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax_comp_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ircolor_tpu.ops.conv import conv2d
+from ircolor_tpu.ops.norm import instance_norm
+from ircolor_tpu.ops.padding import reflect_pad2d
+from ircolor_tpu.ops.pallas_conv import conv3x3_valid_pallas_v2
+from ircolor_tpu.ops.pallas_resblock import conv3x3_reflect_fused, resnet_block_pallas
+
+
+def check(name, got, want, atol):
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))))
+    status = "OK " if err <= atol else "FAIL"
+    print(f"{status} {name:32s} max|Δ|={err:.2e}", flush=True)
+    return err <= atol
+
+
+def main() -> None:
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 32, 64, 128
+    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32) * 2 - 1).astype(jnp.bfloat16)
+    k1 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    k2 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    want_conv = conv2d(xp, k1, padding="VALID")
+    ok = True
+    for mode in ("preshift", "dxcat"):
+        got = jax.jit(
+            lambda v, mode=mode: conv3x3_valid_pallas_v2(v, k1, tile_h=16, mode=mode)
+        )(xp)
+        ok &= check(f"conv v2 {mode}", got, want_conv, atol=0.5)
+
+    want_refl = conv2d(reflect_pad2d(x, 1), k1, padding="VALID")
+    raw, m, inv = jax.jit(
+        lambda v: conv3x3_reflect_fused(v, k1, tile_h=16)
+    )(x)
+    ok &= check("v3 reflconv raw", raw, want_refl, atol=0.5)
+    m_ref = jnp.mean(want_refl.astype(jnp.float32), axis=(1, 2))
+    ok &= check("v3 reflconv mean", m, m_ref, atol=0.02)
+
+    h1 = jax.nn.relu(instance_norm(want_refl))
+    want_block = x + instance_norm(
+        conv2d(reflect_pad2d(h1, 1), k2, padding="VALID")
+    ).astype(x.dtype)
+    got_block = jax.jit(
+        lambda v: resnet_block_pallas(v, k1, k2, tile_h=16)
+    )(x)
+    ok &= check("v3 full block", got_block, want_block, atol=0.5)
+
+    print("SMOKE PASS" if ok else "SMOKE FAIL", flush=True)
+    _sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
