@@ -93,6 +93,7 @@ def build_forward(
     lp_up2=True,
     lp_outc=True,
     res_scan=False,
+    res_pallas=False,
 ):
     rng = np.random.RandomState(0)
 
@@ -151,6 +152,10 @@ def build_forward(
 
     def one_res(h, kpair):
         k1, k2 = kpair
+        if res_pallas:
+            from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+
+            return resnet_block_pallas(h, k1, k2, tile_h=16)
         r = inr(conv_pad(h, k1, 1))
         return h + innorm(conv_pad(r, k2, 1))
 
@@ -204,6 +209,9 @@ VARIANTS = {
     "res_scan": dict(_BASE, res_scan=True),
     # Border-corrected reflect conv in the resblocks (no materialized pad).
     "reflect_fold": dict(_BASE, pad_mode="fold"),
+    # Round-3 fused reflect-conv-IN resblock kernel (ops/pallas_resblock) —
+    # the in-context number that decides whether --pallas-block ships.
+    "pallas_block": dict(_BASE, res_pallas=True),
 }
 
 
