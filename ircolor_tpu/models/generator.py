@@ -74,7 +74,9 @@ class _ConvParams(nn.Module):
 
 
 def _fused_tile_h(h: int) -> int | None:
-    for th in (16, 8, 4):
+    # th=32 measured fastest at the 512×640 bottleneck (4.07 vs 4.59 ms per
+    # block at th=16, tools/pallasbench.py round 3); fall back for small H.
+    for th in (32, 16, 8, 4):
         if h % th == 0:
             return th
     return None

@@ -155,7 +155,8 @@ def build_forward(
         if res_pallas:
             from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
 
-            return resnet_block_pallas(h, k1, k2, tile_h=16)
+            th = 32 if h.shape[1] % 32 == 0 else 16
+            return resnet_block_pallas(h, k1, k2, tile_h=th)
         r = inr(conv_pad(h, k1, 1))
         return h + innorm(conv_pad(r, k2, 1))
 
