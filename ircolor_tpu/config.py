@@ -171,9 +171,13 @@ class Config:
     # Round-3 fused reflect-conv-IN ResnetBlock kernel
     # (ops/pallas_resblock.py): in-kernel reflect halos + IN at both ends,
     # one HBM pass per conv instead of ~6. INFERENCE-ONLY (the manual-DMA
-    # kernel does not autodiff); training forces it off. Gated like
-    # use_pallas: only shipped on if it beats XLA in-graph (docs/PERF.md).
-    pallas_block: bool = False
+    # kernel does not autodiff); training forces it off, as does spatially
+    # sharded eval (in-kernel halos are per-shard wrong). Default ON — it
+    # passed the ship gate: isolated 4.07 vs 5.64 ms/block, in-context
+    # full-forward 119.3 vs 126.1 ms (tools/fwdvariants.py, docs/PERF.md
+    # round 3); exact math (interpret + on-TPU parity tested). CPU/non-TPU
+    # backends silently use the identical-params XLA path.
+    pallas_block: bool = True
 
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50

@@ -82,6 +82,14 @@ def _fused_tile_h(h: int) -> int | None:
     return None
 
 
+# Fused-block crossover: wins at the 512×640 bottleneck (128×160 = 20480 px:
+# bench 112.9→119.9 fps) but LOSES at 256²'s 64×64 = 4096 px bottleneck
+# (620→600 device-step fps — tile pipelining too shallow, copy overheads
+# dominate). Gate on spatial area; threshold sits between the two measured
+# points. Tests override via the module field.
+_FUSED_MIN_AREA = 12288
+
+
 class ResnetBlock(nn.Module):
     """pad→3×3 conv→norm→ReLU→[dropout]→pad→3×3 conv→norm, residual add."""
 
@@ -94,6 +102,7 @@ class ResnetBlock(nn.Module):
     precision: Any = None
     use_pallas: bool = False
     pallas_block: bool = False  # fused reflect-conv-IN kernel (inference)
+    pallas_block_min_area: int = _FUSED_MIN_AREA
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -135,6 +144,7 @@ class ResnetBlock(nn.Module):
             and self.padding_type == "reflect"
             and th is not None
             and x.shape[2] % 8 == 0
+            and x.shape[1] * x.shape[2] >= self.pallas_block_min_area
             and _pallas_available()
         ):
             k1 = _ConvParams(self.dim, self.use_bias, name="conv1")(x.shape[-1])
@@ -183,6 +193,7 @@ class ResnetUNetGenerator(nn.Module):
     precision: Any = None
     use_pallas: bool = False
     pallas_block: bool = False  # fused ResnetBlock kernel (inference-only)
+    pallas_block_min_area: int = _FUSED_MIN_AREA
     # Lane-packing of the outc head (exact math, single-chip layout win).
     # Disable for 2-D spatial sharding — GSPMD mispartitions the packed-
     # stride conv's unpack reshape when both image axes are sharded.
@@ -256,6 +267,7 @@ class ResnetUNetGenerator(nn.Module):
                 precision=self.precision,
                 use_pallas=self.use_pallas,
                 pallas_block=self.pallas_block,
+                pallas_block_min_area=self.pallas_block_min_area,
                 name=f"resblock_{i}",
             )(h, train)
 

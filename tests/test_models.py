@@ -84,7 +84,7 @@ def test_generator_pallas_block_path_matches_xla(monkeypatch):
         functools.partial(resnet_block_pallas, interpret=True),
     )
     plain = ResnetUNetGenerator(n_blocks=2)
-    fused = ResnetUNetGenerator(n_blocks=2, pallas_block=True)
+    fused = ResnetUNetGenerator(n_blocks=2, pallas_block=True, pallas_block_min_area=0)
     x0 = jnp.zeros((1, 32, 32, 1))
     params = plain.init(jax.random.PRNGKey(0), x0)["params"]
     params_f = fused.init(jax.random.PRNGKey(0), x0)["params"]
