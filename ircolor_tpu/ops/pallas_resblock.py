@@ -296,3 +296,190 @@ def resnet_block_pallas(
     )
     y = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
     return x + y.astype(x.dtype)
+
+
+def _kernel_multi(*refs, th: int, w: int, h: int, nh: int, n_in: int, pad: str):
+    """Multi-input zero-SAME (or reflect) fused conv: Σᵢ conv(xᵢ, kᵢ) with
+    the IN stats epilogue. The inputs are the legs of a concat conv —
+    conv(concat(a, b), K) ≡ conv(a, K[:, :, :Ca]) + conv(b, K[:, :, Ca:]) —
+    so the decoder's skip convs fuse without materializing the concat, and
+    the down convs (n_in=1, zero-SAME) get their IN reduce for free."""
+    x_hbms = refs[:n_in]
+    k_refs = refs[n_in : 2 * n_in]
+    o_ref, s_ref = refs[2 * n_in], refs[2 * n_in + 1]
+    x_vmems = refs[2 * n_in + 2 : 3 * n_in + 2]
+    xcats = refs[3 * n_in + 2 : 4 * n_in + 2]
+    sems = refs[4 * n_in + 2]
+
+    b = pl.program_id(0)
+    hh = pl.program_id(1)
+    lin = b * nh + hh
+    total = pl.num_programs(0) * nh
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def all_copies(linear, slot_idx):
+        bb = jax.lax.div(linear, nh)
+        jj = jax.lax.rem(linear, nh)
+        out = []
+        for i in range(n_in):
+            sem_i = sems.at[i]
+            for pred, cp in _halo_copy(x_hbms[i], x_vmems[i], sem_i, bb, jj,
+                                       slot_idx, th=th, h=h, nh=nh):
+                out.append((pred, cp))
+        return out
+
+    def run(linear, slot_idx, action):
+        for pred, cp in all_copies(linear, slot_idx):
+            if pred is None:
+                getattr(cp, action)()
+            else:
+                @pl.when(pred)
+                def _(cp=cp):
+                    getattr(cp, action)()
+
+    @pl.when(lin == 0)
+    def _():
+        run(lin, slot, "start")
+
+    @pl.when(lin + 1 < total)
+    def _():
+        run(lin + 1, nslot, "start")
+
+    run(lin, slot, "wait")
+
+    cout = o_ref.shape[-1]
+    acc = jnp.zeros((th, w, cout), jnp.float32)
+    for i in range(n_in):
+        xv, xcat = x_vmems[i], xcats[i]
+        # Halo-row fixups (boundary tiles): reflect copies or zero rows.
+        if nh == 1:
+            if pad == "reflect":
+                xv[slot, 0] = xv[slot, 2]
+                xv[slot, th + 1] = xv[slot, th - 1]
+            else:
+                xv[slot, 0] = jnp.zeros_like(xv[slot, 0])
+                xv[slot, th + 1] = jnp.zeros_like(xv[slot, 0])
+        else:
+            @pl.when(hh == 0)
+            def _(xv=xv):
+                if pad == "reflect":
+                    xv[slot, 0] = xv[slot, 2]
+                else:
+                    xv[slot, 0] = jnp.zeros_like(xv[slot, 0])
+
+            @pl.when(hh == nh - 1)
+            def _(xv=xv):
+                if pad == "reflect":
+                    xv[slot, th + 1] = xv[slot, th - 1]
+                else:
+                    xv[slot, th + 1] = jnp.zeros_like(xv[slot, 0])
+
+        xin = xv[slot]
+        c = xin.shape[-1]
+        xcat[:, :, c : 2 * c] = xin
+        xcat[:, 1:, 0:c] = xin[:, : w - 1]
+        xcat[:, : w - 1, 2 * c :] = xin[:, 1:]
+        if pad == "reflect":
+            xcat[:, 0:1, 0:c] = xin[:, 1:2]
+            xcat[:, w - 1 : w, 2 * c :] = xin[:, w - 2 : w - 1]
+        else:
+            xcat[:, 0:1, 0:c] = jnp.zeros_like(xin[:, 0:1])
+            xcat[:, w - 1 : w, 2 * c :] = jnp.zeros_like(xin[:, 0:1])
+        for dy in range(3):
+            acc = acc + jax.lax.dot_general(
+                xcat[dy : dy + th],
+                k_refs[i][dy],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    o_ref[...] = acc.astype(o_ref.dtype)[None]
+    tile = jnp.stack(
+        [jnp.sum(acc, axis=(0, 1)), jnp.sum(acc * acc, axis=(0, 1))]
+    )[None]
+
+    @pl.when(hh == 0)
+    def _():
+        s_ref[...] = tile
+
+    @pl.when(hh != 0)
+    def _():
+        s_ref[...] = s_ref[...] + tile
+
+
+def conv3x3_sum_fused(
+    inputs,
+    kernels,
+    *,
+    pad: str = "zero",
+    tile_h: int = 16,
+    vmem_limit_mb: int = 110,
+    interpret: bool = False,
+):
+    """SAME 3×3 conv of Σᵢ conv(inputsᵢ, kernelsᵢ) (≡ one conv over their
+    channel concat) with halos built in-kernel (``pad`` 'zero' or 'reflect')
+    and the instance-norm (mean, inv_std) of the summed output emitted for
+    free. Covers the generator's down convs (one input, zero-SAME + IN) and
+    decoder skip convs (two inputs, no concat materialization + IN); ref
+    `/root/reference/Code/ir_colorization.py:469-482, 503-524`."""
+    assert pad in ("zero", "reflect"), pad
+    assert len(inputs) == len(kernels) and inputs
+    b, h, w, _ = inputs[0].shape
+    cout = kernels[0].shape[-1]
+    for x, k in zip(inputs, kernels):
+        assert x.shape[:3] == (b, h, w), (x.shape, (b, h, w))
+        assert k.shape == (3, 3, x.shape[-1], cout), (k.shape, x.shape)
+    assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
+    assert w % 8 == 0, f"W={w} must be 8-aligned"
+    nh = h // tile_h
+    n_in = len(inputs)
+
+    kpacked = [k.reshape(3, 3 * k.shape[2], cout) for k in kernels]
+    vmem = pltpu.VMEM if not interpret else None
+    anym = pltpu.ANY if not interpret else None
+    kernel_fn = functools.partial(
+        _kernel_multi, th=tile_h, w=w, h=h, nh=nh, n_in=n_in, pad=pad
+    )
+    kwargs = {}
+    if not interpret:
+        flops = sum(2 * b * h * w * 9 * x.shape[-1] * cout for x in inputs)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(sum(x.size for x in inputs) + b * h * w * cout)
+            * inputs[0].dtype.itemsize,
+            transcendentals=0,
+        )
+    out, stats = pl.pallas_call(
+        kernel_fn,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, cout), inputs[0].dtype),
+            jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+        ),
+        grid=(b, nh),
+        in_specs=[pl.BlockSpec(memory_space=anym)] * n_in
+        + [pl.BlockSpec(memory_space=vmem)] * n_in,
+        out_specs=(
+            pl.BlockSpec((1, tile_h, w, cout), lambda i, j: (i, j, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, 2, cout), lambda i, j: (i, 0, 0),
+                         memory_space=vmem),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, w, x.shape[-1]), x.dtype) for x in inputs
+        ] + [
+            pltpu.VMEM((tile_h + 2, w, 3 * x.shape[-1]), x.dtype) for x in inputs
+        ] + [
+            pltpu.SemaphoreType.DMA((n_in, 2)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*inputs, *kpacked)
+    n = h * w
+    mean_out = stats[:, 0] / n
+    var = stats[:, 1] / n - mean_out * mean_out
+    inv_out = jax.lax.rsqrt(var + _EPS)
+    return out, mean_out, inv_out

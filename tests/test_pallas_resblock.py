@@ -59,3 +59,45 @@ def test_resnet_block_pallas_matches_xla_block():
     want = x + instance_norm(conv2d(reflect_pad2d(h1, 1), k2, padding="VALID"))
     got = resnet_block_pallas(x, k1, k2, tile_h=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_sum_fused_zero_single_matches_xla():
+    """n_in=1 zero-SAME: the down-conv form (conv + free IN stats)."""
+    from ircolor_tpu.ops.pallas_resblock import conv3x3_sum_fused
+
+    rng = np.random.RandomState(3)
+    B, H, W, C, CO = 2, 16, 24, 8, 12
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32) * 0.1)
+    want = conv2d(x, k, padding=((1, 1), (1, 1)))
+    got, m, inv = conv3x3_sum_fused([x], [k], pad="zero", tile_h=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    m_ref, inv_ref = _stats(want)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(inv), np.asarray(inv_ref), atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("pad", ["zero", "reflect"])
+@pytest.mark.parametrize("tile_h", [8, 16])
+def test_sum_fused_two_inputs_matches_concat_conv(pad, tile_h):
+    """n_in=2: ≡ one conv over the channel concat (the decoder skip conv)."""
+    from ircolor_tpu.ops.pallas_resblock import conv3x3_sum_fused
+
+    rng = np.random.RandomState(4)
+    B, H, W = 1, 16, 16
+    ca, cb, co = 16, 8, 24
+    a = jnp.asarray(rng.randn(B, H, W, ca).astype(np.float32))
+    bb = jnp.asarray(rng.randn(B, H, W, cb).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, ca + cb, co).astype(np.float32) * 0.1)
+    cat = jnp.concatenate([a, bb], axis=-1)
+    if pad == "zero":
+        want = conv2d(cat, k, padding=((1, 1), (1, 1)))
+    else:
+        want = conv2d(reflect_pad2d(cat, 1), k, padding="VALID")
+    got, m, inv = conv3x3_sum_fused(
+        [a, bb], [k[:, :, :ca], k[:, :, ca:]], pad=pad, tile_h=tile_h,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    m_ref, _ = _stats(want)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-4)

@@ -94,6 +94,7 @@ def build_forward(
     lp_outc=True,
     res_scan=False,
     res_pallas=False,
+    fused_du=False,
 ):
     rng = np.random.RandomState(0)
 
@@ -165,10 +166,22 @@ def build_forward(
         jnp.stack([k2 for _, k2 in p["res"]]),
     )
 
+    def fused_inr(inputs, kernels):
+        """conv3x3_sum_fused + f32 normalize/ReLU (fuses into the consumer)."""
+        from ircolor_tpu.ops.pallas_resblock import conv3x3_sum_fused
+
+        raw, m, inv = conv3x3_sum_fused(inputs, kernels, pad="zero", tile_h=16)
+        y = (raw.astype(jnp.float32) - m[:, None, None, :]) * inv[:, None, None, :]
+        return jax.nn.relu(y).astype(raw.dtype)
+
     def fwd(v):
         x0 = inr(pad7_conv(v.astype(DT), p["inc"], 2, lp_inc))
-        x1 = down_blur(inr(conv2d(x0, p["d1"], padding=((1, 1), (1, 1)))))
-        h = down_blur(inr(conv2d(x1, p["d2"], padding=((1, 1), (1, 1)))))
+        if fused_du:
+            x1 = down_blur(fused_inr([x0], [p["d1"]]))
+            h = down_blur(fused_inr([x1], [p["d2"]]))
+        else:
+            x1 = down_blur(inr(conv2d(x0, p["d1"], padding=((1, 1), (1, 1)))))
+            h = down_blur(inr(conv2d(x1, p["d2"], padding=((1, 1), (1, 1)))))
         if res_scan:
             h = jax.lax.scan(
                 lambda c, ks: (one_res(c, ks), None), h, res_stack
@@ -178,12 +191,18 @@ def build_forward(
                 h = one_res(h, (k1, k2))
         y = up_blur(h)
         ca = y.shape[-1]
-        y = inr(conv2d(y, p["u1"][:, :, :ca], padding=((1, 1), (1, 1)))
-                + conv2d(x1, p["u1"][:, :, ca:], padding=((1, 1), (1, 1))))
+        if fused_du:
+            y = fused_inr([y, x1], [p["u1"][:, :, :ca], p["u1"][:, :, ca:]])
+        else:
+            y = inr(conv2d(y, p["u1"][:, :, :ca], padding=((1, 1), (1, 1)))
+                    + conv2d(x1, p["u1"][:, :, ca:], padding=((1, 1), (1, 1))))
         y = up_blur(y)
         ca = y.shape[-1]
-        y = inr(lp(y, p["u2"][:, :, :ca], 2, lp_up2)
-                + lp(x0, p["u2"][:, :, ca:], 2, lp_up2))
+        if fused_du:
+            y = fused_inr([y, x0], [p["u2"][:, :, :ca], p["u2"][:, :, ca:]])
+        else:
+            y = inr(lp(y, p["u2"][:, :, :ca], 2, lp_up2)
+                    + lp(x0, p["u2"][:, :, ca:], 2, lp_up2))
         return jnp.tanh(pad7_conv(y, p["out"], 32, lp_outc))
 
     return fwd
@@ -213,6 +232,9 @@ VARIANTS = {
     # Round-3 fused reflect-conv-IN resblock kernel (ops/pallas_resblock) —
     # the in-context number that decides whether --pallas-block ships.
     "pallas_block": dict(_BASE, res_pallas=True),
+    # Fused down/decoder convs (conv3x3_sum_fused: zero halos in-kernel,
+    # free IN stats, concat-free skip convs) on top of the fused blocks.
+    "pallas_all": dict(_BASE, res_pallas=True, fused_du=True),
 }
 
 

@@ -27,7 +27,11 @@ from ircolor_tpu.ops.conv import conv2d
 from ircolor_tpu.ops.norm import instance_norm
 from ircolor_tpu.ops.padding import reflect_pad2d
 from ircolor_tpu.ops.pallas_conv import conv3x3_valid_pallas_v2
-from ircolor_tpu.ops.pallas_resblock import conv3x3_reflect_fused, resnet_block_pallas
+from ircolor_tpu.ops.pallas_resblock import (
+    conv3x3_reflect_fused,
+    conv3x3_sum_fused,
+    resnet_block_pallas,
+)
 
 
 def check(name, got, want, atol):
@@ -70,6 +74,20 @@ def main() -> None:
         lambda v: resnet_block_pallas(v, k1, k2, tile_h=16)
     )(x)
     ok &= check("v3 full block", got_block, want_block, atol=0.5)
+
+    want_zero = conv2d(x, k1, padding=((1, 1), (1, 1)))
+    got_z, _, _ = jax.jit(
+        lambda v: conv3x3_sum_fused([v], [k1], pad="zero", tile_h=16)
+    )(x)
+    ok &= check("sum_fused zero n=1", got_z, want_zero, atol=0.5)
+
+    xb = jnp.asarray(rng.rand(B, H, W, 64).astype(np.float32) * 2 - 1).astype(jnp.bfloat16)
+    kb = jnp.asarray(rng.randn(3, 3, 64, C).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    want2 = want_zero + conv2d(xb, kb, padding=((1, 1), (1, 1)))
+    got2, _, _ = jax.jit(
+        lambda a, b2: conv3x3_sum_fused([a, b2], [k1, kb], pad="zero", tile_h=16)
+    )(x, xb)
+    ok &= check("sum_fused zero n=2", got2, want2, atol=0.5)
 
     print("SMOKE PASS" if ok else "SMOKE FAIL", flush=True)
     _sys.exit(0 if ok else 1)
