@@ -430,6 +430,17 @@ def conv3x3_sum_fused(
     for x, k in zip(inputs, kernels):
         assert x.shape[:3] == (b, h, w), (x.shape, (b, h, w))
         assert k.shape == (3, 3, x.shape[-1], cout), (k.shape, x.shape)
+        # Mosaic constraint (measured, r3): the manual halo DMA slices the
+        # HBM memref along batch/H, and Mosaic requires every slice of a
+        # lane-tiled memref to span full 128-lane tiles — a C=64 input is
+        # tile-padded to 128 in HBM, so its logical 64-channel extent is a
+        # misaligned slice ("Slice shape along dimension 3 must be aligned
+        # to tiling (128), but is 64"). C<128 legs (down1's x0, up2's skip)
+        # must stay on the XLA path.
+        assert interpret or x.shape[-1] % 128 == 0, (
+            f"conv3x3_sum_fused: input C={x.shape[-1]} not 128-aligned — "
+            "Mosaic cannot DMA-slice sub-lane-tile channel extents"
+        )
     assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
     assert w % 8 == 0, f"W={w} must be 8-aligned"
     nh = h // tile_h

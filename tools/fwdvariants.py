@@ -176,11 +176,13 @@ def build_forward(
 
     def fwd(v):
         x0 = inr(pad7_conv(v.astype(DT), p["inc"], 2, lp_inc))
+        # d1 (x0 C=64) and u2 (x0 skip C=64) CANNOT fuse: Mosaic can't
+        # DMA-slice sub-128-channel legs (see conv3x3_sum_fused). Only the
+        # 128-aligned stages — d2 (128→256) and u1 (256+128→128) — fuse.
+        x1 = down_blur(inr(conv2d(x0, p["d1"], padding=((1, 1), (1, 1)))))
         if fused_du:
-            x1 = down_blur(fused_inr([x0], [p["d1"]]))
             h = down_blur(fused_inr([x1], [p["d2"]]))
         else:
-            x1 = down_blur(inr(conv2d(x0, p["d1"], padding=((1, 1), (1, 1)))))
             h = down_blur(inr(conv2d(x1, p["d2"], padding=((1, 1), (1, 1)))))
         if res_scan:
             h = jax.lax.scan(
@@ -198,11 +200,8 @@ def build_forward(
                     + conv2d(x1, p["u1"][:, :, ca:], padding=((1, 1), (1, 1))))
         y = up_blur(y)
         ca = y.shape[-1]
-        if fused_du:
-            y = fused_inr([y, x0], [p["u2"][:, :, :ca], p["u2"][:, :, ca:]])
-        else:
-            y = inr(lp(y, p["u2"][:, :, :ca], 2, lp_up2)
-                    + lp(x0, p["u2"][:, :, ca:], 2, lp_up2))
+        y = inr(lp(y, p["u2"][:, :, :ca], 2, lp_up2)
+                + lp(x0, p["u2"][:, :, ca:], 2, lp_up2))
         return jnp.tanh(pad7_conv(y, p["out"], 32, lp_outc))
 
     return fwd
@@ -232,8 +231,9 @@ VARIANTS = {
     # Round-3 fused reflect-conv-IN resblock kernel (ops/pallas_resblock) —
     # the in-context number that decides whether --pallas-block ships.
     "pallas_block": dict(_BASE, res_pallas=True),
-    # Fused down/decoder convs (conv3x3_sum_fused: zero halos in-kernel,
-    # free IN stats, concat-free skip convs) on top of the fused blocks.
+    # Fused 128-aligned down/decoder convs (conv3x3_sum_fused: zero halos
+    # in-kernel, free IN stats, concat-free u1 skip conv) on top of the
+    # fused blocks. d1/u2 keep XLA (C=64 legs can't DMA — Mosaic tiling).
     "pallas_all": dict(_BASE, res_pallas=True, fused_du=True),
 }
 

@@ -81,8 +81,11 @@ def main() -> None:
     )(x)
     ok &= check("sum_fused zero n=1", got_z, want_zero, atol=0.5)
 
-    xb = jnp.asarray(rng.rand(B, H, W, 64).astype(np.float32) * 2 - 1).astype(jnp.bfloat16)
-    kb = jnp.asarray(rng.randn(3, 3, 64, C).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    # Second leg MUST be 128-aligned in channels: Mosaic cannot DMA-slice a
+    # tile-padded C<128 memref (the C=64 variant fails to compile — see the
+    # constraint note in conv3x3_sum_fused). 256+128 mirrors the up1 skip.
+    xb = jnp.asarray(rng.rand(B, H, W, 128).astype(np.float32) * 2 - 1).astype(jnp.bfloat16)
+    kb = jnp.asarray(rng.randn(3, 3, 128, C).astype(np.float32) * 0.05).astype(jnp.bfloat16)
     want2 = want_zero + conv2d(xb, kb, padding=((1, 1), (1, 1)))
     got2, _, _ = jax.jit(
         lambda a, b2: conv3x3_sum_fused([a, b2], [k1, kb], pad="zero", tile_h=16)
