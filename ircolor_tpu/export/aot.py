@@ -46,6 +46,20 @@ def export_inference(
     the default export platform of the current backend."""
     from ircolor_tpu.eval.metrics import quantize_to_uint8_01
 
+    # Serving artifacts must be pure StableHLO: the fused Pallas resblock
+    # (pallas_block, default ON for live TPU inference) lowers to a
+    # tpu_custom_call, which jax.export rejects (no compatibility
+    # guarantee) and which would pin the artifact to one libtpu version
+    # even if allowed. Param trees are identical either way, so stripping
+    # the flag changes nothing but the lowering.
+    strip = {
+        f: False
+        for f in ("pallas_block", "use_pallas")
+        if getattr(module, f, False)
+    }
+    if strip:
+        module = module.clone(**strip)
+
     variables = params if "params" in params else {"params": params}
 
     def serve(ir: jnp.ndarray) -> jnp.ndarray:

@@ -248,6 +248,40 @@ def test_aot_export_roundtrip(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_aot_export_strips_pallas_paths(tmp_path, monkeypatch):
+    """Serving artifacts must be pure StableHLO: a module carrying
+    pallas_block=True (the live-TPU inference default) is exported through
+    the XLA graph — the Mosaic custom call would be rejected by jax.export
+    and would pin the artifact to one libtpu. Proven by making the kernel
+    path explode if traced."""
+    import jax
+    import jax.numpy as jnp
+
+    from ircolor_tpu.export.aot import export_inference, load_exported, save_exported
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.models.wrapper import generator_from_config
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if reached
+        raise AssertionError("pallas kernel traced into the export graph")
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "resnet_block_pallas", boom)
+
+    cfg = Config(img_size=32, n_blocks=1, ngf=8)
+    plain = generator_from_config(cfg)  # init on the XLA path (same tree)
+    params = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    module = plain.clone(
+        pallas_block=True, pallas_block_min_area=0, use_pallas=False
+    )
+    blob = export_inference(module, params, 32, 32, batch_size=1, platforms=("cpu",))
+    path = str(tmp_path / "strip_serve.stablehlo")
+    save_exported(path, blob)
+    served = load_exported(path)
+    ir = np.random.RandomState(0).rand(1, 32, 32, 1).astype(np.float32) * 2 - 1
+    out = np.asarray(served.call(jnp.asarray(ir)))
+    assert out.shape == (1, 32, 32, 3) and out.dtype == np.uint8
+
+
 def test_aot_export_batchnorm_variables_dict(tmp_path):
     """norm='batch' models export with the full variables dict (batch_stats
     baked in), matching make_infer_fn's accepted forms."""
