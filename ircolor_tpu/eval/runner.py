@@ -144,6 +144,13 @@ def run_test(cfg: Config) -> dict[str, Any]:
     # compute layout) and log it; check_spatial_compat stays as the backstop.
     infer_module = model.module
     sp_mesh = None
+    if cfg.sp_w_devices > 1 and cfg.sp_devices <= 1:
+        raise ValueError(
+            f"sp_w_devices={cfg.sp_w_devices} requires sp_devices > 1 "
+            "(the W axis is a factor of the spatial mesh: sp_devices "
+            "total devices tiled (sp_devices/sp_w_devices)×sp_w_devices); "
+            "set --sp-devices as well"
+        )
     if cfg.sp_devices > 1:
         from ircolor_tpu.parallel.spatial import (
             check_spatial_compat,
@@ -167,9 +174,15 @@ def run_test(cfg: Config) -> dict[str, Any]:
             cfg = _dc.replace(cfg, pallas_block=False)
             infer_module = generator_from_config(cfg)
 
-        if size_hw[0] % cfg.sp_devices:
+        # With 2-D tiling, H is sharded over sp_devices // sp_w_devices
+        # ('sp' axis) and W over sp_w_devices ('spw'), so each axis needs
+        # only its own divisor.
+        h_shards = cfg.sp_devices // max(1, cfg.sp_w_devices)
+        if size_hw[0] % h_shards:
             raise ValueError(
-                f"img height {size_hw[0]} must divide by sp_devices={cfg.sp_devices}"
+                f"img height {size_hw[0]} must divide by the H-shard count "
+                f"{h_shards} (sp_devices={cfg.sp_devices} / "
+                f"sp_w_devices={cfg.sp_w_devices})"
             )
         if cfg.sp_w_devices > 1:
             if size_hw[1] % cfg.sp_w_devices:

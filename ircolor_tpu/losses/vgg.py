@@ -43,36 +43,18 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-class _LanePackSameConv(nn.Module):
-    """3×3 SAME conv computed lane-packed (``ops.conv.conv2d_lanepack``).
+def _lanepack_same_conv(features: int, p: int, dtype, precision, name: str):
+    """3×3 SAME lane-packed conv with nn.Conv-matching init (lecun/zeros):
+    the RNG path is ``params/<name>/kernel``, identical to the plain
+    tower's, so the random fallback init and imported torchvision weights
+    are interchangeable between packed and unpacked towers."""
+    from ircolor_tpu.models.common import LanePackConv
 
-    Param layout (kernel HWIO + bias) and init match ``nn.Conv`` exactly —
-    the RNG path is ``params/<name>/kernel``, identical to the plain tower's,
-    so the random fallback init and imported torchvision weights are
-    interchangeable between packed and unpacked towers. Math is exact
-    (structural-zero taps; reassociation aside)."""
-
-    features: int
-    p: int
-    dtype: Any = jnp.float32
-    precision: Any = None
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ircolor_tpu.ops.conv import conv2d_lanepack
-
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (3, 3, x.shape[-1], self.features),
-        ).astype(self.dtype)
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,)).astype(
-            self.dtype
-        )
-        return conv2d_lanepack(
-            x.astype(self.dtype), kernel, self.p, padding="SAME", bias=bias,
-            precision=self.precision,
-        )
+    return LanePackConv(
+        features=features, ksize=3, padding="SAME", p=p, dtype=dtype,
+        precision=precision, kernel_init=nn.initializers.lecun_normal(),
+        bias_init=nn.initializers.zeros_init(), name=name,
+    )
 
 
 class VGG16Features(nn.Module):
@@ -99,9 +81,8 @@ class VGG16Features(nn.Module):
             else:
                 p = self.lanepack_p
                 if p > 1 and ch * p <= 128 and h.shape[2] % p == 0:
-                    h = _LanePackSameConv(
-                        features=ch, p=p, dtype=self.dtype,
-                        precision=self.precision, name=name,
+                    h = _lanepack_same_conv(
+                        ch, p, self.dtype, self.precision, name
                     )(h)
                 else:
                     h = nn.Conv(

@@ -182,23 +182,34 @@ class ConcatConv3x3(nn.Module):
 
 
 class LanePackConv(nn.Module):
-    """K×K VALID conv on pre-padded input, computed lane-packed when the
-    output-channel count underfills the MXU's 128-wide lane dimension
+    """K×K conv computed lane-packed when the output-channel count
+    underfills the MXU's 128-wide lane dimension
     (``ops.conv.conv2d_lanepack``). Param layout matches ``Conv``
     (kernel/bias), so checkpoints are interchangeable; math is exact.
 
-    ``max_p`` caps the packing factor: the outc head (Cout=3, p=32) wins
-    16.3 ms in full-forward context, but packing the inc conv (Cout=64,
-    p=2) LOSES 8.1 ms in context despite winning isolated — callers set
-    ``max_p=1`` for such sites (tools/fwdvariants.py measurements).
+    The ONE lane-pack module: the generator's pre-padded VALID heads
+    (defaults), the VGG tower's SAME convs, and the PatchGAN's strided
+    pad-1 convs are all instances (``padding``/``stride``/``kernel_init``
+    fields) — packing semantics and param handling live in one place.
+
+    ``max_p`` caps the auto-chosen packing factor: the outc head (Cout=3,
+    p=32) wins 16.3 ms in full-forward context, but packing the inc conv
+    (Cout=64, p=2) LOSES 8.1 ms in context despite winning isolated —
+    callers set ``max_p=1`` for such sites (tools/fwdvariants.py
+    measurements). ``p`` pins the factor explicitly (1 = plain conv).
     """
 
     features: int
     ksize: int = 7
+    stride: int = 1
+    padding: Any = "VALID"  # "VALID" | "SAME" | ((ph, ph), (pw, pw))
     use_bias: bool = True
     dtype: Any = jnp.float32
     precision: Any = None
     max_p: int = 32
+    p: int | None = None
+    kernel_init: Any = kernel_init
+    bias_init: Any = bias_init
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -206,20 +217,34 @@ class LanePackConv(nn.Module):
 
         k = self.ksize
         kernel = self.param(
-            "kernel", kernel_init, (k, k, x.shape[-1], self.features)
+            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)
         ).astype(self.dtype)
         bias = (
-            self.param("bias", bias_init, (self.features,)).astype(self.dtype)
+            self.param("bias", self.bias_init, (self.features,)).astype(self.dtype)
             if self.use_bias
             else None
         )
         x = x.astype(self.dtype)
-        p = lanepack_p(self.features, x.shape[2] - (k - 1), max_p=self.max_p)
+        if self.p is not None:
+            p = self.p
+        else:
+            if self.padding == "VALID":
+                pw = 0
+            elif self.padding == "SAME":
+                pw = k - 1
+            else:
+                pw = sum(self.padding[1])
+            out_w = (x.shape[2] + pw - k) // self.stride + 1
+            p = lanepack_p(self.features, out_w, max_p=self.max_p)
         if p > 1:
             return conv2d_lanepack(
-                x, kernel, p, padding="VALID", bias=bias, precision=self.precision
+                x, kernel, p, stride=self.stride, padding=self.padding,
+                bias=bias, precision=self.precision,
             )
-        y = conv2d(x, kernel, padding="VALID", precision=self.precision)
+        y = conv2d(
+            x, kernel, stride=self.stride, padding=self.padding,
+            precision=self.precision,
+        )
         return y if bias is None else y + bias
 
 

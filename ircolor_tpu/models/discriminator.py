@@ -23,38 +23,22 @@ import jax.numpy as jnp
 
 from ircolor_tpu.models.common import (
     Conv,
+    LanePackConv,
     Norm,
-    bias_init,
-    kernel_init,
     lanepack_p,
     use_bias_for_norm,
 )
 
 
-class _LPConv4(nn.Module):
-    """4×4 pad-1 conv computed lane-packed (``ops.conv.conv2d_lanepack``) —
-    for the PatchGAN's lane-underfilled first (Cout=ndf) and last (Cout=1)
-    convs. Param layout/init matches ``Conv`` (kernel HWIO + bias, N(0,0.02)),
-    so checkpoints are interchangeable; math is exact."""
-
-    features: int
-    stride: int
-    p: int
-    dtype: Any = jnp.float32
-    precision: Any = None
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ircolor_tpu.ops.conv import conv2d_lanepack
-
-        kernel = self.param(
-            "kernel", kernel_init, (4, 4, x.shape[-1], self.features)
-        ).astype(self.dtype)
-        bias = self.param("bias", bias_init, (self.features,)).astype(self.dtype)
-        return conv2d_lanepack(
-            x.astype(self.dtype), kernel, self.p, stride=self.stride,
-            padding=((1, 1), (1, 1)), bias=bias, precision=self.precision,
-        )
+def _lp_conv4(features, stride, p, bias, dtype, precision, name):
+    """4×4 pad-1 strided lane-packed conv for the PatchGAN's
+    lane-underfilled first (Cout=ndf) and last (Cout=1) convs. Param
+    layout/init matches ``Conv`` (kernel HWIO + bias, N(0,0.02)), so
+    checkpoints are interchangeable; math is exact."""
+    return LanePackConv(
+        features=features, ksize=4, stride=stride, padding=((1, 1), (1, 1)),
+        p=p, use_bias=bias, dtype=dtype, precision=precision, name=name,
+    )
 
 
 class NLayerDiscriminator(nn.Module):
@@ -87,9 +71,8 @@ class NLayerDiscriminator(nn.Module):
             out_w = (h.shape[2] + 2 - kw) // stride + 1
             p = lanepack_p(feats, out_w) if self.lanepack else 1
             if p > 1:
-                return _LPConv4(
-                    features=feats, stride=stride, p=p, dtype=self.dtype,
-                    precision=self.precision, name=name,
+                return _lp_conv4(
+                    feats, stride, p, bias, self.dtype, self.precision, name
                 )(h)
             return conv(name, feats, stride, bias)(h)
 

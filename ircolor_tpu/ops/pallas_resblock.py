@@ -50,13 +50,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAVE_PLTPU = True
-except ImportError:  # pragma: no cover
-    pltpu = None
-    _HAVE_PLTPU = False
+# No try/except fallback: every code path here (including interpret-mode
+# tests, whose scratch_shapes use pltpu.VMEM/SemaphoreType) needs this
+# module, and it imports fine on CPU-only installs — only *running* the
+# compiled kernel needs a TPU (callers gate on that via the models'
+# _pallas_available()).
+from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-5
 

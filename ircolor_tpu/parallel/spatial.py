@@ -78,10 +78,31 @@ def make_spatial_mesh(
 
 
 def check_spatial_compat(module: Any, mesh: Mesh) -> None:
-    """Raise if ``module`` is known to miscompute under this mesh: 2-D H×W
-    tiling with a lane-packed output head (``module.lanepack`` True) is the
-    known-silently-wrong combination (regression-tested in
-    tests/test_parallel.py)."""
+    """Raise if ``module`` is known to miscompute under this mesh:
+
+    * ANY image-axis sharding with the fused Pallas resblock kernel
+      (``module.pallas_block`` True, the live-TPU inference default): the
+      kernel builds its reflect halos from the *local shard*, so every
+      shard seam reflects at the wrong rows — silently wrong pixels. The
+      eval runner rebuilds with ``pallas_block=False`` automatically;
+      library users must do the same (identical param tree).
+    * 2-D H×W tiling with a lane-packed output head (``module.lanepack``
+      True): GSPMD mispartitions the packed head's unpack reshape
+      (regression-tested in tests/test_parallel.py)."""
+    if getattr(module, "pallas_block", False):
+        from ircolor_tpu.models.generator import _pallas_available
+
+        # Only a hazard where the kernel actually engages (the module's own
+        # gate): on CPU/fake-device meshes the flag is inert and the XLA
+        # path computes correctly.
+        if _pallas_available():
+            raise ValueError(
+                "spatial sharding with a pallas_block=True generator "
+                "produces silently wrong shard-seam pixels (the fused "
+                "kernel reflects at local tile edges) — rebuild the model "
+                "with pallas_block=False (identical params; the CLI test "
+                "runner does this automatically)"
+            )
     if "spw" in mesh.axis_names and getattr(module, "lanepack", False):
         raise ValueError(
             "2-D spatial tiling ('spw' axis) with a lanepack=True generator "

@@ -22,6 +22,7 @@ import time
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ircolor_tpu.config import Config
@@ -210,7 +211,12 @@ def train_kaist(
     steps_total = 0
     t_train0 = time.perf_counter()
     for epoch in range(start_epoch, cfg.epochs + 1):
-        epoch_metrics: list[dict[str, jax.Array]] = []
+        # One (K,)-vector of device scalars per step. Packing the 7 loss
+        # scalars per step (and fetching chunk-wise at epoch end) keeps the
+        # D2H count O(steps/256), not O(7·steps) — each scalar fetch is a
+        # ~35 ms RPC on the relay transport (CLAUDE.md).
+        metric_keys: tuple[str, ...] | None = None
+        epoch_metrics: list[jax.Array] = []
         train_loader.set_epoch(epoch)
         t0 = time.perf_counter()
         profiling = cfg.profile_dir is not None and epoch == start_epoch
@@ -225,9 +231,12 @@ def train_kaist(
                 jax.profiler.stop_trace()
                 profiling = False
                 log.info("Profiler trace (first %d steps) written to %s", i, cfg.profile_dir)
-            epoch_metrics.append(metrics)  # device scalars; fetched lazily
+            if metric_keys is None:
+                metric_keys = tuple(metrics)
+            epoch_metrics.append(jnp.stack([metrics[k] for k in metric_keys]))
             if i % cfg.log_every == 0 or i == 1:
-                m = {k: float(v) for k, v in metrics.items()}
+                vals = np.asarray(epoch_metrics[-1])  # one packed D2H fetch
+                m = dict(zip(metric_keys, (float(v) for v in vals)))
                 _check_loss_sanity(m, cfg, epoch, i)
                 log.info(
                     "Epoch [%d/%d] Step [%d/%d] D: %.4f | G: %.4f "
@@ -242,12 +251,18 @@ def train_kaist(
         steps_total += steps_done
 
         if epoch_metrics:
+            chunks = [
+                np.asarray(jnp.stack(epoch_metrics[j : j + 256]))
+                for j in range(0, len(epoch_metrics), 256)
+            ]
+            means = np.concatenate(chunks, axis=0).mean(axis=0)
             summary["final_epoch_losses"] = {
-                k: float(np.mean([float(m[k]) for m in epoch_metrics]))
-                for k in epoch_metrics[0]
+                k: float(v) for k, v in zip(metric_keys, means)
             }
-        avg_d = float(np.mean([float(m["loss_D"]) for m in epoch_metrics])) if epoch_metrics else 0.0
-        avg_g = float(np.mean([float(m["loss_G"]) for m in epoch_metrics])) if epoch_metrics else 0.0
+            avg_d = summary["final_epoch_losses"]["loss_D"]
+            avg_g = summary["final_epoch_losses"]["loss_G"]
+        else:
+            avg_d = avg_g = 0.0
         val_l1 = run_validation()
         sps = steps_done / dt if dt > 0 else 0.0
         log.info(

@@ -6,6 +6,7 @@ mirrored outputs, metrics_test.csv format, collages, Top-K tree + ranking CSV
 import os
 
 import numpy as np
+import pytest
 
 from ircolor_tpu.config import Config
 from ircolor_tpu.eval.runner import run_test
@@ -340,3 +341,35 @@ def test_run_test_2d_spatial_auto_degrades_lanepack(kaist_tree, tmp_path):
     assert s2["count"] == s1["count"]
     assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 0.1
     assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-3
+
+
+def test_run_test_sp_w_requires_sp_devices(kaist_tree, tmp_path):
+    """sp_w_devices is a FACTOR of the spatial mesh; without sp_devices > 1
+    it used to be silently ignored (unsharded eval) — now refused."""
+    root, _ = kaist_tree
+    cfg = Config(
+        mode="test", img_size=32, test_batch_size=4,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False, output_dir=str(tmp_path / "o"),
+        sp_w_devices=2,
+    )
+    with pytest.raises(ValueError, match="sp_w_devices"):
+        run_test(cfg)
+
+
+def test_run_test_2d_h_divisor_uses_h_shard_count(kaist_tree, tmp_path):
+    """2-D tiling shards H over sp_devices // sp_w_devices devices, so
+    H=40 with sp_devices=8, sp_w_devices=2 (H-shards=4) is valid even
+    though 40 % 8 != 0 — the old check refused it."""
+    root, _ = kaist_tree
+    base = dict(
+        mode="test", img_size=40, test_batch_size=4,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False,
+    )
+    s1 = run_test(Config(output_dir=str(tmp_path / "single40"), **base))
+    s2 = run_test(Config(
+        output_dir=str(tmp_path / "sp40"), sp_devices=8, sp_w_devices=2, **base
+    ))
+    assert s2["count"] == s1["count"]
+    assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 0.1

@@ -353,3 +353,24 @@ def test_data_spatial_dp_sp_composes(eight_cpu_devices):
     )
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_check_spatial_compat_rejects_pallas_block_when_kernels_available(
+    monkeypatch, eight_cpu_devices
+):
+    """The fused resblock kernel builds reflect halos from the LOCAL shard,
+    so any image-axis sharding with pallas_block engaged is silently wrong —
+    check_spatial_compat must refuse it wherever the kernel would actually
+    run (on CPU the flag is inert and the XLA path is correct)."""
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.models.wrapper import generator_from_config
+    from ircolor_tpu.parallel.spatial import check_spatial_compat, make_spatial_mesh
+
+    mod = generator_from_config(Config(img_size=64, n_blocks=1, ngf=16))
+    assert mod.pallas_block  # the shipped config default
+    mesh = make_spatial_mesh(2)
+    check_spatial_compat(mod, mesh)  # CPU backend: kernel inert, OK
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    with pytest.raises(ValueError, match="pallas_block"):
+        check_spatial_compat(mod, mesh)
+    check_spatial_compat(mod.clone(pallas_block=False), mesh)

@@ -235,6 +235,11 @@ VARIANTS = {
     # in-kernel, free IN stats, concat-free u1 skip conv) on top of the
     # fused blocks. d1/u2 keep XLA (C=64 legs can't DMA — Mosaic tiling).
     "pallas_all": dict(_BASE, res_pallas=True, fused_du=True),
+    # Round-3 ceiling knockouts ON TOP of the shipped fused blocks: what the
+    # remaining (non-bottleneck) INs and reflect pads still cost in-context.
+    "pb_no_in": dict(_BASE, res_pallas=True, use_in=False),     # knockout
+    "pb_zero_pads": dict(_BASE, res_pallas=True, pad_mode="zero"),  # knockout
+    "pb_ceiling": dict(_BASE, res_pallas=True, use_in=False, pad_mode="zero"),
 }
 
 

@@ -137,7 +137,7 @@ def main():
                     * i2[:, None, None, :]).astype(v.dtype)
 
     block_cases = [("xla resblock", xla_block), ("pallas fused block", fused_block)]
-    for th in (args.tile_h, 32):
+    for th in dict.fromkeys((args.tile_h, 32)):  # dedup when --tile-h 32
         if h % th:
             continue
         block_cases.append((
