@@ -171,6 +171,113 @@ def conv3x3_reflect(
     return y
 
 
+def conv_reflect_same(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    p: int = 1,
+    bias: jnp.ndarray | None = None,
+    precision=None,
+) -> jnp.ndarray:
+    """K×K (odd, stride 1) conv with REFLECT padding, without materializing
+    the (B, H+2n, W+2n, C) padded activation.
+
+    The reference's 7×7 heads are ``ReflectionPad2d(3) + Conv2d`` (ref
+    `/root/reference/Code/ir_colorization.py:458-463, 527-531`). The pad
+    materialization dominates the outc stage's HBM cost (the round-3
+    zero-pads knockout prices inc+outc pads at ~7 ms of the 512×640 b16
+    forward, docs/PERF.md) and the 646-wide padded buffer breaks the nice
+    640-tiling of the lane-packed conv. Here the bulk runs as a zero-SAME
+    conv on the UNPADDED input (lane-packed when ``p > 1`` — XLA folds the
+    zero padding into the conv, no copy), and only the n-px output border —
+    0.9% of pixels for n=3 at 512×640 — is overwritten with exact values
+    from four thin reflect-padded strip convolutions. Exact math (the
+    interior is untouched by padding semantics; the border is recomputed
+    with true reflect windows).
+
+    Requires H > 2n and W > 2n; callers with smaller images fall back to
+    the materialized pad.
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert kh == kw and kh % 2 == 1, "conv_reflect_same: odd square kernels"
+    n = kh // 2
+    b, h, w, c = x.shape
+    assert h > 2 * n and w > 2 * n, "conv_reflect_same needs H, W > kernel-1"
+    return _conv_reflect_same_impl(
+        x, kernel, n=n, p=p, bias=bias, precision=precision, borders="hw"
+    )
+
+
+def _conv_reflect_same_impl(
+    x, kernel, *, n, p, bias, precision, borders
+):
+    """Implementation with a perf-bisection knob: ``borders`` selects which
+    output borders get the exact-reflect overwrite ("hw" = both = correct;
+    "h"/"w"/"" are WRONG-math probes for tools/fwdvariants only)."""
+    b, h, w, c = x.shape
+    # An upstream reverse (e.g. a producer's reflect pad) fusing into this
+    # padded conv trips the same TPU fusion-emitter ReverseInput check as the
+    # strips below; pin the input as a plain buffer.
+    x = jax.lax.optimization_barrier(x)
+
+    if p > 1:
+        y = conv2d_lanepack(
+            x, kernel, p, padding=((n, n), (n, n)), bias=bias,
+            precision=precision,
+        )
+    else:
+        y = conv2d(x, kernel, padding=((n, n), (n, n)), precision=precision)
+        if bias is not None:
+            y = y + bias
+
+    def add_bias(v):
+        return v if bias is None else v + bias
+
+    def strip(v):
+        # The reflect overhang is built from negative-stride slices; XLA's
+        # TPU fusion emitter CRASHES (fusion_emitter.cc ReverseInput
+        # TransformWindow check) when it fuses that reverse into the conv's
+        # window. Materialize the tiny strip input behind a barrier so the
+        # conv sees a plain buffer.
+        return jax.lax.optimization_barrier(v)
+
+    wpad = ((0, 0), (0, 0), (n, n), (0, 0))
+    if "h" in borders:
+        # Top/bottom strips: rows −n..2n−1 (resp. h−2n..h+n−1) with the H
+        # overhang reflected, W reflect-padded, VALID conv ⇒ exact output
+        # rows 0..n−1 (resp. h−n..h−1) across the full width (corners
+        # included).
+        top_in = jnp.concatenate([x[:, n:0:-1], x[:, : 2 * n]], axis=1)
+        top = conv2d(strip(jnp.pad(top_in, wpad, mode="reflect")), kernel,
+                     padding="VALID", precision=precision)
+        bot_in = jnp.concatenate(
+            [x[:, h - 2 * n :], x[:, h - 2 : h - n - 2 : -1]], axis=1
+        )
+        bot = conv2d(strip(jnp.pad(bot_in, wpad, mode="reflect")), kernel,
+                     padding="VALID", precision=precision)
+        y = y.at[:, :n].set(add_bias(top))
+        y = y.at[:, h - n :].set(add_bias(bot))
+    if "w" in borders:
+        # Left/right strips: cols −n..2n−1 with the W overhang reflected, H
+        # VALID ⇒ exact output rows n..h−n−1, cols 0..n−1 (resp. w−n..w−1).
+        # Computed in H↔W-TRANSPOSED orientation: the natural form is a
+        # 9-wide full-height conv whose tiny W (sublane) extent compiles to
+        # a pathological layout on TPU; transposing makes it a short
+        # full-width strip like top/bottom (the transposes move ~18 MB).
+        kt = jnp.swapaxes(kernel, 0, 1)
+        xt = jnp.swapaxes(x, 1, 2)  # (B, W, H, C)
+        left_in = jnp.concatenate([xt[:, n:0:-1], xt[:, : 2 * n]], axis=1)
+        left = conv2d(strip(left_in), kt, padding="VALID", precision=precision)
+        right_in = jnp.concatenate(
+            [xt[:, w - 2 * n :], xt[:, w - 2 : w - n - 2 : -1]], axis=1
+        )
+        right = conv2d(strip(right_in), kt, padding="VALID", precision=precision)
+        # (B, n, h−2n, C') → transposed back: exactly rows n..h−n−1.
+        y = y.at[:, n : h - n, :n].set(add_bias(jnp.swapaxes(left, 1, 2)))
+        y = y.at[:, n : h - n, w - n :].set(add_bias(jnp.swapaxes(right, 1, 2)))
+    return y
+
+
 def depthwise_conv2d(
     x: jnp.ndarray,
     filt_2d: jnp.ndarray,

@@ -214,3 +214,25 @@ class TestLanePack:
     def test_3x3_s2_explicit_pad_p4(self):
         self._check_strided((3, 3), 4, 8, 4, 2, ((1, 1), (1, 1)))
 
+
+
+@pytest.mark.parametrize(
+    "k,p,h,w,ci,co",
+    [(7, 1, 16, 20, 8, 3), (7, 4, 16, 32, 8, 3), (3, 1, 8, 10, 4, 6),
+     (5, 2, 12, 16, 4, 2), (7, 32, 32, 64, 16, 3)],
+)
+def test_conv_reflect_same_matches_pad_then_conv(k, p, h, w, ci, co):
+    """Exact reflect-pad conv without the materialized pad: zero-SAME bulk
+    (lane-packed when p>1) + border-strip overwrite must match
+    reflect_pad2d + VALID conv bit-for-bit on the interior and to float
+    tolerance on the recomputed border (reassociation only)."""
+    from ircolor_tpu.ops.conv import conv2d, conv_reflect_same
+    from ircolor_tpu.ops.padding import reflect_pad2d
+
+    rng = np.random.RandomState(k * 100 + p)
+    x = jnp.asarray(rng.randn(2, h, w, ci).astype(np.float32))
+    kk = jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(co).astype(np.float32))
+    want = conv2d(reflect_pad2d(x, k // 2), kk, padding="VALID") + bias
+    got = conv_reflect_same(x, kk, p=p, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -95,6 +95,8 @@ def build_forward(
     res_scan=False,
     res_pallas=False,
     fused_du=False,
+    fold7=False,
+    fold7_inc=True,
 ):
     rng = np.random.RandomState(0)
 
@@ -141,10 +143,22 @@ def build_forward(
             return conv2d_lanepack(v, k, pnum, padding=padding)
         return conv2d(v, k, padding=((1, 1), (1, 1)) if padding == "SAME" else "VALID")
 
-    def pad7_conv(v, k, pnum, enabled):
+    def pad7_conv(v, k, pnum, enabled, site="out"):
         """7×7 head conv: reflect pre-pad (real model) or, in the zero_pads
         knockout, zero padding folded into the conv — so the knockout covers
-        the inc/outc pads too, not just the 18 resblock pads."""
+        the inc/outc pads too, not just the 18 resblock pads. fold7: exact
+        reflect WITHOUT the materialized pad (ops.conv.conv_reflect_same —
+        zero-SAME bulk + border-strip overwrite); fold7_inc=False restricts
+        the fold to outc (inc's pad is a cheap C=1 materialization — the
+        −7.1 ms pads knockout is almost all outc's)."""
+        if fold7 and (fold7_inc or site == "out"):
+            from ircolor_tpu.ops.conv import _conv_reflect_same_impl
+
+            borders = "hw" if fold7 is True else fold7
+            return _conv_reflect_same_impl(
+                v, k, n=k.shape[0] // 2, p=pnum if enabled else 1,
+                bias=None, precision=None, borders=borders,
+            )
         if pad_mode in ("reflect", "fold"):  # fold targets only resblocks
             return lp(reflect_pad2d(v, 3), k, pnum, enabled, padding="VALID")
         if enabled:
@@ -175,7 +189,7 @@ def build_forward(
         return jax.nn.relu(y).astype(raw.dtype)
 
     def fwd(v):
-        x0 = inr(pad7_conv(v.astype(DT), p["inc"], 2, lp_inc))
+        x0 = inr(pad7_conv(v.astype(DT), p["inc"], 2, lp_inc, site="inc"))
         # d1 (x0 C=64) and u2 (x0 skip C=64) CANNOT fuse: Mosaic can't
         # DMA-slice sub-128-channel legs (see conv3x3_sum_fused). Only the
         # 128-aligned stages — d2 (128→256) and u1 (256+128→128) — fuse.
@@ -240,6 +254,15 @@ VARIANTS = {
     "pb_no_in": dict(_BASE, res_pallas=True, use_in=False),     # knockout
     "pb_zero_pads": dict(_BASE, res_pallas=True, pad_mode="zero"),  # knockout
     "pb_ceiling": dict(_BASE, res_pallas=True, use_in=False, pad_mode="zero"),
+    # Exact reflect 7×7 heads WITHOUT the materialized pad (zero-SAME bulk +
+    # border-strip overwrite, ops.conv.conv_reflect_same) on the fused blocks.
+    "pb_fold7": dict(_BASE, res_pallas=True, fold7=True),
+    # Bisection probes (WRONG math — perf attribution of the two strip pairs).
+    "pb_fold7_tb": dict(_BASE, res_pallas=True, fold7="h"),
+    "pb_fold7_lr": dict(_BASE, res_pallas=True, fold7="w"),
+    # outc-only fold (inc keeps the cheap C=1 materialized pad).
+    "pb_fold7_outc": dict(_BASE, res_pallas=True, fold7=True, fold7_inc=False),
+    "pb_fold7_outc_tb": dict(_BASE, res_pallas=True, fold7="h", fold7_inc=False),
 }
 
 
