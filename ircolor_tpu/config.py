@@ -179,6 +179,16 @@ class Config:
     # backends silently use the identical-params XLA path.
     pallas_block: bool = True
 
+    # Use the fused-block kernel in the TRAINING step too (requires
+    # pallas_block). The kernel is differentiable via a custom_vjp
+    # (hand-derived IN backward + the same dgrad/wgrad convs XLA autodiff
+    # emits), so training pays the fused forward price. Measured −14.0
+    # ms/step (−4.7%) at b8 512×640 bf16, same-process A/B
+    # (tools/trainbench.py --variants full,pb_train; docs/PERF.md r3).
+    # Auto-disabled on multi-device data-parallel meshes — pallas_call
+    # does not GSPMD-partition (train/state.py).
+    pallas_block_train: bool = True
+
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50
 

@@ -144,6 +144,12 @@ class ResnetBlock(nn.Module):
             and self.padding_type == "reflect"
             and th is not None
             and x.shape[2] % 8 == 0
+            # Mosaic halo-DMA lane tiling: both conv inputs (x at C=in,
+            # raw1 at C=dim) must be 128-aligned or the kernel fails to
+            # compile ("Slice shape along dimension 3 must be aligned to
+            # tiling (128)") — caught by the r3 verify probe at ngf=8.
+            and x.shape[-1] % 128 == 0
+            and self.dim % 128 == 0
             and x.shape[1] * x.shape[2] >= self.pallas_block_min_area
             and _pallas_available()
         ):

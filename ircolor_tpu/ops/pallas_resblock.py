@@ -25,7 +25,11 @@ conv(+pre-IN+ReLU)(+post-IN stats) stage into ONE read + ONE write:
 * **Stats epilogue**: Σy and Σy² per (batch, channel) accumulate across
   H-tiles in a revisited (1, 2, C) output block — IN₂'s reduce pass is free.
 * **Double-buffered halo DMA** so the HBM read of tile j+1 overlaps tile
-  j's matmuls (the kernel is bandwidth-bound at the bottleneck shapes).
+  j's matmuls. (Measured r3, tools/bwbench.py: the kernel is COMPUTE-bound
+  at the bottleneck shape — 4.07 ms/block in context vs a 3.92 ms MXU
+  floor + 0.75 ms elementwise, i.e. at/below the additive floor — so the
+  DMA overlap is doing its job and there is no meaningful headroom left
+  inside the kernel.)
 
 A full ResnetBlock is then::
 
@@ -56,6 +60,9 @@ from jax.experimental import pallas as pl
 # compiled kernel needs a TPU (callers gate on that via the models'
 # _pallas_available()).
 from jax.experimental.pallas import tpu as pltpu
+
+from ircolor_tpu.ops.conv import conv2d
+from ircolor_tpu.ops.padding import reflect_pad2d
 
 _EPS = 1e-5
 
@@ -222,6 +229,11 @@ def conv3x3_reflect_fused(
     assert kernel.shape[:3] == (3, 3, c), kernel.shape
     assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
     assert w % 8 == 0, f"W={w} must be 8-aligned"
+    # Mosaic halo-DMA lane tiling (same constraint as conv3x3_sum_fused).
+    assert interpret or c % 128 == 0, (
+        f"conv3x3_reflect_fused: input C={c} not 128-aligned — Mosaic "
+        "cannot DMA-slice sub-lane-tile channel extents"
+    )
     norm_in = mean is not None
     nh = h // tile_h
 
@@ -288,13 +300,81 @@ def resnet_block_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One full ResnetBlock (ref :362-418) via two fused kernel launches +
-    one XLA elementwise pass (final IN normalize + residual add)."""
+    one XLA elementwise pass (final IN normalize + residual add).
+
+    Differentiable (``jax.custom_vjp``): the manual-DMA kernel has no
+    autodiff rule, so the backward is hand-derived XLA math over residuals
+    the forward already produced (raw conv outputs + IN stats) — the same
+    4 convs (2 dgrad + 2 wgrad) XLA autodiff would emit, with the IN
+    backward in closed form. Training therefore pays the fused-forward
+    price (4.07 ms/block) instead of the XLA chain's 5.64 ms/block.
+    Conv *bias* params are mathematically inert through instance norm
+    (IN(x + b) ≡ IN(x)); the XLA path autodiffs them to ~0 (rounding-level)
+    grads while this path never sees them (exact-0 grads via flax's
+    unused-param rule) — both train the same function.
+    """
+    return _resblock_vjp(tile_h, interpret, x, k1, k2)
+
+
+def _resblock_primal(tile_h, interpret, x, k1, k2):
     raw1, m1, i1 = conv3x3_reflect_fused(x, k1, tile_h=tile_h, interpret=interpret)
     raw2, m2, i2 = conv3x3_reflect_fused(
         raw1, k2, m1, i1, tile_h=tile_h, interpret=interpret
     )
     y = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
-    return x + y.astype(x.dtype)
+    out = x + y.astype(x.dtype)
+    return out, (raw1, m1, i1, raw2, m2, i2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _resblock_vjp(tile_h, interpret, x, k1, k2):
+    return _resblock_primal(tile_h, interpret, x, k1, k2)[0]
+
+
+def _resblock_fwd(tile_h, interpret, x, k1, k2):
+    out, (raw1, m1, i1, raw2, m2, i2) = _resblock_primal(tile_h, interpret, x, k1, k2)
+    return out, (x, k1, k2, raw1, m1, i1, raw2, m2, i2)
+
+
+def _in_bwd(g, yhat, inv):
+    """VJP of y → (y − mean(y))·inv(y) over spatial axes, per (batch,
+    channel): dL/dy = inv · (g − E[g] − ŷ·E[g·ŷ]); exact with eps folded
+    into inv (ŷ and g in f32)."""
+    gm = jnp.mean(g, axis=(1, 2), keepdims=True)
+    gy = jnp.mean(g * yhat, axis=(1, 2), keepdims=True)
+    return inv[:, None, None, :] * (g - gm - yhat * gy)
+
+
+def _resblock_bwd(tile_h, interpret, res, g):
+    x, k1, k2, raw1, m1, i1, raw2, m2, i2 = res
+    gf = g.astype(jnp.float32)
+
+    # Recompute the cheap elementwise intermediates from the saved raws.
+    n1 = (raw1.astype(jnp.float32) - m1[:, None, None, :]) * i1[:, None, None, :]
+    z1 = jnp.maximum(n1, 0.0).astype(x.dtype)  # conv2's input
+    yhat2 = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
+
+    # out = x + IN(conv2(pad(relu(IN(conv1(pad(x))))))) — walk it backward.
+    dy2 = _in_bwd(gf, yhat2, i2)
+
+    def pad_conv(z, k):
+        return conv2d(reflect_pad2d(z, 1), k, padding="VALID")
+
+    # jax.vjp's primal outputs are unused → XLA DCEs the forward convs;
+    # only the dgrad/wgrad convs (which need z1/k2 themselves) remain.
+    _, vjp2 = jax.vjp(pad_conv, z1, k2)
+    dz1, dk2 = vjp2(dy2.astype(raw2.dtype))
+
+    dn1 = dz1.astype(jnp.float32) * (n1 > 0)
+    dy1 = _in_bwd(dn1, n1, i1)
+    _, vjp1 = jax.vjp(pad_conv, x, k1)
+    dxc, dk1 = vjp1(dy1.astype(raw1.dtype))
+
+    dx = (gf + dxc.astype(jnp.float32)).astype(x.dtype)
+    return dx, dk1.astype(k1.dtype), dk2.astype(k2.dtype)
+
+
+_resblock_vjp.defvjp(_resblock_fwd, _resblock_bwd)
 
 
 def _kernel_multi(*refs, th: int, w: int, h: int, nh: int, n_in: int, pad: str):

@@ -74,10 +74,22 @@ def create_train_state(
         rng = jax.random.PRNGKey(cfg.seed)
     rng_g, rng_d = jax.random.split(rng)
     h, w = cfg.resolved_hw
-    if cfg.pallas_block:
-        # The fused-block kernel's manual DMAs do not autodiff; training
-        # always uses the XLA block (identical params — checkpoints from
-        # either path load into the other).
+    if cfg.pallas_block and cfg.pallas_block_train:
+        # pallas_call cannot be GSPMD-partitioned: on a multi-device
+        # data-parallel mesh the fused blocks inside the jitted step would
+        # force gathers (or fail to lower). Fused-block training is a
+        # single-device-mesh optimization; multi-device DP falls back to
+        # the XLA block (identical params either way).
+        from ircolor_tpu.parallel.mesh import make_data_mesh
+
+        if make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size).devices.size > 1:
+            cfg = cfg.replace(pallas_block_train=False)
+    if cfg.pallas_block and not cfg.pallas_block_train:
+        # The fused-block kernel trains through a custom_vjp (see
+        # ops/pallas_resblock.py:resnet_block_pallas); without the train
+        # flag (or on a multi-device mesh) training uses the XLA block
+        # (identical params — checkpoints from either path load into the
+        # other).
         cfg = cfg.replace(pallas_block=False)
     g_module = generator_from_config(cfg)
     d_module = discriminator_from_config(cfg)

@@ -95,6 +95,27 @@ def test_generator_pallas_block_path_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+def test_generator_pallas_block_gate_rejects_unaligned_channels(monkeypatch):
+    """ngf=8 ⇒ bottleneck C=32: the fused-block gate must fall back to the
+    XLA path (Mosaic halo DMA needs C % 128 == 0 — a real-TPU compile
+    failure caught by the r3 verify probe). _pallas_available is forced
+    True and resnet_block_pallas is NOT stubbed: if the gate wrongly
+    engages, the pallas_call itself fails on CPU."""
+    from ircolor_tpu.models import generator as gen_mod
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    plain = ResnetUNetGenerator(n_blocks=1, ngf=8)
+    fused = ResnetUNetGenerator(
+        n_blocks=1, ngf=8, pallas_block=True, pallas_block_min_area=0
+    )
+    x0 = jnp.zeros((1, 32, 32, 1))
+    params = plain.init(jax.random.PRNGKey(0), x0)["params"]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) * 2 - 1
+    want = plain.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_generator_output_shape_and_range():
     module = ResnetUNetGenerator(n_blocks=2)
     params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 80, 1)))["params"]

@@ -61,6 +61,35 @@ def test_resnet_block_pallas_matches_xla_block():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
 
 
+def test_resnet_block_pallas_grad_matches_xla_block():
+    """The custom_vjp backward (closed-form IN backward + XLA dgrad/wgrad
+    convs over saved raws) must match autodiff of the XLA block math for
+    dx, dk1, dk2."""
+    rng = np.random.RandomState(5)
+    B, H, W, C = 2, 16, 16, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))  # fixed cotangent
+
+    def xla_block(x, k1, k2):
+        h1 = jax.nn.relu(instance_norm(conv2d(reflect_pad2d(x, 1), k1, padding="VALID")))
+        return x + instance_norm(conv2d(reflect_pad2d(h1, 1), k2, padding="VALID"))
+
+    def loss(block):
+        return lambda x, k1, k2: jnp.sum(block(x, k1, k2) * w)
+
+    want = jax.grad(loss(xla_block), argnums=(0, 1, 2))(x, k1, k2)
+    got = jax.grad(
+        loss(lambda *a: resnet_block_pallas(*a, tile_h=8, interpret=True)),
+        argnums=(0, 1, 2),
+    )(x, k1, k2)
+    for g, ref, name in zip(got, want, ("dx", "dk1", "dk2")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(ref), atol=2e-3, rtol=1e-3, err_msg=name
+        )
+
+
 def test_sum_fused_zero_single_matches_xla():
     """n_in=1 zero-SAME: the down-conv form (conv + free IN stats)."""
     from ircolor_tpu.ops.pallas_resblock import conv3x3_sum_fused

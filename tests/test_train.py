@@ -53,6 +53,24 @@ def step_setup():
     return cfg, state, step, batch, (g_mod, d_mod, vgg_mod, vgg_params)
 
 
+def test_pallas_block_train_gating():
+    """Fused-block training (custom_vjp path) engages only on a
+    single-device data mesh: pallas_call does not GSPMD-partition, so
+    multi-device DP must fall back to the XLA block (identical params)."""
+    multi = Config(img_size=32, batch_size=8, n_blocks=1, ngf=8,
+                   pallas_block=True, pallas_block_train=True)
+    _, g_multi, _, _ = create_train_state(multi, steps_per_epoch=2)
+    assert not g_multi.pallas_block  # 8 fake CPU devices → multi-device mesh
+
+    single = multi.replace(dp_devices=1)
+    _, g_single, _, _ = create_train_state(single, steps_per_epoch=2)
+    assert g_single.pallas_block  # single-device mesh keeps the fused path
+
+    off = multi.replace(dp_devices=1, pallas_block_train=False)
+    _, g_off, _, _ = create_train_state(off, steps_per_epoch=2)
+    assert not g_off.pallas_block
+
+
 def test_train_step_runs_and_updates(step_setup):
     cfg, state, step, batch, _ = step_setup
     new_state, metrics = step(state, batch, init_vgg16_params())

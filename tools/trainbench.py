@@ -39,6 +39,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 VARIANTS: dict[str, tuple[dict, bool]] = {
     # name: (config overrides, update_d)
     "full": ({}, True),
+    "pb_train": ({"pallas_block_train": True}, True),  # fused blocks via custom_vjp
     "vgg_lp2": ({}, True),  # lane-packed VGG conv1_1/conv1_2 (p=2)
     "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
     "no_perc": ({"lambda_perc": 0.0}, True),
