@@ -47,3 +47,17 @@ def instance_norm_onepass(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     var = jnp.maximum(meansq - jnp.square(mean), 0.0)
     y = (x32 - mean) * lax.rsqrt(var + eps)
     return y.astype(x.dtype)
+
+
+def instance_norm_stats(
+    x: jnp.ndarray, eps: float = 1e-5
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(batch, channel) IN statistics as flat (B, C) f32 ``(mean,
+    inv_std)`` — the form the normalize-on-load Pallas kernels consume
+    (ops.pallas_resblock / ops.pallas_blur). Single-pass moments (see
+    instance_norm_onepass for the numerics argument)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2))
+    meansq = jnp.mean(jnp.square(x32), axis=(1, 2))
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    return mean, lax.rsqrt(var + eps)

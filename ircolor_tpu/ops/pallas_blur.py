@@ -1,4 +1,4 @@
-"""Pallas blur-pool downsample kernel (filt 3, stride 2, reflect pad).
+"""Pallas blur-pool downsample kernels (filt 3, stride 2, reflect pad).
 
 The reference's ``Downsample`` (`/root/reference/Code/ir_colorization.py:
 269-310`) with the default binomial-3 filter computes, separably per axis,
@@ -8,15 +8,22 @@ The reference's ``Downsample`` (`/root/reference/Code/ir_colorization.py:
 Pure bandwidth: read the plane once, write a quarter of it. XLA's best
 formulations (the banded-matrix einsum — which XLA itself rewrites into
 convolutions, see tools/blurprobe.py — and the depthwise conv) both measure
-~6 ms at 16×512×640×128 bf16 where the roofline is ~1.2 ms; this kernel is
-a straight VPU shift-add over H-tiles with one halo-row DMA per tile,
-double-buffered so the stream stays at memory speed.
+~6 ms at 16×512×640×128 bf16 where the roofline is ~1.2 ms.
 
-Layout trick: the W-axis stride-2 pairing is done OUTSIDE the kernel by the
-free contiguous reshape (B,H,W,C) → (B,H,W/2,2C); inside, the even/odd
-W-phases are lane-dim slices at C boundaries (Mosaic-friendly — no sublane
-splits). Top-row reflect is handled in-kernel; the left-column reflect is a
-one-row sublane shift. Requires even H and W; H/2 must tile (``supported``).
+Two kernels:
+
+* ``blur_downsample_pallas`` (round 2, unwired — measured 7.1 vs XLA 6.4
+  ms): W-axis stride-2 pairing done OUTSIDE the kernel by the reshape
+  (B,H,W,C) → (B,H,W/2,2C). That reshape is NOT free in tiled HBM layout
+  (lane regrouping ⇒ a relayout copy outside the kernel), which is the
+  likely loss.
+* ``norm_relu_blur_down_pallas`` (round 3): consumes the UNRESHAPED conv
+  output plus its instance-norm ``(mean, inv)`` and applies
+  normalize+ReLU on load — fusing the generator down-stage's
+  IN-normalize + ReLU + reflect-pad + blur-pool (ref :469-482 down path)
+  into one read + one quarter-write. W-phase split happens in-VMEM
+  (sublane strided slices). Normalize/ReLU commute with the reflect
+  halos, so normalizing raw halo rows is exact.
 """
 
 from __future__ import annotations
@@ -138,3 +145,116 @@ def blur_downsample_pallas(x: jnp.ndarray, *, interpret: bool = False) -> jnp.nd
         ),
         interpret=interpret,
     )(xr)
+
+
+def _kernel_norm(x_hbm, m_ref, i_ref, o_ref, x_vmem, sems, *, th: int, nh: int):
+    """Normalize+ReLU-on-load blur-pool over UNRESHAPED (B, H, W, C) input.
+
+    Output tile = ``th`` rows of the (B, H/2, W/2, C) result; the DMA pulls
+    the 2·th+1 input rows it needs (top halo row included; the bottom halo
+    is never read by a stride-2 filt-3 window on even H). W-phase split is
+    in-VMEM: outer-dim (row) slices are free, the stride-2 sublane slices
+    along W lower to vector shuffles.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    lin = b * nh + h
+    total = pl.num_programs(0) * nh
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def dma_for(linear, slot_idx):
+        bb = jax.lax.div(linear, nh)
+        hh = jax.lax.rem(linear, nh)
+        s = jnp.maximum(2 * hh * th - 1, 0)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(s, 2 * th + 1)], x_vmem.at[slot_idx], sems.at[slot_idx]
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        dma_for(lin, slot).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        dma_for(lin + 1, nslot).start()
+
+    dma_for(lin, slot).wait()
+    buf = x_vmem[slot].astype(jnp.float32)  # (2th+1, W, C)
+    mean = m_ref[b]
+    inv = i_ref[b]
+    buf = jnp.maximum((buf - mean[None, None, :]) * inv[None, None, :], 0.0)
+
+    first = h == 0
+    # Tile 0 buffers x rows [0 : 2th+1]; others buffer [2r0−1 : 2r0+2th].
+    b0 = buf[0 : 2 * th].reshape(th, 2, buf.shape[1], buf.shape[2])
+    b1 = buf[1 : 2 * th + 1].reshape(th, 2, buf.shape[1], buf.shape[2])
+    xe = jnp.where(first, b0[:, 0], b1[:, 0])  # x[2i]
+    xo = jnp.where(first, b0[:, 1], b1[:, 1])  # x[2i+1]
+    xm = jnp.where(
+        first,
+        jnp.concatenate([b0[0:1, 1], b0[:-1, 1]], axis=0),  # x[2i−1], x[−1]≡x[1]
+        b0[:, 0],
+    )
+    yh = xm + 2.0 * xe + xo  # (th, W, C)
+
+    w = yh.shape[1]
+    ye = yh[:, 0:w:2]  # col 2w'
+    yo_ = yh[:, 1:w:2]  # col 2w'+1
+    ym = jnp.concatenate([yo_[:, 0:1], yo_[:, :-1]], axis=1)  # col 2w'−1, reflect
+    o_ref[...] = ((ym + 2.0 * ye + yo_) * (1.0 / 16.0)).astype(o_ref.dtype)[None]
+
+
+def norm_relu_blur_down_pallas(
+    x: jnp.ndarray,
+    mean: jnp.ndarray,
+    inv: jnp.ndarray,
+    *,
+    vmem_limit_mb: int = 96,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B,H,W,C) raw conv output + per-(B,C) IN ``(mean, inv_std)`` →
+    binomial-3 reflect blur-pool of ``relu((x − mean)·inv)``, (B,H/2,W/2,C).
+
+    Fuses the down-stage chain IN-normalize → ReLU → ReflectPad(1) →
+    depthwise blur stride 2 (ref `/root/reference/Code/ir_colorization.py:
+    269-310, 469-482`) into one HBM read + one quarter-size write.
+    Requires even H/W and C % 128 == 0 (Mosaic DMA lane tiling — the same
+    constraint as conv3x3_sum_fused).
+    """
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, x.shape
+    assert interpret or c % 128 == 0, (
+        f"norm_relu_blur_down_pallas: C={c} not 128-aligned for halo DMA"
+    )
+    assert mean.shape == (b, c) and inv.shape == (b, c), (mean.shape, inv.shape)
+    h2, w2 = h // 2, w // 2
+    th = _pick_tile(h2, w, c)
+    assert th is not None, x.shape
+    nh = h2 // th
+    vmem = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
+    return pl.pallas_call(
+        functools.partial(_kernel_norm, th=th, nh=nh),
+        out_shape=jax.ShapeDtypeStruct((b, h2, w2, c), x.dtype),
+        grid=(b, nh),
+        in_specs=[
+            pl.BlockSpec(
+                memory_space=pltpu.ANY if (_HAVE_PLTPU and not interpret) else None
+            ),
+            pl.BlockSpec(memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w2, c), lambda i, j: (i, j, 0, 0), memory_space=vmem
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * th + 1, w, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=(
+            None
+            if interpret or not _HAVE_PLTPU
+            else pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(x, mean.astype(jnp.float32), inv.astype(jnp.float32))

@@ -28,3 +28,24 @@ def test_blur_down_pallas_unsupported_shapes():
     assert not supported((1, 2, 8, 3))   # H/2 too small to tile
     assert not supported((1, 7, 8, 3))   # odd H
     assert not supported((1, 8, 7, 3))   # odd W
+
+
+@pytest.mark.parametrize(
+    "shape", [(2, 64, 64, 8), (1, 32, 40, 16), (2, 16, 16, 8)]
+)
+def test_norm_relu_blur_down_pallas_matches_chain(shape):
+    """normalize+ReLU on load then blur-pool ≡ the XLA IN→ReLU→pad→blur
+    chain (the generator down-stage semantics, ref :469-482)."""
+    from ircolor_tpu.ops.norm import instance_norm_stats
+    from ircolor_tpu.ops.pallas_blur import norm_relu_blur_down_pallas
+
+    rng = np.random.RandomState(sum(shape))
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    m, inv = instance_norm_stats(x)
+    normed = jax.nn.relu(
+        (x - m[:, None, None, :]) * inv[:, None, None, :]
+    )
+    ref = np.asarray(blur_downsample(normed))
+    got = np.asarray(norm_relu_blur_down_pallas(x, m, inv, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-6)

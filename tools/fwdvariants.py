@@ -97,6 +97,7 @@ def build_forward(
     fused_du=False,
     fold7=False,
     fold7_inc=True,
+    norm_blur=False,
 ):
     rng = np.random.RandomState(0)
 
@@ -188,16 +189,32 @@ def build_forward(
         y = (raw.astype(jnp.float32) - m[:, None, None, :]) * inv[:, None, None, :]
         return jax.nn.relu(y).astype(raw.dtype)
 
+    def norm_blur_down(raw):
+        """Fused IN-normalize+ReLU+reflect-blur-pool (one read + 1/4 write;
+        ops.pallas_blur.norm_relu_blur_down_pallas). Stats by XLA reduce.
+        The conv OUTPUTS are 128-aligned at d1 (128) and d2 (256), so both
+        down stages qualify (it is the conv INPUT C=64 that blocks the
+        sum_fused conv at d1, not this kernel)."""
+        from ircolor_tpu.ops.norm import instance_norm_stats
+        from ircolor_tpu.ops.pallas_blur import norm_relu_blur_down_pallas
+
+        m, inv = instance_norm_stats(raw)
+        return norm_relu_blur_down_pallas(raw, m, inv)
+
     def fwd(v):
         x0 = inr(pad7_conv(v.astype(DT), p["inc"], 2, lp_inc, site="inc"))
         # d1 (x0 C=64) and u2 (x0 skip C=64) CANNOT fuse: Mosaic can't
         # DMA-slice sub-128-channel legs (see conv3x3_sum_fused). Only the
         # 128-aligned stages — d2 (128→256) and u1 (256+128→128) — fuse.
-        x1 = down_blur(inr(conv2d(x0, p["d1"], padding=((1, 1), (1, 1)))))
-        if fused_du:
-            h = down_blur(fused_inr([x1], [p["d2"]]))
+        if norm_blur:
+            x1 = norm_blur_down(conv2d(x0, p["d1"], padding=((1, 1), (1, 1))))
+            h = norm_blur_down(conv2d(x1, p["d2"], padding=((1, 1), (1, 1))))
         else:
-            h = down_blur(inr(conv2d(x1, p["d2"], padding=((1, 1), (1, 1)))))
+            x1 = down_blur(inr(conv2d(x0, p["d1"], padding=((1, 1), (1, 1)))))
+            if fused_du:
+                h = down_blur(fused_inr([x1], [p["d2"]]))
+            else:
+                h = down_blur(inr(conv2d(x1, p["d2"], padding=((1, 1), (1, 1)))))
         if res_scan:
             h = jax.lax.scan(
                 lambda c, ks: (one_res(c, ks), None), h, res_stack
@@ -257,6 +274,10 @@ VARIANTS = {
     # Exact reflect 7×7 heads WITHOUT the materialized pad (zero-SAME bulk +
     # border-strip overwrite, ops.conv.conv_reflect_same) on the fused blocks.
     "pb_fold7": dict(_BASE, res_pallas=True, fold7=True),
+    # Fused IN-normalize+ReLU+blur-pool at both down stages on top of the
+    # fused blocks (ops.pallas_blur.norm_relu_blur_down_pallas; stats stay
+    # an XLA reduce fused into the conv epilogue).
+    "pb_normblur": dict(_BASE, res_pallas=True, norm_blur=True),
     # Bisection probes (WRONG math — perf attribution of the two strip pairs).
     "pb_fold7_tb": dict(_BASE, res_pallas=True, fold7="h"),
     "pb_fold7_lr": dict(_BASE, res_pallas=True, fold7="w"),
