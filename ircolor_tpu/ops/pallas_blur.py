@@ -258,3 +258,54 @@ def norm_relu_blur_down_pallas(
         ),
         interpret=interpret,
     )(x, mean.astype(jnp.float32), inv.astype(jnp.float32))
+
+
+def norm_relu_blur_down(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """Differentiable down-stage tail: ``blurpool(relu(IN(x)))`` with the
+    fused normalize-on-load Pallas kernel as the forward
+    (``norm_relu_blur_down_pallas``; IN stats by XLA reduce).
+
+    The manual-DMA kernel has no autodiff rule, so the backward is
+    hand-assembled XLA math (same shape as ``resnet_block_pallas``'s
+    custom_vjp): recompute ``ŷ = (x−μ)·inv`` elementwise from the saved
+    stats, push the cotangent through the blur-pool adjoint (``jax.vjp`` of
+    the linear XLA blur — one transposed conv), mask by ReLU, and apply the
+    closed-form instance-norm backward. Training therefore pays the fused
+    one-read/quarter-write forward price.
+    """
+    return _nrbd_vjp(interpret, x)
+
+
+def _nrbd_primal(interpret, x):
+    from ircolor_tpu.ops.norm import instance_norm_stats
+
+    mean, inv = instance_norm_stats(x)
+    return norm_relu_blur_down_pallas(x, mean, inv, interpret=interpret), (mean, inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _nrbd_vjp(interpret, x):
+    return _nrbd_primal(interpret, x)[0]
+
+
+def _nrbd_fwd(interpret, x):
+    out, (mean, inv) = _nrbd_primal(interpret, x)
+    return out, (x, mean, inv)
+
+
+def _nrbd_bwd(interpret, res, g):
+    from ircolor_tpu.ops.blurpool import blur_downsample
+    from ircolor_tpu.ops.pallas_resblock import _in_bwd
+
+    x, mean, inv = res
+    yhat = (x.astype(jnp.float32) - mean[:, None, None, :]) * inv[:, None, None, :]
+    z = jnp.maximum(yhat, 0.0).astype(x.dtype)
+    # blur_downsample is linear: its vjp is one transposed depthwise conv
+    # (+ reflect-pad adjoint scatter), all XLA; primal output is DCE'd.
+    _, blur_vjp = jax.vjp(blur_downsample, z)
+    (dz,) = blur_vjp(g)
+    dn = dz.astype(jnp.float32) * (yhat > 0)
+    return (_in_bwd(dn, yhat, inv).astype(x.dtype),)
+
+
+_nrbd_vjp.defvjp(_nrbd_fwd, _nrbd_bwd)

@@ -49,3 +49,25 @@ def test_norm_relu_blur_down_pallas_matches_chain(shape):
     got = np.asarray(norm_relu_blur_down_pallas(x, m, inv, interpret=True))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_norm_relu_blur_down_grad_matches_xla_chain():
+    """The custom_vjp backward (blur adjoint → ReLU mask → closed-form IN
+    backward) must match autodiff of the XLA IN→ReLU→blur chain."""
+    from ircolor_tpu.ops.norm import instance_norm
+    from ircolor_tpu.ops.pallas_blur import norm_relu_blur_down
+
+    rng = np.random.RandomState(7)
+    B, H, W, C = 2, 32, 32, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(B, H // 2, W // 2, C).astype(np.float32))
+
+    def xla_chain(x):
+        return jnp.sum(blur_downsample(jax.nn.relu(instance_norm(x))) * w)
+
+    def fused(x):
+        return jnp.sum(norm_relu_blur_down(x, interpret=True) * w)
+
+    want = jax.grad(xla_chain)(x)
+    got = jax.grad(fused)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)

@@ -92,6 +92,22 @@ def main() -> None:
     )(x, xb)
     ok &= check("sum_fused zero n=2", got2, want2, atol=0.5)
 
+    # norm_relu_blur_down: IN-normalize+ReLU on load + reflect blur-pool
+    # (the generator down-stage chain). C=128 is the d1 output width.
+    from ircolor_tpu.ops.norm import instance_norm_stats
+    from ircolor_tpu.ops.pallas_blur import norm_relu_blur_down_pallas
+    from ircolor_tpu.ops.blurpool import blur_downsample
+
+    mean, inv = instance_norm_stats(x)
+    normed = jax.nn.relu(
+        (x.astype(jnp.float32) - mean[:, None, None, :]) * inv[:, None, None, :]
+    ).astype(x.dtype)
+    want_nb = blur_downsample(normed)
+    got_nb = jax.jit(
+        lambda v, m2, i2: norm_relu_blur_down_pallas(v, m2, i2)
+    )(x, mean, inv)
+    ok &= check("norm_relu_blur_down", got_nb, want_nb, atol=0.05)
+
     print("SMOKE PASS" if ok else "SMOKE FAIL", flush=True)
     _sys.exit(0 if ok else 1)
 
