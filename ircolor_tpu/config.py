@@ -189,6 +189,13 @@ class Config:
     # does not GSPMD-partition (train/state.py).
     pallas_block_train: bool = True
 
+    # Fuse the down-stage IN-normalize+ReLU+reflect-blur-pool tails into one
+    # normalize-on-load Pallas pass each (ops/pallas_blur.py). Differentiable
+    # (custom_vjp), identical params. Default OFF pending the in-context
+    # A/B (tools/fwdvariants.py pb_normblur); same single-device-mesh
+    # restriction as pallas_block.
+    pallas_norm_blur: bool = False
+
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50
 

@@ -157,21 +157,24 @@ def run_test(cfg: Config) -> dict[str, Any]:
             make_spatial_mesh,
         )
 
-        if getattr(infer_module, "pallas_block", False):
-            # The fused-block kernel computes its own reflect halos from the
-            # full image; under spatial sharding each shard would reflect at
-            # its local edge — silently wrong. GSPMD halo exchange needs the
-            # plain XLA block (identical params).
+        if getattr(infer_module, "pallas_block", False) or getattr(
+            infer_module, "pallas_norm_blur", False
+        ):
+            # The fused kernels (resblock, norm-blur tail) compute their own
+            # reflect halos from the full image; under spatial sharding each
+            # shard would reflect at its local edge — silently wrong. GSPMD
+            # halo exchange needs the plain XLA paths (identical params).
             import dataclasses as _dc
 
             from ircolor_tpu.models.wrapper import generator_from_config
 
             log.info(
                 "[TEST] spatial sharding: rebuilding generator with "
-                "pallas_block=False (in-kernel reflect halos are "
-                "incompatible with image-axis sharding; params unchanged)"
+                "pallas_block=False / pallas_norm_blur=False (in-kernel "
+                "reflect halos are incompatible with image-axis sharding; "
+                "params unchanged)"
             )
-            cfg = _dc.replace(cfg, pallas_block=False)
+            cfg = _dc.replace(cfg, pallas_block=False, pallas_norm_blur=False)
             infer_module = generator_from_config(cfg)
 
         # With 2-D tiling, H is sharded over sp_devices // sp_w_devices

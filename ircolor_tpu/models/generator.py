@@ -42,6 +42,7 @@ from ircolor_tpu.models.common import (
 )
 from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
 from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
+from ircolor_tpu.ops.pallas_blur import norm_blur_supported, norm_relu_blur_down
 from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
 from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
 from ircolor_tpu.ops.resize import bilinear_align_corners
@@ -200,6 +201,12 @@ class ResnetUNetGenerator(nn.Module):
     use_pallas: bool = False
     pallas_block: bool = False  # fused ResnetBlock kernel (inference-only)
     pallas_block_min_area: int = _FUSED_MIN_AREA
+    # Fuse each down-stage IN-normalize+ReLU+reflect-blur-pool tail into one
+    # Pallas read + quarter-write (ops/pallas_blur.norm_relu_blur_down;
+    # stats stay an XLA reduce). Differentiable (custom_vjp). Same sharding
+    # caveats as pallas_block: single-device meshes only.
+    pallas_norm_blur: bool = False
+    pallas_norm_blur_min_area: int = 0
     # Lane-packing of the outc head (exact math, single-chip layout win).
     # Disable for 2-D spatial sharding — GSPMD mispartitions the packed-
     # stride conv's unpack reshape when both image axes are sharded.
@@ -246,16 +253,37 @@ class ResnetUNetGenerator(nn.Module):
         )(x0)
         x0 = norm_relu("inc_norm", x0)                       # (B, H, W, 64)
 
+        def norm_blur_ok(y):
+            # Both down-stage tails (IN → ReLU → reflect blur-pool) can fuse
+            # into one normalize-on-load kernel pass when the conv OUTPUT is
+            # 128-lane-aligned (ngf≥64 ⇒ 128/256) and the plane is large
+            # enough; Norm("instance") is param-free so the param tree is
+            # identical either way.
+            return (
+                self.pallas_norm_blur
+                and self.norm == "instance"
+                and not self.no_antialias
+                and y.shape[1] * y.shape[2] >= self.pallas_norm_blur_min_area
+                and norm_blur_supported(y.shape)
+                and _pallas_available()
+            )
+
         stride_d = 2 if self.no_antialias else 1
         x1 = conv("down1_conv", ngf * 2, 3, stride_d, ((1, 1), (1, 1)))(x0)
-        x1 = norm_relu("down1_norm", x1)
-        if not self.no_antialias:
-            x1 = blur_downsample(x1, precision=self.precision)   # (B, H/2, W/2, 128)
+        if norm_blur_ok(x1):
+            x1 = norm_relu_blur_down(x1)                         # (B, H/2, W/2, 128)
+        else:
+            x1 = norm_relu("down1_norm", x1)
+            if not self.no_antialias:
+                x1 = blur_downsample(x1, precision=self.precision)   # (B, H/2, W/2, 128)
 
         x2 = conv("down2_conv", ngf * 4, 3, stride_d, ((1, 1), (1, 1)))(x1)
-        x2 = norm_relu("down2_norm", x2)
-        if not self.no_antialias:
-            x2 = blur_downsample(x2, precision=self.precision)   # (B, H/4, W/4, 256)
+        if norm_blur_ok(x2):
+            x2 = norm_relu_blur_down(x2)                         # (B, H/4, W/4, 256)
+        else:
+            x2 = norm_relu("down2_norm", x2)
+            if not self.no_antialias:
+                x2 = blur_downsample(x2, precision=self.precision)   # (B, H/4, W/4, 256)
 
         # --- bottleneck ---
         h = x2

@@ -113,6 +113,12 @@ def supported(shape: tuple[int, ...]) -> bool:
     return h % 2 == 0 and w % 2 == 0 and _pick_tile(h // 2, w, c) is not None
 
 
+def norm_blur_supported(shape: tuple[int, ...]) -> bool:
+    """Shapes ``norm_relu_blur_down_pallas`` can run on real TPU: even H/W
+    with a valid H-tile, and C % 128 == 0 (Mosaic halo-DMA lane tiling)."""
+    return supported(shape) and shape[-1] % 128 == 0
+
+
 def blur_downsample_pallas(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     """(B,H,W,C) → (B,H/2,W/2,C) binomial-3 reflect blur-pool."""
     b, h, w, c = x.shape

@@ -89,19 +89,22 @@ def check_spatial_compat(module: Any, mesh: Mesh) -> None:
     * 2-D H×W tiling with a lane-packed output head (``module.lanepack``
       True): GSPMD mispartitions the packed head's unpack reshape
       (regression-tested in tests/test_parallel.py)."""
-    if getattr(module, "pallas_block", False):
+    if getattr(module, "pallas_block", False) or getattr(
+        module, "pallas_norm_blur", False
+    ):
         from ircolor_tpu.models.generator import _pallas_available
 
-        # Only a hazard where the kernel actually engages (the module's own
-        # gate): on CPU/fake-device meshes the flag is inert and the XLA
-        # path computes correctly.
+        # Only a hazard where the kernels actually engage (the module's own
+        # gate): on CPU/fake-device meshes the flags are inert and the XLA
+        # paths compute correctly.
         if _pallas_available():
             raise ValueError(
-                "spatial sharding with a pallas_block=True generator "
-                "produces silently wrong shard-seam pixels (the fused "
-                "kernel reflects at local tile edges) — rebuild the model "
-                "with pallas_block=False (identical params; the CLI test "
-                "runner does this automatically)"
+                "spatial sharding with a pallas_block=True or "
+                "pallas_norm_blur=True generator produces silently wrong "
+                "shard-seam pixels (the fused kernels reflect at local tile "
+                "edges) — rebuild the model with both flags False "
+                "(identical params; the CLI test runner does this "
+                "automatically)"
             )
     if "spw" in mesh.axis_names and getattr(module, "lanepack", False):
         raise ValueError(

@@ -84,6 +84,13 @@ def create_train_state(
 
         if make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size).devices.size > 1:
             cfg = cfg.replace(pallas_block_train=False)
+    if cfg.pallas_norm_blur:
+        # Same GSPMD restriction as the fused blocks: the norm-blur kernel
+        # is a pallas_call and must not land inside a multi-device jit.
+        from ircolor_tpu.parallel.mesh import make_data_mesh
+
+        if make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size).devices.size > 1:
+            cfg = cfg.replace(pallas_norm_blur=False)
     if cfg.pallas_block and not cfg.pallas_block_train:
         # The fused-block kernel trains through a custom_vjp (see
         # ops/pallas_resblock.py:resnet_block_pallas); without the train

@@ -116,6 +116,53 @@ def test_generator_pallas_block_gate_rejects_unaligned_channels(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+def test_generator_norm_blur_path_matches_plain(monkeypatch):
+    """pallas_norm_blur=True: identical param tree (Norm('instance') is
+    param-free); fused down-stage tails (interpret mode on CPU) match the
+    IN→ReLU→blur-pool chain."""
+    import functools
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.ops.pallas_blur import norm_relu_blur_down
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(
+        gen_mod, "norm_relu_blur_down",
+        functools.partial(norm_relu_blur_down, interpret=True),
+    )
+    # ngf=64 keeps both down-stage outputs 128-aligned (128/256).
+    plain = ResnetUNetGenerator(n_blocks=1)
+    fused = ResnetUNetGenerator(n_blocks=1, pallas_norm_blur=True)
+    x0 = jnp.zeros((1, 32, 32, 1))
+    params = plain.init(jax.random.PRNGKey(0), x0)["params"]
+    params_f = fused.init(jax.random.PRNGKey(0), x0)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_f
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) * 2 - 1
+    want = plain.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_generator_norm_blur_gate_rejects_unaligned_channels(monkeypatch):
+    """ngf=8 ⇒ down-stage outputs C=16/32: norm_blur_supported fails the
+    128-alignment check and the model must fall back to the XLA chain.
+    norm_relu_blur_down is NOT stubbed: if the gate wrongly engages, the
+    pallas_call itself fails on CPU."""
+    from ircolor_tpu.models import generator as gen_mod
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    plain = ResnetUNetGenerator(n_blocks=1, ngf=8)
+    fused = ResnetUNetGenerator(n_blocks=1, ngf=8, pallas_norm_blur=True)
+    x0 = jnp.zeros((1, 32, 32, 1))
+    params = plain.init(jax.random.PRNGKey(0), x0)["params"]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) * 2 - 1
+    want = plain.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_generator_output_shape_and_range():
     module = ResnetUNetGenerator(n_blocks=2)
     params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 80, 1)))["params"]
