@@ -40,6 +40,7 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     # name: (config overrides, update_d)
     "full": ({}, True),
     "pb_train": ({"pallas_block_train": True}, True),  # fused blocks via custom_vjp
+    "nb_train": ({"pallas_norm_blur": True}, True),    # fused down-stage tails (custom_vjp)
     "vgg_lp2": ({}, True),  # lane-packed VGG conv1_1/conv1_2 (p=2)
     "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
     "no_perc": ({"lambda_perc": 0.0}, True),
