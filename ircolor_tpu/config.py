@@ -196,6 +196,11 @@ class Config:
     # restriction as pallas_block.
     pallas_norm_blur: bool = False
 
+    # Smallest down-stage conv-output plane (H·W px) the fused tail engages
+    # at; 0 = no area gate until the small-resolution A/B lands (the fused
+    # blocks needed one — 256² regressed — so the knob exists from day one).
+    pallas_norm_blur_min_area: int = 0
+
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50
 

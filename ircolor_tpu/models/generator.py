@@ -55,6 +55,15 @@ def _pallas_available() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _fused_dtype_ok(dtype) -> bool:
+    """Fused Pallas paths are bf16-only (the perf path): the f32
+    parity/validation path keeps two-pass IN stats and
+    conv_precision='highest' semantics, which the fused kernels do not
+    honor. Tests monkeypatch this to exercise the fused paths in exact-f32
+    interpret mode."""
+    return dtype == jnp.bfloat16
+
+
 class _ConvParams(nn.Module):
     """Declares a Conv-compatible (kernel, bias) param pair without applying
     it — the fused-block path consumes raw kernels. Same names, shapes, and
@@ -143,6 +152,7 @@ class ResnetBlock(nn.Module):
             and self.pallas_block
             and not self.use_dropout
             and self.padding_type == "reflect"
+            and _fused_dtype_ok(self.dtype)
             and th is not None
             and x.shape[2] % 8 == 0
             # Mosaic halo-DMA lane tiling: both conv inputs (x at C=in,
@@ -263,6 +273,7 @@ class ResnetUNetGenerator(nn.Module):
                 self.pallas_norm_blur
                 and self.norm == "instance"
                 and not self.no_antialias
+                and _fused_dtype_ok(self.dtype)
                 and y.shape[1] * y.shape[2] >= self.pallas_norm_blur_min_area
                 and norm_blur_supported(y.shape)
                 and _pallas_available()

@@ -50,6 +50,7 @@ def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
         use_pallas=cfg.use_pallas,
         pallas_block=cfg.pallas_block,
         pallas_norm_blur=cfg.pallas_norm_blur,
+        pallas_norm_blur_min_area=cfg.pallas_norm_blur_min_area,
         lanepack=cfg.lanepack,
         remat=cfg.remat,
     )

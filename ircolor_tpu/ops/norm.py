@@ -39,13 +39,12 @@ def instance_norm_onepass(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     HBM read per norm. Numerics: f32 accumulation over ≤10⁶-element spatial
     planes with O(1) activations keeps |var_onepass − var_twopass| ≲ 1e-6 —
     inside the bf16 quantization the compute path already accepts. Two-pass
-    stays the default for the f32 parity path.
+    stays the default for the f32 parity path. Moment math lives in ONE
+    place (instance_norm_stats) so the XLA norm and the stats the Pallas
+    kernels consume cannot desynchronize.
     """
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    meansq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
-    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
-    y = (x32 - mean) * lax.rsqrt(var + eps)
+    mean, inv = instance_norm_stats(x, eps)
+    y = (x.astype(jnp.float32) - mean[:, None, None, :]) * inv[:, None, None, :]
     return y.astype(x.dtype)
 
 

@@ -43,10 +43,14 @@ except ImportError:  # pragma: no cover
     _HAVE_PLTPU = False
 
 
-def _kernel(x_hbm, o_ref, x_vmem, sems, *, th: int, nh: int, c: int):
-    b = pl.program_id(0)
-    h = pl.program_id(1)
-    lin = b * nh + h
+def _halo_stream(x_hbm, x_vmem, sems, *, nh: int):
+    """Double-buffered halo-row DMA for the (B, nh) blur grids: every tile
+    reads input rows [max(2·r0·th − 1, 0), +2th+1) of its batch image. Issues
+    the prefetch for tile lin+1, waits on tile lin, and returns the VMEM slot
+    holding it. ``th`` and the row count come from the scratch shape."""
+    rows = x_vmem.shape[1]  # 2·th + 1
+    th = (rows - 1) // 2
+    lin = pl.program_id(0) * nh + pl.program_id(1)
     total = pl.num_programs(0) * nh
     slot = jax.lax.rem(lin, 2)
     nslot = jax.lax.rem(lin + 1, 2)
@@ -56,7 +60,7 @@ def _kernel(x_hbm, o_ref, x_vmem, sems, *, th: int, nh: int, c: int):
         hh = jax.lax.rem(linear, nh)
         s = jnp.maximum(2 * hh * th - 1, 0)
         return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(s, 2 * th + 1)], x_vmem.at[slot_idx], sems.at[slot_idx]
+            x_hbm.at[bb, pl.ds(s, rows)], x_vmem.at[slot_idx], sems.at[slot_idx]
         )
 
     @pl.when(lin == 0)
@@ -68,6 +72,12 @@ def _kernel(x_hbm, o_ref, x_vmem, sems, *, th: int, nh: int, c: int):
         dma_for(lin + 1, nslot).start()
 
     dma_for(lin, slot).wait()
+    return slot
+
+
+def _kernel(x_hbm, o_ref, x_vmem, sems, *, th: int, nh: int, c: int):
+    h = pl.program_id(1)
+    slot = _halo_stream(x_hbm, x_vmem, sems, nh=nh)
     buf = x_vmem[slot].astype(jnp.float32)  # (2th+1, W/2, 2C)
 
     w2 = buf.shape[1]
@@ -164,28 +174,7 @@ def _kernel_norm(x_hbm, m_ref, i_ref, o_ref, x_vmem, sems, *, th: int, nh: int):
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
-    lin = b * nh + h
-    total = pl.num_programs(0) * nh
-    slot = jax.lax.rem(lin, 2)
-    nslot = jax.lax.rem(lin + 1, 2)
-
-    def dma_for(linear, slot_idx):
-        bb = jax.lax.div(linear, nh)
-        hh = jax.lax.rem(linear, nh)
-        s = jnp.maximum(2 * hh * th - 1, 0)
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(s, 2 * th + 1)], x_vmem.at[slot_idx], sems.at[slot_idx]
-        )
-
-    @pl.when(lin == 0)
-    def _():
-        dma_for(lin, slot).start()
-
-    @pl.when(lin + 1 < total)
-    def _():
-        dma_for(lin + 1, nslot).start()
-
-    dma_for(lin, slot).wait()
+    slot = _halo_stream(x_hbm, x_vmem, sems, nh=nh)
     buf = x_vmem[slot].astype(jnp.float32)  # (2th+1, W, C)
     mean = m_ref[b]
     inv = i_ref[b]

@@ -74,23 +74,16 @@ def create_train_state(
         rng = jax.random.PRNGKey(cfg.seed)
     rng_g, rng_d = jax.random.split(rng)
     h, w = cfg.resolved_hw
-    if cfg.pallas_block and cfg.pallas_block_train:
+    if (cfg.pallas_block and cfg.pallas_block_train) or cfg.pallas_norm_blur:
         # pallas_call cannot be GSPMD-partitioned: on a multi-device
-        # data-parallel mesh the fused blocks inside the jitted step would
-        # force gathers (or fail to lower). Fused-block training is a
+        # data-parallel mesh the fused kernels inside the jitted step would
+        # force gathers (or fail to lower). Fused-kernel training is a
         # single-device-mesh optimization; multi-device DP falls back to
-        # the XLA block (identical params either way).
+        # the XLA paths (identical params either way).
         from ircolor_tpu.parallel.mesh import make_data_mesh
 
         if make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size).devices.size > 1:
-            cfg = cfg.replace(pallas_block_train=False)
-    if cfg.pallas_norm_blur:
-        # Same GSPMD restriction as the fused blocks: the norm-blur kernel
-        # is a pallas_call and must not land inside a multi-device jit.
-        from ircolor_tpu.parallel.mesh import make_data_mesh
-
-        if make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size).devices.size > 1:
-            cfg = cfg.replace(pallas_norm_blur=False)
+            cfg = cfg.replace(pallas_block_train=False, pallas_norm_blur=False)
     if cfg.pallas_block and not cfg.pallas_block_train:
         # The fused-block kernel trains through a custom_vjp (see
         # ops/pallas_resblock.py:resnet_block_pallas); without the train

@@ -266,6 +266,7 @@ def test_aot_export_strips_pallas_paths(tmp_path, monkeypatch):
         raise AssertionError("pallas kernel traced into the export graph")
 
     monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
     monkeypatch.setattr(gen_mod, "resnet_block_pallas", boom)
 
     cfg = Config(img_size=32, n_blocks=1, ngf=8)

@@ -79,6 +79,7 @@ def test_generator_pallas_block_path_matches_xla(monkeypatch):
     from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
 
     monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
     monkeypatch.setattr(
         gen_mod, "resnet_block_pallas",
         functools.partial(resnet_block_pallas, interpret=True),
@@ -104,6 +105,7 @@ def test_generator_pallas_block_gate_rejects_unaligned_channels(monkeypatch):
     from ircolor_tpu.models import generator as gen_mod
 
     monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
     plain = ResnetUNetGenerator(n_blocks=1, ngf=8)
     fused = ResnetUNetGenerator(
         n_blocks=1, ngf=8, pallas_block=True, pallas_block_min_area=0
@@ -126,6 +128,7 @@ def test_generator_norm_blur_path_matches_plain(monkeypatch):
     from ircolor_tpu.ops.pallas_blur import norm_relu_blur_down
 
     monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
     monkeypatch.setattr(
         gen_mod, "norm_relu_blur_down",
         functools.partial(norm_relu_blur_down, interpret=True),
@@ -153,6 +156,7 @@ def test_generator_norm_blur_gate_rejects_unaligned_channels(monkeypatch):
     from ircolor_tpu.models import generator as gen_mod
 
     monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
     plain = ResnetUNetGenerator(n_blocks=1, ngf=8)
     fused = ResnetUNetGenerator(n_blocks=1, ngf=8, pallas_norm_blur=True)
     x0 = jnp.zeros((1, 32, 32, 1))
@@ -160,6 +164,27 @@ def test_generator_norm_blur_gate_rejects_unaligned_channels(monkeypatch):
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) * 2 - 1
     want = plain.apply({"params": params}, x)
     got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_generator_fused_gates_reject_f32(monkeypatch):
+    """Fused Pallas paths are bf16-only: the default-f32 parity path keeps
+    two-pass IN stats and conv_precision='highest' semantics, which the
+    kernels do not honor. Kernels NOT stubbed: wrongly engaging fails on
+    CPU."""
+    from ircolor_tpu.models import generator as gen_mod
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    plain = ResnetUNetGenerator(n_blocks=1)
+    fused = ResnetUNetGenerator(
+        n_blocks=1, pallas_block=True, pallas_block_min_area=0,
+        pallas_norm_blur=True,
+    )
+    x0 = jnp.zeros((1, 32, 32, 1))
+    params = plain.init(jax.random.PRNGKey(0), x0)["params"]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) * 2 - 1
+    want = plain.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)  # f32 dtype ⇒ XLA paths
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 

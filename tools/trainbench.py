@@ -38,9 +38,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 VARIANTS: dict[str, tuple[dict, bool]] = {
     # name: (config overrides, update_d)
-    "full": ({}, True),
+    # "full" pins the fused-block training path OFF so it stays the XLA-block
+    # baseline the PERF.md tables reference (pallas_block_train now defaults
+    # to True; without the pin full == ship and the A/B is a no-op).
+    "full": ({"pallas_block_train": False}, True),
+    "ship": ({}, True),  # shipped defaults (fused blocks via custom_vjp)
     "pb_train": ({"pallas_block_train": True}, True),  # fused blocks via custom_vjp
-    "nb_train": ({"pallas_norm_blur": True}, True),    # fused down-stage tails (custom_vjp)
+    "nb_train": ({"pallas_norm_blur": True}, True),    # + fused down-stage tails
     "vgg_lp2": ({}, True),  # lane-packed VGG conv1_1/conv1_2 (p=2)
     "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
     "no_perc": ({"lambda_perc": 0.0}, True),
