@@ -102,17 +102,21 @@ def _kernel(x_hbm, o_ref, x_vmem, sems, *, th: int, nh: int, c: int):
 _VMEM_LIMIT = 64 * 1024 * 1024  # raiseable on v5e (CLAUDE.md vmem note)
 
 
-def _pick_tile(h2: int, w: int = 0, c: int = 0) -> int | None:
+def _pick_tile(
+    h2: int, w: int = 0, c: int = 0, limit: int = _VMEM_LIMIT
+) -> int | None:
     """Largest H-tile whose VMEM footprint (double-buffered bf16 scratch +
     ~6 f32 tile temporaries, which Mosaic's OOM accounting includes) stays
-    well under the scoped limit."""
+    well under the scoped limit. ``limit`` must match the vmem_limit_bytes
+    the caller actually compiles with — at the 512×640 down-stage shapes a
+    96 MB cap admits th=8 where the 64 MB default would force th=4."""
     for th in (16, 8, 4, 2):
         if h2 % th != 0 or h2 // th < 2:
             continue
         if w and c:
             scratch = 2 * (2 * th + 1) * w * c * 2
             temps = 8 * (2 * th + 1) * w * c * 4
-            if scratch + temps > int(_VMEM_LIMIT * 0.75):
+            if scratch + temps > int(limit * 0.75):
                 continue
         return th
     return None
@@ -125,8 +129,15 @@ def supported(shape: tuple[int, ...]) -> bool:
 
 def norm_blur_supported(shape: tuple[int, ...]) -> bool:
     """Shapes ``norm_relu_blur_down_pallas`` can run on real TPU: even H/W
-    with a valid H-tile, and C % 128 == 0 (Mosaic halo-DMA lane tiling)."""
-    return supported(shape) and shape[-1] % 128 == 0
+    with a valid H-tile under the kernel's actual 96 MB VMEM cap, and
+    C % 128 == 0 (Mosaic halo-DMA lane tiling)."""
+    _, h, w, c = shape
+    return (
+        h % 2 == 0
+        and w % 2 == 0
+        and _pick_tile(h // 2, w, c, limit=96 * 1024 * 1024) is not None
+        and c % 128 == 0
+    )
 
 
 def blur_downsample_pallas(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
@@ -224,7 +235,7 @@ def norm_relu_blur_down_pallas(
     )
     assert mean.shape == (b, c) and inv.shape == (b, c), (mean.shape, inv.shape)
     h2, w2 = h // 2, w // 2
-    th = _pick_tile(h2, w, c)
+    th = _pick_tile(h2, w, c, limit=vmem_limit_mb * 1024 * 1024)
     assert th is not None, x.shape
     nh = h2 // th
     vmem = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
