@@ -217,6 +217,7 @@ def norm_relu_blur_down_pallas(
     inv: jnp.ndarray,
     *,
     vmem_limit_mb: int = 96,
+    tile_h: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B,H,W,C) raw conv output + per-(B,C) IN ``(mean, inv_std)`` →
@@ -235,8 +236,8 @@ def norm_relu_blur_down_pallas(
     )
     assert mean.shape == (b, c) and inv.shape == (b, c), (mean.shape, inv.shape)
     h2, w2 = h // 2, w // 2
-    th = _pick_tile(h2, w, c, limit=vmem_limit_mb * 1024 * 1024)
-    assert th is not None, x.shape
+    th = tile_h or _pick_tile(h2, w, c, limit=vmem_limit_mb * 1024 * 1024)
+    assert th is not None and h2 % th == 0, (x.shape, th)
     nh = h2 // th
     vmem = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
     return pl.pallas_call(
