@@ -201,6 +201,16 @@ class Config:
     # blocks needed one — 256² regressed — so the knob exists from day one).
     pallas_norm_blur_min_area: int = 0
 
+    # Fuse the whole output head (up2's IN-normalize+ReLU, the 3-px reflect
+    # pad, and the 7×7 conv) into one Pallas read + lane-packed write
+    # (ops/pallas_head.py). Differentiable (custom_vjp), identical params.
+    # Default OFF pending the in-context A/B (tools/fwdvariants.py pb_head);
+    # same single-device-mesh restriction as pallas_block.
+    pallas_head: bool = False
+    # Smallest head-input plane (H·W px) the fused head engages at; 0 = no
+    # area gate until the small-resolution A/B lands.
+    pallas_head_min_area: int = 0
+
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50
 

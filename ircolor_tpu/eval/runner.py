@@ -157,24 +157,30 @@ def run_test(cfg: Config) -> dict[str, Any]:
             make_spatial_mesh,
         )
 
-        if getattr(infer_module, "pallas_block", False) or getattr(
-            infer_module, "pallas_norm_blur", False
+        if (
+            getattr(infer_module, "pallas_block", False)
+            or getattr(infer_module, "pallas_norm_blur", False)
+            or getattr(infer_module, "pallas_head", False)
         ):
-            # The fused kernels (resblock, norm-blur tail) compute their own
-            # reflect halos from the full image; under spatial sharding each
-            # shard would reflect at its local edge — silently wrong. GSPMD
-            # halo exchange needs the plain XLA paths (identical params).
+            # The fused kernels (resblock, norm-blur tail, 7×7 head) compute
+            # their own reflect halos from the full image; under spatial
+            # sharding each shard would reflect at its local edge — silently
+            # wrong. GSPMD halo exchange needs the plain XLA paths
+            # (identical params).
             import dataclasses as _dc
 
             from ircolor_tpu.models.wrapper import generator_from_config
 
             log.info(
                 "[TEST] spatial sharding: rebuilding generator with "
-                "pallas_block=False / pallas_norm_blur=False (in-kernel "
-                "reflect halos are incompatible with image-axis sharding; "
-                "params unchanged)"
+                "pallas_block=False / pallas_norm_blur=False / "
+                "pallas_head=False (in-kernel reflect halos are incompatible "
+                "with image-axis sharding; params unchanged)"
             )
-            cfg = _dc.replace(cfg, pallas_block=False, pallas_norm_blur=False)
+            cfg = _dc.replace(
+                cfg, pallas_block=False, pallas_norm_blur=False,
+                pallas_head=False,
+            )
             infer_module = generator_from_config(cfg)
 
         # With 2-D tiling, H is sharded over sp_devices // sp_w_devices

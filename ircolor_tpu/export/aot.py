@@ -54,7 +54,7 @@ def export_inference(
     # the flag changes nothing but the lowering.
     strip = {
         f: False
-        for f in ("pallas_block", "pallas_norm_blur", "use_pallas")
+        for f in ("pallas_block", "pallas_norm_blur", "pallas_head", "use_pallas")
         if getattr(module, f, False)
     }
     if strip:

@@ -43,6 +43,7 @@ from ircolor_tpu.models.common import (
 from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
 from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
 from ircolor_tpu.ops.pallas_blur import norm_blur_supported, norm_relu_blur_down
+from ircolor_tpu.ops.pallas_head import head_supported, outc_head
 from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
 from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
 from ircolor_tpu.ops.resize import bilinear_align_corners
@@ -81,6 +82,23 @@ class _ConvParams(nn.Module):
         if self.use_bias:
             self.param("bias", Conv.bias_init, (self.dim,))
         return k
+
+
+class _HeadParams(nn.Module):
+    """``LanePackConv``-compatible (kernel, bias) params for the 7×7 output
+    head without applying the conv — the fused-head path consumes the raw
+    kernel and adds the bias in its XLA epilogue. Same names/shapes/inits at
+    the same module path ("outc_conv"), so parameter trees and checkpoints
+    are identical whichever path a config selects."""
+
+    features: int
+    ksize: int = 7
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", Conv.kernel_init, (self.ksize, self.ksize, cin, self.features))
+        b = self.param("bias", Conv.bias_init, (self.features,))
+        return k, b
 
 
 def _fused_tile_h(h: int) -> int | None:
@@ -217,6 +235,11 @@ class ResnetUNetGenerator(nn.Module):
     # caveats as pallas_block: single-device meshes only.
     pallas_norm_blur: bool = False
     pallas_norm_blur_min_area: int = 0
+    # Fused 7×7 output head (IN+ReLU on load, reflect halos in-kernel,
+    # lane-packed matmuls — ops/pallas_head.py). Same caveats as
+    # pallas_block: single-device meshes only; differentiable (custom_vjp).
+    pallas_head: bool = False
+    pallas_head_min_area: int = 0
     # Lane-packing of the outc head (exact math, single-chip layout win).
     # Disable for 2-D spatial sharding — GSPMD mispartitions the packed-
     # stride conv's unpack reshape when both image axes are sharded.
@@ -363,9 +386,25 @@ class ResnetUNetGenerator(nn.Module):
             ngf, use_bias=use_bias, dtype=self.dtype,
             precision=self.precision, name="up2_conv",
         )(y, x0)
-        y = norm_relu("up2_norm", y)
 
         # --- output head (bias always on: ref :529 has no bias= kwarg) ---
+        # Fused path: up2's IN+ReLU, the 3-px reflect pad, and the 7×7 conv
+        # collapse into one Pallas read + packed write (ops/pallas_head.py);
+        # Norm("instance") is param-free and _HeadParams mirrors the
+        # LanePackConv param layout, so the tree is identical either way.
+        if (
+            self.pallas_head
+            and self.norm == "instance"
+            and _fused_dtype_ok(self.dtype)
+            and y.shape[1] * y.shape[2] >= self.pallas_head_min_area
+            and head_supported(y.shape)
+            and _pallas_available()
+        ):
+            k7, b7 = _HeadParams(self.output_nc, name="outc_conv")(y.shape[-1])
+            y = outc_head(y, k7.astype(self.dtype)) + b7.astype(self.dtype)
+            return jnp.tanh(y)
+        y = norm_relu("up2_norm", y)
+
         # Cout=3 uses 3/128 MXU lanes; lane-packing p output pixels into the
         # feature dim runs the same 7×7 conv at 22.7 → 6.4 ms isolated and
         # wins 16.3 ms in full-forward context (p=32, 16×512×640) — the one

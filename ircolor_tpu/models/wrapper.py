@@ -51,6 +51,8 @@ def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
         pallas_block=cfg.pallas_block,
         pallas_norm_blur=cfg.pallas_norm_blur,
         pallas_norm_blur_min_area=cfg.pallas_norm_blur_min_area,
+        pallas_head=cfg.pallas_head,
+        pallas_head_min_area=cfg.pallas_head_min_area,
         lanepack=cfg.lanepack,
         remat=cfg.remat,
     )

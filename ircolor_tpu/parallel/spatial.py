@@ -89,8 +89,10 @@ def check_spatial_compat(module: Any, mesh: Mesh) -> None:
     * 2-D H×W tiling with a lane-packed output head (``module.lanepack``
       True): GSPMD mispartitions the packed head's unpack reshape
       (regression-tested in tests/test_parallel.py)."""
-    if getattr(module, "pallas_block", False) or getattr(
-        module, "pallas_norm_blur", False
+    if (
+        getattr(module, "pallas_block", False)
+        or getattr(module, "pallas_norm_blur", False)
+        or getattr(module, "pallas_head", False)
     ):
         from ircolor_tpu.models.generator import _pallas_available
 
@@ -99,10 +101,11 @@ def check_spatial_compat(module: Any, mesh: Mesh) -> None:
         # paths compute correctly.
         if _pallas_available():
             raise ValueError(
-                "spatial sharding with a pallas_block=True or "
-                "pallas_norm_blur=True generator produces silently wrong "
-                "shard-seam pixels (the fused kernels reflect at local tile "
-                "edges) — rebuild the model with both flags False "
+                "spatial sharding with a pallas_block=True, "
+                "pallas_norm_blur=True, or pallas_head=True generator "
+                "produces silently wrong shard-seam pixels (the fused "
+                "kernels reflect at local tile edges) — rebuild the model "
+                "with these flags False "
                 "(identical params; the CLI test runner does this "
                 "automatically)"
             )

@@ -74,7 +74,11 @@ def create_train_state(
         rng = jax.random.PRNGKey(cfg.seed)
     rng_g, rng_d = jax.random.split(rng)
     h, w = cfg.resolved_hw
-    if (cfg.pallas_block and cfg.pallas_block_train) or cfg.pallas_norm_blur:
+    if (
+        (cfg.pallas_block and cfg.pallas_block_train)
+        or cfg.pallas_norm_blur
+        or cfg.pallas_head
+    ):
         # pallas_call cannot be GSPMD-partitioned: on a multi-device
         # data-parallel mesh the fused kernels inside the jitted step would
         # force gathers (or fail to lower). Fused-kernel training is a
@@ -83,7 +87,10 @@ def create_train_state(
         from ircolor_tpu.parallel.mesh import make_data_mesh
 
         if make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size).devices.size > 1:
-            cfg = cfg.replace(pallas_block_train=False, pallas_norm_blur=False)
+            cfg = cfg.replace(
+                pallas_block_train=False, pallas_norm_blur=False,
+                pallas_head=False,
+            )
     if cfg.pallas_block and not cfg.pallas_block_train:
         # The fused-block kernel trains through a custom_vjp (see
         # ops/pallas_resblock.py:resnet_block_pallas); without the train

@@ -167,6 +167,58 @@ def test_generator_norm_blur_gate_rejects_unaligned_channels(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+def test_generator_pallas_head_path_matches_plain(monkeypatch):
+    """pallas_head=True: identical param tree (_HeadParams mirrors the
+    LanePackConv layout under 'outc_conv'; Norm('instance') is param-free);
+    the fused head (interpret mode on CPU) matches the
+    IN→ReLU→ReflectPad(3)→7×7 conv→tanh chain."""
+    import functools
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.ops.pallas_head import outc_head
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    monkeypatch.setattr(
+        gen_mod, "outc_head", functools.partial(outc_head, interpret=True)
+    )
+    plain = ResnetUNetGenerator(n_blocks=1)
+    fused = ResnetUNetGenerator(n_blocks=1, pallas_head=True)
+    x0 = jnp.zeros((1, 32, 32, 1))
+    params = plain.init(jax.random.PRNGKey(0), x0)["params"]
+    params_f = fused.init(jax.random.PRNGKey(0), x0)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_f
+    )
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: a.shape == b.shape and np.allclose(a, b), params, params_f
+        )
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) * 2 - 1
+    want = plain.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_generator_pallas_head_gate_rejects_unaligned(monkeypatch):
+    """W not a multiple of 32 fails head_supported and the model must fall
+    back to the XLA head. outc_head NOT stubbed: if the gate wrongly
+    engages, the pallas_call itself fails on CPU."""
+    from ircolor_tpu.models import generator as gen_mod
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    plain = ResnetUNetGenerator(n_blocks=1)
+    fused = ResnetUNetGenerator(n_blocks=1, pallas_head=True)
+    x0 = jnp.zeros((1, 32, 48, 1))  # W=48 % 32 != 0
+    params = plain.init(jax.random.PRNGKey(0), x0)["params"]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 48, 1)) * 2 - 1
+    want = plain.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_generator_fused_gates_reject_f32(monkeypatch):
     """Fused Pallas paths are bf16-only: the default-f32 parity path keeps
     two-pass IN stats and conv_precision='highest' semantics, which the
@@ -178,7 +230,7 @@ def test_generator_fused_gates_reject_f32(monkeypatch):
     plain = ResnetUNetGenerator(n_blocks=1)
     fused = ResnetUNetGenerator(
         n_blocks=1, pallas_block=True, pallas_block_min_area=0,
-        pallas_norm_blur=True,
+        pallas_norm_blur=True, pallas_head=True,
     )
     x0 = jnp.zeros((1, 32, 32, 1))
     params = plain.init(jax.random.PRNGKey(0), x0)["params"]

@@ -1,0 +1,81 @@
+"""Parity of the fused 7×7 output-head kernel vs the XLA
+IN→ReLU→ReflectPad(3)→conv chain (interpret mode on CPU; the TPU ship
+decision lives in docs/PERF.md). Reference semantics:
+`/root/reference/Code/ir_colorization.py:527-531`."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ircolor_tpu.ops.conv import conv2d
+from ircolor_tpu.ops.norm import instance_norm_stats
+from ircolor_tpu.ops.padding import reflect_pad2d
+from ircolor_tpu.ops.pallas_head import (
+    conv7x7_head_pallas,
+    head_supported,
+    outc_head,
+)
+
+
+def _xla_chain(x, kernel):
+    mean, inv = instance_norm_stats(x)
+    z = jnp.maximum(
+        (x - mean[:, None, None, :]) * inv[:, None, None, :], 0.0
+    ).astype(x.dtype)
+    return conv2d(reflect_pad2d(z, 3), kernel, padding="VALID")
+
+
+# Shapes chosen to exercise: nh==1 (h==th), nh==2 (first/last-only DMA
+# branches), nh>2 (mid branch), WG==1 (both W edges on one group), WG>1,
+# and a non-64 channel count.
+@pytest.mark.parametrize(
+    "shape,tile_h",
+    [
+        ((2, 16, 64, 8), 8),     # nh=2, WG=2
+        ((1, 8, 32, 8), 8),      # nh=1, WG=1 (edge windows only)
+        ((1, 32, 96, 4), 8),     # nh=4 (mid DMA branch), WG=3
+        ((2, 16, 64, 16), 16),   # nh=1 at th=16
+    ],
+)
+def test_conv7x7_head_pallas_matches_chain(shape, tile_h):
+    rng = np.random.RandomState(sum(shape))
+    b, h, w, c = shape
+    x = jnp.asarray(rng.rand(*shape).astype(np.float32) * 2 - 1)
+    kernel = jnp.asarray(rng.rand(7, 7, c, 3).astype(np.float32) * 0.2 - 0.1)
+    want = np.asarray(_xla_chain(x, kernel))
+    mean, inv = instance_norm_stats(x)
+    got = np.asarray(
+        conv7x7_head_pallas(x, mean, inv, kernel, tile_h=tile_h, interpret=True)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_head_supported_gates():
+    assert head_supported((16, 512, 640, 64))
+    assert head_supported((16, 256, 256, 64))
+    assert not head_supported((1, 16, 60, 64))   # W % 32 != 0
+    assert not head_supported((1, 16, 64, 6))    # 32·C % 128 != 0
+    assert not head_supported((1, 4, 64, 64))    # H too small for halos
+    assert not head_supported((1, 18, 64, 64))   # no valid H-tile divisor
+
+
+def test_outc_head_grad_matches_xla_chain():
+    """custom_vjp backward (saved stats + closed-form IN backward + XLA
+    dgrad/wgrad) ≡ autodiff of the XLA chain."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 16, 64, 8).astype(np.float32) * 2 - 1)
+    kernel = jnp.asarray(rng.rand(7, 7, 8, 3).astype(np.float32) * 0.2 - 0.1)
+
+    def loss_fused(x_, k_):
+        return jnp.sum(jnp.tanh(outc_head(x_, k_, interpret=True)) ** 2)
+
+    def loss_xla(x_, k_):
+        return jnp.sum(jnp.tanh(_xla_chain(x_, k_)) ** 2)
+
+    gx_f, gk_f = jax.grad(loss_fused, argnums=(0, 1))(x, kernel)
+    gx_x, gk_x = jax.grad(loss_xla, argnums=(0, 1))(x, kernel)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_x), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_x), atol=3e-5)

@@ -98,6 +98,7 @@ def build_forward(
     fold7=False,
     fold7_inc=True,
     norm_blur=False,
+    fused_head=False,
 ):
     rng = np.random.RandomState(0)
 
@@ -231,8 +232,18 @@ def build_forward(
                     + conv2d(x1, p["u1"][:, :, ca:], padding=((1, 1), (1, 1))))
         y = up_blur(y)
         ca = y.shape[-1]
-        y = inr(lp(y, p["u2"][:, :, :ca], 2, lp_up2)
+        raw2 = (lp(y, p["u2"][:, :, :ca], 2, lp_up2)
                 + lp(x0, p["u2"][:, :, ca:], 2, lp_up2))
+        if fused_head:
+            # Fused 7×7 head: up2's IN+ReLU, the reflect pad, and the conv
+            # in one Pallas read + packed write (ops.pallas_head). Stats by
+            # XLA reduce (fused into the conv epilogue).
+            from ircolor_tpu.ops.norm import instance_norm_stats
+            from ircolor_tpu.ops.pallas_head import conv7x7_head_pallas
+
+            m, i = instance_norm_stats(raw2)
+            return jnp.tanh(conv7x7_head_pallas(raw2, m, i, p["out"]))
+        y = inr(raw2)
         return jnp.tanh(pad7_conv(y, p["out"], 32, lp_outc))
 
     return fwd
@@ -278,6 +289,11 @@ VARIANTS = {
     # fused blocks (ops.pallas_blur.norm_relu_blur_down_pallas; stats stay
     # an XLA reduce fused into the conv epilogue).
     "pb_normblur": dict(_BASE, res_pallas=True, norm_blur=True),
+    # Fused 7×7 output head on top of the fused blocks (ops.pallas_head:
+    # IN+ReLU on load, reflect halos in-kernel, p=32 lane-packed matmuls).
+    "pb_head": dict(_BASE, res_pallas=True, fused_head=True),
+    # Everything-on candidate: fused blocks + down-tails + head.
+    "pb_nb_head": dict(_BASE, res_pallas=True, norm_blur=True, fused_head=True),
     # Bisection probes (WRONG math — perf attribution of the two strip pairs).
     "pb_fold7_tb": dict(_BASE, res_pallas=True, fold7="h"),
     "pb_fold7_lr": dict(_BASE, res_pallas=True, fold7="w"),

@@ -160,6 +160,44 @@ def main():
         print(f"{name:28s} {t*1e3:8.2f} ms  {mult*conv_flops/t/1e12:7.1f} TF/s-equiv",
               flush=True)
 
+    # --- fused 7×7 output head (ops/pallas_head) at the full-res shape ---
+    # The head runs at 4× the bottleneck H/W with C=64→3; the XLA baseline
+    # is the shipped segment (one-pass IN + ReLU + reflect pad + p=32
+    # lane-packed conv). Includes each side's stats/normalize passes.
+    from ircolor_tpu.ops.conv import conv2d_lanepack
+    from ircolor_tpu.ops.norm import instance_norm_onepass, instance_norm_stats
+    from ircolor_tpu.ops.pallas_head import conv7x7_head_pallas, head_supported
+
+    h4, w4, ch = 4 * h, 4 * w, 64
+    xh = jnp.asarray(rng.rand(b, h4, w4, ch).astype(np.float32) * 2 - 1).astype(DT)
+    k7 = jnp.asarray(rng.randn(7, 7, ch, 3).astype(np.float32) * 0.05).astype(DT)
+    head_flops = 2 * b * h4 * w4 * 49 * ch * 3
+
+    def xla_head(v):
+        z = jax.nn.relu(instance_norm_onepass(v))
+        return conv2d_lanepack(reflect_pad2d(z, 3), k7, 32, padding="VALID")
+
+    head_cases = [("xla head (IN+pad+lp32)", xla_head)]
+    if head_supported((b, h4, w4, ch)):
+        for th in (16, 32):
+            if h4 % th:
+                continue
+            head_cases.append((
+                f"pallas head th={th}",
+                lambda v, th=th: conv7x7_head_pallas(
+                    v, *instance_norm_stats(v), k7, tile_h=th
+                ),
+            ))
+    for name, fn in head_cases:
+        if not selected(name):
+            continue
+        try:
+            t = stage_time(fn, xh)
+        except Exception as e:
+            print(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
+            continue
+        print(f"{name:28s} {t*1e3:8.2f} ms  {head_flops/t/1e12:7.1f} TF/s", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -108,6 +108,25 @@ def main() -> None:
     )(x, mean, inv)
     ok &= check("norm_relu_blur_down", got_nb, want_nb, atol=0.05)
 
+    # conv7x7_head_pallas: fused output head (IN+ReLU on load, reflect
+    # halos in-kernel, p=32 lane-packed matmuls). C=64 is the real outc
+    # input width; W=64 exercises WG=2 (both edge windows + a neighbor).
+    from ircolor_tpu.ops.conv import conv2d as _conv2d
+    from ircolor_tpu.ops.padding import reflect_pad2d as _rpad
+    from ircolor_tpu.ops.pallas_head import conv7x7_head_pallas
+
+    xh = jnp.asarray(rng.rand(B, H, 64, 64).astype(np.float32) * 2 - 1).astype(jnp.bfloat16)
+    k7 = jnp.asarray(rng.randn(7, 7, 64, 3).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    mh, ih = instance_norm_stats(xh)
+    zh = jax.nn.relu(
+        (xh.astype(jnp.float32) - mh[:, None, None, :]) * ih[:, None, None, :]
+    ).astype(xh.dtype)
+    want_h = _conv2d(_rpad(zh, 3), k7, padding="VALID")
+    got_h = jax.jit(
+        lambda v, m2, i2: conv7x7_head_pallas(v, m2, i2, k7)
+    )(xh, mh, ih)
+    ok &= check("conv7x7_head", got_h, want_h, atol=0.05)
+
     print("SMOKE PASS" if ok else "SMOKE FAIL", flush=True)
     _sys.exit(0 if ok else 1)
 

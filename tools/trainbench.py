@@ -45,6 +45,10 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     "ship": ({}, True),  # shipped defaults (fused blocks via custom_vjp)
     "pb_train": ({"pallas_block_train": True}, True),  # fused blocks via custom_vjp
     "nb_train": ({"pallas_norm_blur": True}, True),    # + fused down-stage tails
+    "head_train": ({"pallas_head": True}, True),       # + fused 7×7 output head
+    "all_fused": (
+        {"pallas_norm_blur": True, "pallas_head": True}, True,
+    ),  # fused blocks + down tails + head
     "vgg_lp2": ({}, True),  # lane-packed VGG conv1_1/conv1_2 (p=2)
     "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
     "no_perc": ({"lambda_perc": 0.0}, True),
