@@ -185,15 +185,18 @@ class Config:
     # emits), so training pays the fused forward price. Measured −14.0
     # ms/step (−4.7%) at b8 512×640 bf16, same-process A/B
     # (tools/trainbench.py --variants full,pb_train; docs/PERF.md r3).
-    # Auto-disabled on multi-device data-parallel meshes — pallas_call
-    # does not GSPMD-partition (train/state.py).
+    # Auto-disabled on multi-device data-parallel meshes under
+    # dp_mode='gspmd' — pallas_call does not GSPMD-partition. Under
+    # dp_mode='shard_map' the fused kernels stay ON: the step body runs
+    # per-device on its local batch shard, which never splits an image
+    # (train/state.py; equivalence tested on the fake 8-device mesh).
     pallas_block_train: bool = True
 
     # Fuse the down-stage IN-normalize+ReLU+reflect-blur-pool tails into one
     # normalize-on-load Pallas pass each (ops/pallas_blur.py). Differentiable
     # (custom_vjp), identical params. Default OFF pending the in-context
-    # A/B (tools/fwdvariants.py pb_normblur); same single-device-mesh
-    # restriction as pallas_block.
+    # A/B (tools/fwdvariants.py pb_normblur); same gspmd-multi-device
+    # restriction as pallas_block (shard_map DP keeps it on).
     pallas_norm_blur: bool = False
 
     # Smallest down-stage conv-output plane (H·W px) the fused tail engages
@@ -205,7 +208,8 @@ class Config:
     # pad, and the 7×7 conv) into one Pallas read + lane-packed write
     # (ops/pallas_head.py). Differentiable (custom_vjp), identical params.
     # Default OFF pending the in-context A/B (tools/fwdvariants.py pb_head);
-    # same single-device-mesh restriction as pallas_block.
+    # same gspmd-multi-device restriction as pallas_block (shard_map DP
+    # keeps it on).
     pallas_head: bool = False
     # Smallest head-input plane (H·W px) the fused head engages at; 0 = no
     # area gate until the small-resolution A/B lands.

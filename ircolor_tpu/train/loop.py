@@ -151,16 +151,23 @@ def train_kaist(
     vgg_params = jax.device_put(vgg_params, repl)
 
     if cfg.dp_mode == "shard_map":
-        from ircolor_tpu.train.step_shardmap import make_train_step_shardmap
+        from ircolor_tpu.train.step_shardmap import (
+            make_train_step_shardmap,
+            make_val_sum_step_shardmap,
+        )
 
         train_step = make_train_step_shardmap(
             cfg, g_module, d_module, vgg_module, opt_g, opt_d, mesh
         )
+        # Validation goes through shard_map too: same replicated-scalar
+        # contract, and it keeps the fused Pallas kernels (which stay
+        # enabled under this mode, train/state.py) off the GSPMD path.
+        val_step = make_val_sum_step_shardmap(g_module, mesh)
     elif cfg.dp_mode == "gspmd":
         train_step = make_train_step(cfg, g_module, d_module, vgg_module, opt_g, opt_d)
+        val_step = make_val_sum_step(g_module)
     else:
         raise ValueError(f"dp_mode must be 'gspmd' or 'shard_map', got {cfg.dp_mode!r}")
-    val_step = make_val_sum_step(g_module)
 
     # ---- resume ----
     orbax_dir = cfg.orbax_dir or os.path.join(cfg.save_dir, "orbax")

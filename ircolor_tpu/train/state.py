@@ -80,13 +80,18 @@ def create_train_state(
         or cfg.pallas_head
     ):
         # pallas_call cannot be GSPMD-partitioned: on a multi-device
-        # data-parallel mesh the fused kernels inside the jitted step would
-        # force gathers (or fail to lower). Fused-kernel training is a
-        # single-device-mesh optimization; multi-device DP falls back to
-        # the XLA paths (identical params either way).
+        # data-parallel mesh under dp_mode='gspmd' the fused kernels inside
+        # the jitted step would force gathers (or fail to lower), so that
+        # path falls back to the XLA blocks (identical params either way).
+        # Under dp_mode='shard_map' the step body runs PER-DEVICE on its
+        # local batch shard — batch sharding never splits an image, so the
+        # fused kernels (and their in-kernel reflect halos / per-sample IN
+        # stats) compose with multi-device DP and stay enabled
+        # (train/step_shardmap.py provides the matching shard_map val step).
         from ircolor_tpu.parallel.mesh import make_data_mesh
 
-        if make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size).devices.size > 1:
+        multi = make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size).devices.size > 1
+        if multi and cfg.dp_mode != "shard_map":
             cfg = cfg.replace(
                 pallas_block_train=False, pallas_norm_blur=False,
                 pallas_head=False,

@@ -138,3 +138,51 @@ def make_train_step_shardmap(
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_val_sum_step_shardmap(
+    g_module: Any, mesh: Mesh
+) -> Callable[..., tuple[jnp.ndarray, jnp.ndarray]]:
+    """shard_map twin of ``train.step.make_val_sum_step``: each device
+    reduces its local batch shard, explicit ``psum`` over ``data`` returns
+    the same REPLICATED (Σ l1·mask, Σ mask) contract.
+
+    This is what lets the fused Pallas kernels stay enabled under
+    ``dp_mode='shard_map'`` on multi-device meshes: ``pallas_call`` has no
+    GSPMD partitioning rule, so the jit/GSPMD val step cannot carry it over
+    a data-sharded batch — but inside ``shard_map`` the kernel runs
+    per-device on the local shard (batch sharding never splits an image, so
+    in-kernel reflect halos and per-sample IN stats are exact). BatchNorm
+    running stats are unsupported here, matching the train step's guard.
+    """
+
+    def per_device(g_params, batch, mask):
+        ir, rgb = _decode_transport(batch["ir"], batch["rgb"])
+        fake = g_module.apply({"params": g_params}, ir, train=False)
+        per = jnp.mean(
+            jnp.abs(fake.astype(jnp.float32) - rgb.astype(jnp.float32)),
+            axis=(1, 2, 3),
+        )
+        return (
+            jax.lax.psum(jnp.sum(per * mask), "data"),
+            jax.lax.psum(jnp.sum(mask), "data"),
+        )
+
+    batch_specs = {"ir": P("data"), "rgb": P("data")}
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def val_fn(g_params, batch, mask, g_stats=None):
+        if g_stats:
+            raise NotImplementedError(
+                "shard_map val step supports instance/none norms only"
+            )
+        return jitted(g_params, batch, mask)
+
+    return val_fn

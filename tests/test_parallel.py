@@ -374,3 +374,106 @@ def test_check_spatial_compat_rejects_pallas_block_when_kernels_available(
     with pytest.raises(ValueError, match="pallas_block"):
         check_spatial_compat(mod, mesh)
     check_spatial_compat(mod.clone(pallas_block=False), mesh)
+
+
+def test_create_train_state_keeps_pallas_for_shardmap(eight_cpu_devices):
+    """Fused-kernel flags survive a multi-device mesh under
+    dp_mode='shard_map' (the step body runs per-device on its local batch
+    shard, where pallas_call is fine) and are dropped under dp_mode='gspmd'
+    (pallas_call has no GSPMD partitioning rule)."""
+    base = dict(img_size=32, batch_size=8, n_blocks=1)
+    _, g_sm, _, _ = create_train_state(
+        Config(dp_mode="shard_map", **base), steps_per_epoch=5
+    )
+    assert g_sm.pallas_block  # the shipped default survives
+    _, g_gspmd, _, _ = create_train_state(
+        Config(dp_mode="gspmd", **base), steps_per_epoch=5
+    )
+    assert not g_gspmd.pallas_block
+
+
+def test_shardmap_fused_blocks_match_single_device(eight_cpu_devices, monkeypatch):
+    """dp_mode='shard_map' + fused Pallas resblocks (interpret mode on CPU):
+    the 8-device explicit-collectives step matches the single-device step
+    running the SAME fused kernels — batch sharding never splits an image,
+    so the kernel's in-kernel reflect halos and per-sample IN stats compose
+    with multi-device DP."""
+    import functools
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+    from ircolor_tpu.train.step_shardmap import make_train_step_shardmap
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    monkeypatch.setattr(
+        gen_mod, "resnet_block_pallas",
+        functools.partial(resnet_block_pallas, interpret=True),
+    )
+    cfg = Config(img_size=32, batch_size=8, n_blocks=1, dp_mode="shard_map")
+    state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=5)
+    assert g_mod.pallas_block
+    g_mod = g_mod.clone(pallas_block_min_area=0)  # engage at the tiny test size
+    vgg_mod = VGG16Features()
+    vgg_params = init_vgg16_params()
+    mesh = make_data_mesh()
+    repl = replicated_sharding(mesh)
+    batch_np = make_batch(8, seed=7)
+
+    s0 = jax.device_put(state, repl)
+    vp = jax.device_put(vgg_params, repl)
+    # Single-device reference: the jitted step on the unsharded batch runs
+    # the identical fused kernels on device 0.
+    step_1dev = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, donate=False)
+    s1, m1 = step_1dev(state, dict(batch_np), vgg_params)
+    step_sm = make_train_step_shardmap(
+        cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, mesh, donate=False
+    )
+    s2, m2 = step_sm(s0, shard_batch(dict(batch_np), mesh), vp)
+
+    np.testing.assert_allclose(float(m1["loss_D"]), float(m2["loss_D"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["loss_G"]), float(m2["loss_G"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s1.d_params), jax.tree.leaves(s2.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_shardmap_val_step_matches_gspmd(eight_cpu_devices, monkeypatch):
+    """The shard_map val step returns the same replicated (Σ l1·mask, Σ mask)
+    as the GSPMD one — including a short, host-padded final batch — and
+    carries the fused Pallas module that the GSPMD step could not."""
+    import functools
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+    from ircolor_tpu.train.step import make_val_sum_step
+    from ircolor_tpu.train.step_shardmap import make_val_sum_step_shardmap
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    monkeypatch.setattr(
+        gen_mod, "resnet_block_pallas",
+        functools.partial(resnet_block_pallas, interpret=True),
+    )
+    cfg = Config(img_size=32, batch_size=8, n_blocks=1, dp_mode="shard_map")
+    state, g_mod, _, _ = create_train_state(cfg, steps_per_epoch=5)
+    g_mod = g_mod.clone(pallas_block_min_area=0)  # engage at the tiny test size
+    xla_mod = g_mod.clone(pallas_block=False)  # identical param tree
+    mesh = make_data_mesh()
+    repl = replicated_sharding(mesh)
+    batch_np = make_batch(8, seed=11)
+    mask = np.zeros((8,), np.float32)
+    mask[:6] = 1.0  # short final batch: 6 real rows + 2 padded
+
+    want_s, want_c = make_val_sum_step(xla_mod)(
+        state.g_params, dict(batch_np), jnp.asarray(mask), state.g_stats
+    )
+    sharded = shard_batch({**batch_np, "mask": mask}, mesh)
+    got_s, got_c = make_val_sum_step_shardmap(g_mod, mesh)(
+        jax.device_put(state.g_params, repl),
+        {k: sharded[k] for k in ("ir", "rgb")},
+        sharded["mask"], state.g_stats,
+    )
+    assert float(got_c) == float(want_c) == 6.0
+    np.testing.assert_allclose(float(got_s), float(want_s), atol=5e-3)
