@@ -121,6 +121,11 @@ class Config:
     batch_transport: str = "int"
 
     # Data-parallel mesh: number of devices on the 'data' axis (0 = all).
+    # Train: the batch is sharded over the mesh (GSPMD or shard_map per
+    # dp_mode). Test: values > 1 also engage batch-parallel inference
+    # (shard_map over a ('data',) mesh, fused Pallas kernels intact;
+    # test_batch_size must divide by it). Mutually exclusive with
+    # sp_devices in test mode.
     dp_devices: int = 0
     # Test-mode spatial sharding: shard the image H axis over this many
     # devices (parallel/spatial.py; GSPMD halo exchange). 1 = off. For

@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from functools import partial
+
 from typing import Any
 
 import jax
@@ -43,8 +43,15 @@ from ircolor_tpu.utils.timing import start_transfer_warmup
 log = get_logger(__name__)
 
 
-def make_infer_fn(module: Any):
+def make_infer_fn(module: Any, dp_mesh: Any = None):
     """One jitted step: IR [-1,1] → (uint8 RGB prediction, per-image metrics).
+
+    With ``dp_mesh`` (a 1-D ``('data',)`` mesh), the step runs under
+    ``jax.shard_map``: each device infers its batch shard independently
+    (inference is embarrassingly parallel — no collectives at all), params
+    replicated. Because the per-device body sees whole images, the fused
+    Pallas kernels stay enabled, unlike a GSPMD formulation (pallas_call has
+    no partitioning rule). The global batch must divide by the mesh size.
 
     Metrics are computed against the quantized prediction (ref :1413 parity).
     ``params`` may be a bare param tree or a full variables dict (with
@@ -62,7 +69,6 @@ def make_infer_fn(module: Any):
     trace-time static.
     """
 
-    @partial(jax.jit, static_argnums=())
     def infer(params, ir, gt01):
         if ir.dtype == jnp.uint16:
             ir = ir.astype(jnp.float32) / 65535.0 * 2.0 - 1.0
@@ -79,7 +85,19 @@ def make_infer_fn(module: Any):
         metrics = batched_metrics(pred01q, gt01)
         return pred_u8, metrics
 
-    return infer
+    if dp_mesh is None:
+        return jax.jit(infer)
+
+    from jax.sharding import PartitionSpec as P
+
+    sharded = jax.shard_map(
+        infer,
+        mesh=dp_mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def _decode_one(entry: tuple[str, str, str], size_hw: tuple[int, int]):
@@ -220,7 +238,33 @@ def run_test(cfg: Config) -> dict[str, Any]:
             sp_mesh = make_spatial_mesh(cfg.sp_devices)
         check_spatial_compat(infer_module, sp_mesh)
 
-    base_infer = make_infer_fn(infer_module)
+    # Data-parallel test mode (cfg.dp_devices > 1): batch sharded over a
+    # ('data',) mesh via shard_map — each chip colorizes its slice of the
+    # batch independently (no collectives), params replicated, fused Pallas
+    # kernels intact (per-device bodies see whole images). The reference has
+    # no multi-device story at all (serial batch-1 loop, ref :1379-1465).
+    dp_mesh = None
+    if cfg.dp_devices > 1:
+        if sp_mesh is not None:
+            raise ValueError(
+                "test mode: dp_devices and sp_devices are mutually exclusive "
+                "(batch-parallel vs image-spatial sharding; pick one)"
+            )
+        from ircolor_tpu.parallel.mesh import make_data_mesh
+
+        dp_mesh = make_data_mesh(cfg.dp_devices)
+        ndev = dp_mesh.devices.size
+        if ndev <= 1:
+            dp_mesh = None
+        elif bsz % ndev:
+            raise ValueError(
+                f"test_batch_size {bsz} must divide by dp_devices {ndev} "
+                "(each device infers batch/dp_devices whole images)"
+            )
+        else:
+            log.info("[TEST] Data parallel: batch %d over %d devices", bsz, ndev)
+
+    base_infer = make_infer_fn(infer_module, dp_mesh=dp_mesh)
 
     _MKEYS = ("mae", "mse", "psnr", "ssim")
 
@@ -273,6 +317,12 @@ def run_test(cfg: Config) -> dict[str, Any]:
             )
         else:
             log.info("[TEST] Spatial sharding: H over %d devices", cfg.sp_devices)
+    dp_sharding = None
+    if dp_mesh is not None:
+        from ircolor_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+        dp_sharding = batch_sharding(dp_mesh)
+        variables = jax.device_put(variables, replicated_sharding(dp_mesh))
 
     # Per-stage wall-clock accumulators (dispatch-thread perspective) — the
     # breakdown the e2e number decomposes into (docs/PERF.md):
@@ -404,6 +454,9 @@ def run_test(cfg: Config) -> dict[str, Any]:
         if sp_sharding is not None:
             ir_dev = jax.device_put(ir_dev, sp_sharding)
             gt_dev = jax.device_put(gt_dev, sp_sharding)
+        elif dp_sharding is not None:
+            ir_dev = jax.device_put(ir_dev, dp_sharding)
+            gt_dev = jax.device_put(gt_dev, dp_sharding)
         pred_dev, m_dev = infer(variables, ir_dev, gt_dev)
         # Start the D2H for this batch NOW — it proceeds as soon as the
         # device step finishes, overlapping the next batch's decode/upload

@@ -374,3 +374,35 @@ def test_run_test_2d_h_divisor_uses_h_shard_count(kaist_tree, tmp_path):
     ))
     assert s2["count"] == s1["count"]
     assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 0.1
+
+
+def test_run_test_data_parallel(kaist_tree, tmp_path):
+    """--dp-devices N in test mode: the batch is sharded over the (fake)
+    mesh via shard_map — each device infers whole images, so per-image
+    metrics must match the single-device run almost exactly."""
+    root, _ = kaist_tree
+    base = dict(
+        mode="test", img_size=32, test_batch_size=4,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False,
+    )
+    s1 = run_test(Config(output_dir=str(tmp_path / "single"), **base))
+    s2 = run_test(Config(output_dir=str(tmp_path / "dp"), dp_devices=4, **base))
+    assert s2["count"] == s1["count"]
+    assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 1e-4
+    assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-6
+
+
+def test_run_test_data_parallel_guards(kaist_tree, tmp_path):
+    root, _ = kaist_tree
+    base = dict(
+        mode="test", img_size=32, test_batch_size=4,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False,
+    )
+    with pytest.raises(ValueError, match="divide"):
+        run_test(Config(output_dir=str(tmp_path / "bad"), dp_devices=3, **base))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_test(Config(
+            output_dir=str(tmp_path / "bad2"), dp_devices=4, sp_devices=2, **base
+        ))
