@@ -107,3 +107,57 @@ def test_cli_round2_extension_flags():
     cfg2 = build_config(ns2, "train")
     assert cfg2.batch_transport == "int"
     assert cfg2.lanepack is True
+
+
+def test_config_presets_load():
+    """Every shipped preset in configs/ parses through the real --config
+    path and maps to the regime it claims (reference regimes: Train(D) =
+    day sets 00+01, Train(N) = night sets 03+04, Train(DN) = the reference
+    default 00/01/03/04; Test(DN) = set02+set05, ref :81-86/:121-124)."""
+    import argparse
+    import glob
+
+    from ircolor_tpu.cli import _add_config_flags
+    from ircolor_tpu.config import Config
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    presets = {os.path.basename(p): p for p in glob.glob(os.path.join(cfg_dir, "*.json"))}
+    assert set(presets) == {
+        "train_day.json", "train_day_night.json", "train_night.json",
+        "test_daynight.json", "flagship_512x640.json",
+    }
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    _add_config_flags(parser)
+
+    def load(name, mode):
+        ns = parser.parse_args(["--config", presets[name]])
+        return build_config(ns, mode)
+
+    day = load("train_day.json", "train")
+    assert [os.path.basename(r) for r in day.train_roots] == ["set00", "set01"]
+    assert "trained_w_day/" in day.save_dir
+
+    dn = load("train_day_night.json", "train")
+    assert [os.path.basename(r) for r in dn.train_roots] == [
+        "set00", "set01", "set03", "set04"
+    ]
+    assert dn.train_roots == Config().train_roots  # the reference default
+
+    night = load("train_night.json", "train")
+    assert [os.path.basename(r) for r in night.train_roots] == ["set03", "set04"]
+
+    test = load("test_daynight.json", "test")
+    assert test.mode == "test"
+    assert [os.path.basename(r) for r in test.test_roots] == ["set02", "set05"]
+    assert test.test_G_weights.endswith("netG_best.pth")
+
+    flag = load("flagship_512x640.json", "test")
+    assert flag.resolved_hw == (512, 640)
+    assert flag.compute_dtype == "bf16" and flag.test_batch_size == 16
+
+    # Flags still win over the preset (CLI contract).
+    ns = parser.parse_args(["--config", presets["flagship_512x640.json"],
+                            "--test-batch-size", "4"])
+    assert build_config(ns, "test").test_batch_size == 4
