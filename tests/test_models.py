@@ -487,3 +487,47 @@ def test_discriminator_pinned_golden_digest(tmp_path):
     np.testing.assert_allclose(ours, theirs, atol=2e-5)
     golden = np.load(DISC_GOLDEN_PATH)["out"]
     np.testing.assert_allclose(ours, golden, atol=5e-5)
+
+
+def test_generator_all_fused_kernels_compose(monkeypatch):
+    """ALL three fused kernels enabled at once (the tools/fwdvariants.py
+    pb_nb_head configuration): fused resblocks + down-stage tails + 7×7
+    head in one graph (interpret mode) match the plain XLA generator with
+    the same params. Guards the combination the TPU ship-decision run
+    traces — each kernel is exact alone; this asserts their glue (layouts,
+    stats handoffs) composes."""
+    import functools
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.ops.pallas_blur import norm_relu_blur_down
+    from ircolor_tpu.ops.pallas_head import outc_head
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    monkeypatch.setattr(
+        gen_mod, "norm_relu_blur_down",
+        functools.partial(norm_relu_blur_down, interpret=True),
+    )
+    monkeypatch.setattr(
+        gen_mod, "outc_head", functools.partial(outc_head, interpret=True)
+    )
+    monkeypatch.setattr(
+        gen_mod, "resnet_block_pallas",
+        functools.partial(resnet_block_pallas, interpret=True),
+    )
+    plain = ResnetUNetGenerator(n_blocks=2)
+    fused = ResnetUNetGenerator(
+        n_blocks=2, pallas_block=True, pallas_block_min_area=0,
+        pallas_norm_blur=True, pallas_head=True,
+    )
+    x0 = jnp.zeros((1, 32, 32, 1))
+    params = plain.init(jax.random.PRNGKey(0), x0)["params"]
+    params_f = fused.init(jax.random.PRNGKey(0), x0)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_f
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) * 2 - 1
+    want = plain.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
