@@ -34,4 +34,9 @@ TMO=3600 run fwd256 python tools/fwdvariants.py --height 256 --width 256 \
 TMO=5400 run train512 python tools/trainbench.py \
   --variants ship,nb_train,head_train,all_fused
 
+# 6. int8 MXU capability probe (matmul + bottleneck conv): decides whether
+#    a quantized inference mode is worth building (2x TOPS if the int8
+#    path is real; closes the question if it lowers slow).
+TMO=2400 run int8probe python tools/int8probe.py
+
 echo "ALL DONE -> $LOG" | tee -a "$LOG/driver.log"
