@@ -220,6 +220,17 @@ class Config:
     # area gate until the small-resolution A/B lands.
     pallas_head_min_area: int = 0
 
+    # int8 MXU serving mode (ops/quant.py): the generator's heavy convs run
+    # int8×int8→int32 on the MXU's 2× path (394 vs 197 TOPS on v5e) with
+    # per-channel weight scales and dynamic per-sample activation scales,
+    # both exactly absorbed by the instance norms every quantized site
+    # feeds — error is pure int8 rounding noise. Inference-only (training
+    # forces it off) and opt-in: the reference-parity budget applies to the
+    # default float path, not this mode. Replaces the fused bf16 resblock
+    # kernel when on; composes with lanepack/DP/spatial sharding and AOT
+    # export (pure StableHLO).
+    quant_int8: bool = False
+
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50
 

@@ -131,6 +131,34 @@ def lanepack_p(cout: int, out_w: int, max_p: int = 32) -> int:
     return p
 
 
+class QuantConv(nn.Module):
+    """``Conv``-identical params (kernel/bias, same names/inits — checkpoints
+    interchangeable), computed on the MXU's 2× int8 path
+    (``ops.quant.conv2d_int8``): per-channel int8 weights, dynamic per-sample
+    int8 activations, int32 accumulation, f32 dequant. Opt-in serving mode —
+    see ops/quant.py for why the scales are exactly absorbed by the instance
+    norms every quantized site feeds."""
+
+    features: int
+    ksize: int = 3
+    stride: int = 1
+    padding: Any = "VALID"
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ircolor_tpu.ops.quant import conv2d_int8
+
+        k = self.ksize
+        kernel = self.param("kernel", kernel_init, (k, k, x.shape[-1], self.features))
+        bias = self.param("bias", bias_init, (self.features,)) if self.use_bias else None
+        return conv2d_int8(
+            x, kernel, stride=self.stride, padding=self.padding,
+            bias=bias, out_dtype=self.dtype,
+        )
+
+
 class ConcatConv3x3(nn.Module):
     """3×3 SAME(zero) conv over the concat of two tensors, WITHOUT
     materializing the concat: conv(concat(a, b), K) ≡ conv(a, K[..., :Ca, :])
@@ -152,12 +180,31 @@ class ConcatConv3x3(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     max_p: int = 1
+    # int8 serving mode: each half runs on the MXU int8 path with its own
+    # per-sample activation scale (the split identity holds per term).
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         from ircolor_tpu.ops.conv import conv2d, conv2d_lanepack
 
         ca, cb = a.shape[-1], b.shape[-1]
+        if self.quant_int8:
+            from ircolor_tpu.ops.quant import conv2d_int8
+
+            kernel = self.param(
+                "kernel", kernel_init, (3, 3, ca + cb, self.features)
+            )
+            y = conv2d_int8(
+                a, kernel[:, :, :ca], padding=((1, 1), (1, 1)),
+                out_dtype=jnp.float32,
+            ) + conv2d_int8(
+                b, kernel[:, :, ca:], padding=((1, 1), (1, 1)),
+                out_dtype=jnp.float32,
+            )
+            if self.use_bias:
+                y = y + self.param("bias", bias_init, (self.features,))
+            return y.astype(self.dtype)
         kernel = self.param("kernel", kernel_init, (3, 3, ca + cb, self.features))
         kernel = kernel.astype(self.dtype)
         p = lanepack_p(self.features, a.shape[2], max_p=self.max_p)

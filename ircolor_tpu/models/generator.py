@@ -38,6 +38,7 @@ from ircolor_tpu.models.common import (
     Conv,
     LanePackConv,
     Norm,
+    QuantConv,
     use_bias_for_norm,
 )
 from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
@@ -131,6 +132,7 @@ class ResnetBlock(nn.Module):
     use_pallas: bool = False
     pallas_block: bool = False  # fused reflect-conv-IN kernel (inference)
     pallas_block_min_area: int = _FUSED_MIN_AREA
+    quant_int8: bool = False  # int8 MXU convs (inference serving mode)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -140,6 +142,9 @@ class ResnetBlock(nn.Module):
             pre_pad, conv_pad = None, ((1, 1), (1, 1))
         else:
             raise NotImplementedError(f"Padding [{self.padding_type}] is not implemented")
+        # Round-to-nearest has zero gradient: the int8 path is inference-only
+        # (train/state.py also forces the config flag off for training).
+        quant = self.quant_int8 and not train
 
         def conv(name: str, y: jnp.ndarray) -> jnp.ndarray:
             # NOTE: a border-corrected zero-SAME formulation that avoids
@@ -150,6 +155,11 @@ class ResnetBlock(nn.Module):
             # slower compile, so the materialized pad stays.
             if pre_pad is not None:
                 y = pad2d(y, 1, pre_pad)
+            if quant:
+                return QuantConv(
+                    self.dim, 3, padding=conv_pad, use_bias=self.use_bias,
+                    dtype=self.dtype, name=name,
+                )(y)
             return Conv(
                 self.dim,
                 (3, 3),
@@ -167,6 +177,7 @@ class ResnetBlock(nn.Module):
         th = _fused_tile_h(x.shape[1])
         if (
             self.norm == "instance"
+            and not quant  # int8 convs replace the fused bf16 kernel
             and self.pallas_block
             and not self.use_dropout
             and self.padding_type == "reflect"
@@ -244,6 +255,14 @@ class ResnetUNetGenerator(nn.Module):
     # Disable for 2-D spatial sharding — GSPMD mispartitions the packed-
     # stride conv's unpack reshape when both image axes are sharded.
     lanepack: bool = True
+    # int8 MXU serving mode (ops/quant.py): the heavy convs (down1/down2,
+    # all resblock convs, both decoder skip convs) run int8×int8→int32 on
+    # the MXU's 2× path with dequantize-exact scales; every quantized site
+    # feeds an instance norm, which absorbs the scales exactly — error is
+    # pure int8 rounding noise. Inference-only (training forces it off);
+    # replaces the fused bf16 resblock kernel when on. The 7×7 heads stay
+    # float. Opt-in: excluded from the reference-parity budget.
+    quant_int8: bool = False
     # Rematerialize each ResnetBlock in the backward pass (jax.checkpoint):
     # trades one extra block forward for not keeping 4 bottleneck-plane
     # activations per block alive — the lever that avoids the HBM cliff at
@@ -255,8 +274,14 @@ class ResnetUNetGenerator(nn.Module):
         assert self.n_blocks >= 0
         use_bias = use_bias_for_norm(self.norm)
         ngf = self.ngf
+        quant = self.quant_int8 and not train  # int8 is inference-only
 
         def conv(name, feats, ksize, stride=1, padding="VALID", bias=use_bias):
+            if quant:
+                return QuantConv(
+                    feats, ksize, stride=stride, padding=padding,
+                    use_bias=bias, dtype=self.dtype, name=name,
+                )
             return Conv(
                 feats,
                 (ksize, ksize),
@@ -336,6 +361,7 @@ class ResnetUNetGenerator(nn.Module):
                 use_pallas=self.use_pallas,
                 pallas_block=self.pallas_block,
                 pallas_block_min_area=self.pallas_block_min_area,
+                quant_int8=self.quant_int8,
                 name=f"resblock_{i}",
             )(h, train)
 
@@ -360,7 +386,7 @@ class ResnetUNetGenerator(nn.Module):
         # conv over concat([y, x1]) without materializing the 384-ch concat.
         y = ConcatConv3x3(
             ngf * 2, use_bias=use_bias, dtype=self.dtype,
-            precision=self.precision, name="up1_conv",
+            precision=self.precision, quant_int8=quant, name="up1_conv",
         )(y, x1)
         y = norm_relu("up1_norm", y)
 
@@ -384,7 +410,7 @@ class ResnetUNetGenerator(nn.Module):
             y = bilinear_align_corners(y, x0.shape[1:3])     # fixup (ref :562-563)
         y = ConcatConv3x3(
             ngf, use_bias=use_bias, dtype=self.dtype,
-            precision=self.precision, name="up2_conv",
+            precision=self.precision, quant_int8=quant, name="up2_conv",
         )(y, x0)
 
         # --- output head (bias always on: ref :529 has no bias= kwarg) ---

@@ -54,6 +54,7 @@ def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
         pallas_head=cfg.pallas_head,
         pallas_head_min_area=cfg.pallas_head_min_area,
         lanepack=cfg.lanepack,
+        quant_int8=cfg.quant_int8,
         remat=cfg.remat,
     )
 

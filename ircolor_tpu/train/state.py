@@ -74,6 +74,11 @@ def create_train_state(
         rng = jax.random.PRNGKey(cfg.seed)
     rng_g, rng_d = jax.random.split(rng)
     h, w = cfg.resolved_hw
+    if cfg.quant_int8:
+        # int8 round-to-nearest has zero gradient — training always runs the
+        # float convs (identical params; a float-trained checkpoint serves
+        # quantized).
+        cfg = cfg.replace(quant_int8=False)
     if (
         (cfg.pallas_block and cfg.pallas_block_train)
         or cfg.pallas_norm_blur

@@ -1,0 +1,193 @@
+"""int8 quantized inference mode (ops/quant.py, Config.quant_int8).
+
+The quantized mode is opt-in serving (no reference counterpart); these
+tests pin (a) the dequantize-exact scale math, (b) that the quantized
+generator's param tree is IDENTICAL to the float one (checkpoints
+interchangeable), (c) that the int8 path actually engages (s8 convs in the
+lowered HLO), (d) closeness to the float forward, and (e) that training
+always forces the mode off (round-to-nearest has zero gradient).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.models.generator import ResnetUNetGenerator
+from ircolor_tpu.models.wrapper import generator_from_config
+from ircolor_tpu.ops.quant import (
+    conv2d_int8,
+    quantize_dynamic,
+    quantize_weight_per_channel,
+)
+
+
+def _ref_conv(x, w, padding="VALID", stride=1):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), padding, dimension_numbers=dn
+    )
+
+
+def test_conv2d_int8_exact_for_int_valued_operands():
+    """Operands that are exactly int8·scale grids round-trip with zero error:
+    proves the scale bookkeeping (per-sample sx, per-channel sw) is exact."""
+    rng = np.random.RandomState(0)
+    sx0, sx1 = 0.031, 0.17  # distinct per-sample scales
+    xi = rng.randint(-127, 128, (2, 9, 11, 8)).astype(np.float32)
+    xi[0, 0, 0, 0], xi[1, 0, 0, 0] = 127, 127  # pin each sample's amax
+    x = jnp.asarray(xi * np.array([sx0, sx1]).reshape(2, 1, 1, 1))
+    swc = rng.uniform(0.01, 0.2, 16).astype(np.float32)
+    wi = rng.randint(-127, 128, (3, 3, 8, 16)).astype(np.float32)
+    wi[0, 0, 0, :] = 127  # pin each channel's amax
+    w = jnp.asarray(wi * swc)
+    y = conv2d_int8(x, w, padding=((1, 1), (1, 1)))
+    y_ref = _ref_conv(x, w, padding=((1, 1), (1, 1)))
+    # rtol allows the 1-LSB flips where f32 scale recovery (amax·s/127 ≠ s
+    # exactly in f32) lands a value on a rounding boundary — the point is
+    # that the scale bookkeeping has no systematic (2×/offset/axis) error.
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=5e-3, atol=1e-2)
+
+
+def test_conv2d_int8_close_to_float():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 32, 64) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(64) * 0.01, jnp.float32)
+    y = np.asarray(conv2d_int8(x, w, padding="SAME", bias=b))
+    y_ref = np.asarray(_ref_conv(x, w, padding="SAME") + b)
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 0.03, rel  # int8 rounding noise only
+
+
+def test_quantize_dynamic_per_sample_independence():
+    """Each sample's quantization is independent of its batchmates — results
+    are invariant to batching (and therefore to DP sharding)."""
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)
+    b = jnp.asarray(rng.randn(1, 8, 8, 4) * 100.0, jnp.float32)  # huge range
+    qa_solo, sa_solo = quantize_dynamic(a)
+    batch = jnp.concatenate([a, b], axis=0)
+    qab, sab = quantize_dynamic(batch)
+    np.testing.assert_array_equal(np.asarray(qa_solo[0]), np.asarray(qab[0]))
+    np.testing.assert_allclose(np.asarray(sa_solo[0]), np.asarray(sab[0]))
+
+
+def test_quantize_weight_per_channel_shapes():
+    w = jnp.asarray(np.random.RandomState(3).randn(5, 5, 3, 7), jnp.float32)
+    wq, sw = quantize_weight_per_channel(w)
+    assert wq.shape == w.shape and wq.dtype == jnp.int8
+    assert sw.shape == (7,)
+    # zero-channel safety: no inf/nan scales
+    w0 = w.at[..., 0].set(0.0)
+    wq0, sw0 = quantize_weight_per_channel(w0)
+    assert np.isfinite(np.asarray(sw0)).all()
+    assert not np.asarray(wq0[..., 0]).any()
+
+
+def _small_cfgs(quant: bool):
+    kw = dict(
+        input_nc=1, output_nc=3, ngf=16, n_blocks=2,
+        dtype=jnp.float32, quant_int8=quant,
+    )
+    return ResnetUNetGenerator(**kw)
+
+
+def test_generator_param_tree_identical():
+    mod_f = _small_cfgs(False)
+    mod_q = _small_cfgs(True)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    shapes = lambda m: jax.tree_util.tree_map(
+        lambda v: (v.shape, str(v.dtype)),
+        jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), x))["params"],
+    )
+    assert shapes(mod_f) == shapes(mod_q)
+
+
+def test_generator_quant_forward_close_and_engaged():
+    mod_f, mod_q = _small_cfgs(False), _small_cfgs(True)
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 32, 32, 1) * 0.5, jnp.float32)
+    params = mod_f.init(jax.random.PRNGKey(0), x)["params"]
+    y_f = np.asarray(mod_f.apply({"params": params}, x))
+    y_q = np.asarray(mod_q.apply({"params": params}, x))
+    # int8 rounding noise through 2 blocks + down/up stages; IN renormalizes
+    # each stage so the noise stays relative, and tanh bounds the output.
+    assert np.abs(y_q - y_f).mean() < 0.05
+    assert np.abs(y_q).max() <= 1.0
+    # the path must actually engage: the lowered IR carries int8 tensors
+    hlo = jax.jit(lambda p, v: mod_q.apply({"params": p}, v)).lower(params, x).as_text()
+    assert "xi8>" in hlo, "quantized generator lowered without int8 ops"
+    hlo_f = jax.jit(lambda p, v: mod_f.apply({"params": p}, v)).lower(params, x).as_text()
+    assert "xi8>" not in hlo_f
+
+
+def test_generator_quant_train_arg_uses_float_path():
+    """train=True must never trace the zero-gradient int8 ops."""
+    mod_q = _small_cfgs(True)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    params = mod_q.init(jax.random.PRNGKey(0), x)["params"]
+    hlo = (
+        jax.jit(lambda p, v: mod_q.apply({"params": p}, v, train=True))
+        .lower(params, x)
+        .as_text()
+    )
+    assert "xi8>" not in hlo
+
+
+def test_create_train_state_forces_quant_off():
+    from ircolor_tpu.train.state import create_train_state
+
+    cfg = Config(
+        mode="train", img_size=32, ngf=8, n_blocks=1, batch_size=2,
+        quant_int8=True,
+    )
+    _, g_module, _, _ = create_train_state(cfg, steps_per_epoch=4)
+    assert g_module.quant_int8 is False
+
+
+def test_config_cli_flag():
+    import argparse
+
+    from ircolor_tpu.cli import build_config
+
+    ns = argparse.Namespace(config=None, quant_int8=True)
+    cfg = build_config(ns, "test")
+    assert cfg.quant_int8 is True
+
+
+def test_quant_aot_export_roundtrip(tmp_path):
+    """The int8 serving mode is pure StableHLO: it survives jax.export with
+    quantization intact (reloaded artifact == live quantized module)."""
+    from ircolor_tpu.export.aot import export_inference, load_exported, save_exported
+
+    cfg = Config(img_size=32, n_blocks=1, ngf=8, quant_int8=True)
+    module = generator_from_config(cfg)
+    assert module.quant_int8 is True
+    rng = np.random.RandomState(5)
+    ir = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32) * 2 - 1)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+
+    blob = export_inference(module, params, 32, 32, batch_size=2, platforms=("cpu",))
+    path = str(tmp_path / "netG_serve_int8.stablehlo")
+    save_exported(path, blob)
+    got = np.asarray(load_exported(path).call(ir))
+
+    fake = module.apply({"params": params}, ir, train=False)
+    want = np.asarray(
+        jnp.floor(jnp.clip((fake + 1.0) / 2.0, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("no_aa", [False, True])
+def test_generator_quant_variants_run(no_aa):
+    mod = ResnetUNetGenerator(
+        ngf=8, n_blocks=1, no_antialias=no_aa, no_antialias_up=no_aa,
+        dtype=jnp.float32, quant_int8=True,
+    )
+    x = jnp.zeros((1, 16, 16, 1), jnp.float32)
+    y = mod.apply({"params": mod.init(jax.random.PRNGKey(0), x)["params"]}, x)
+    assert y.shape == (1, 16, 16, 3)

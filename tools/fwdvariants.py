@@ -99,6 +99,7 @@ def build_forward(
     fold7_inc=True,
     norm_blur=False,
     fused_head=False,
+    quant=False,
 ):
     rng = np.random.RandomState(0)
 
@@ -129,9 +130,19 @@ def build_forward(
             return reflect_pad2d(v, n)
         return v  # zero-SAME handled by the conv padding below
 
+    def q3(v, k, padding=((1, 1), (1, 1))):
+        """int8 MXU conv (ops.quant): per-channel weights, per-sample acts."""
+        from ircolor_tpu.ops.quant import conv2d_int8
+
+        return conv2d_int8(v, k, padding=padding, out_dtype=DT)
+
     def conv_pad(v, k, n):
         """reflect: pre-padded VALID conv; fold: border-corrected zero-SAME
         (ops.conv.conv3x3_reflect, no materialized pad); zero: SAME conv."""
+        if quant:
+            if pad_mode == "reflect":
+                return q3(rpad(v, n), k, padding="VALID")
+            return q3(v, k, padding=((n, n), (n, n)))
         if pad_mode == "fold":
             from ircolor_tpu.ops.conv import conv3x3_reflect
 
@@ -207,15 +218,16 @@ def build_forward(
         # d1 (x0 C=64) and u2 (x0 skip C=64) CANNOT fuse: Mosaic can't
         # DMA-slice sub-128-channel legs (see conv3x3_sum_fused). Only the
         # 128-aligned stages — d2 (128→256) and u1 (256+128→128) — fuse.
+        c3 = q3 if quant else (lambda v, k: conv2d(v, k, padding=((1, 1), (1, 1))))
         if norm_blur:
-            x1 = norm_blur_down(conv2d(x0, p["d1"], padding=((1, 1), (1, 1))))
-            h = norm_blur_down(conv2d(x1, p["d2"], padding=((1, 1), (1, 1))))
+            x1 = norm_blur_down(c3(x0, p["d1"]))
+            h = norm_blur_down(c3(x1, p["d2"]))
         else:
-            x1 = down_blur(inr(conv2d(x0, p["d1"], padding=((1, 1), (1, 1)))))
+            x1 = down_blur(inr(c3(x0, p["d1"])))
             if fused_du:
                 h = down_blur(fused_inr([x1], [p["d2"]]))
             else:
-                h = down_blur(inr(conv2d(x1, p["d2"], padding=((1, 1), (1, 1)))))
+                h = down_blur(inr(c3(x1, p["d2"])))
         if res_scan:
             h = jax.lax.scan(
                 lambda c, ks: (one_res(c, ks), None), h, res_stack
@@ -228,12 +240,11 @@ def build_forward(
         if fused_du:
             y = fused_inr([y, x1], [p["u1"][:, :, :ca], p["u1"][:, :, ca:]])
         else:
-            y = inr(conv2d(y, p["u1"][:, :, :ca], padding=((1, 1), (1, 1)))
-                    + conv2d(x1, p["u1"][:, :, ca:], padding=((1, 1), (1, 1))))
+            y = inr(c3(y, p["u1"][:, :, :ca]) + c3(x1, p["u1"][:, :, ca:]))
         y = up_blur(y)
         ca = y.shape[-1]
-        raw2 = (lp(y, p["u2"][:, :, :ca], 2, lp_up2)
-                + lp(x0, p["u2"][:, :, ca:], 2, lp_up2))
+        u2c = q3 if quant else (lambda v, k: lp(v, k, 2, lp_up2))
+        raw2 = u2c(y, p["u2"][:, :, :ca]) + u2c(x0, p["u2"][:, :, ca:])
         if fused_head:
             # Fused 7×7 head: up2's IN+ReLU, the reflect pad, and the conv
             # in one Pallas read + packed write (ops.pallas_head). Stats by
@@ -294,6 +305,15 @@ VARIANTS = {
     "pb_head": dict(_BASE, res_pallas=True, fused_head=True),
     # Everything-on candidate: fused blocks + down-tails + head.
     "pb_nb_head": dict(_BASE, res_pallas=True, norm_blur=True, fused_head=True),
+    # int8 MXU serving mode (ops/quant.py): heavy convs on the 2× int8 path
+    # (per-channel weights, dynamic per-sample activations), XLA blocks —
+    # the in-context number that decides whether --quant-int8 beats the
+    # fused bf16 kernels. Run tools/int8probe.py first: if the isolated
+    # int8 conv is not ≥1.5× bf16, this variant cannot win.
+    "int8": dict(_BASE, quant=True),
+    # int8 convs + the fused 7×7 head (independent sites — the head kernel
+    # reads the float up2 output either way).
+    "int8_head": dict(_BASE, quant=True, fused_head=True),
     # Bisection probes (WRONG math — perf attribution of the two strip pairs).
     "pb_fold7_tb": dict(_BASE, res_pallas=True, fold7="h"),
     "pb_fold7_lr": dict(_BASE, res_pallas=True, fold7="w"),

@@ -23,12 +23,13 @@ TMO=1800 run smoke python tools/pallassmoke.py
 TMO=2400 run headbench python tools/pallasbench.py --cases "head"
 
 # 3. In-context forward A/B at 512x640 b16 (same-process deltas decide).
-TMO=3600 run fwd512 python tools/fwdvariants.py \
-  --variants base,pallas_block,pb_normblur,pb_head,pb_nb_head
+#    int8 rides along: the quantized-serving candidate vs the fused kernels.
+TMO=4800 run fwd512 python tools/fwdvariants.py \
+  --variants base,pallas_block,pb_normblur,pb_head,pb_nb_head,int8,int8_head
 
 # 4. Same at 256^2 (area-gate calibration).
-TMO=3600 run fwd256 python tools/fwdvariants.py --height 256 --width 256 \
-  --variants base,pallas_block,pb_normblur,pb_head,pb_nb_head
+TMO=4800 run fwd256 python tools/fwdvariants.py --height 256 --width 256 \
+  --variants base,pallas_block,pb_normblur,pb_head,pb_nb_head,int8,int8_head
 
 # 5. Train-step A/B at b8 512x640.
 TMO=5400 run train512 python tools/trainbench.py \
