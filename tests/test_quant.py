@@ -158,6 +158,30 @@ def test_config_cli_flag():
     assert cfg.quant_int8 is True
 
 
+def test_quant_dp_eval_matches_single_device(tmp_path):
+    """Per-SAMPLE activation scales make the quantized forward invariant to
+    batch sharding up to f32 reduction order: --dp-devices eval tracks the
+    single-device run at metric precision. (Not bit-exact: a reassociated
+    amax/conv sum can flip an occasional int8 rounding boundary — with
+    per-BATCH scales the deltas would be orders of magnitude larger and
+    batch-composition-dependent.)"""
+    from ircolor_tpu.data.synthetic import make_kaist_tree
+    from ircolor_tpu.eval.runner import run_test
+
+    root = tmp_path / "tree"
+    make_kaist_tree(str(root), {"set02": {"V000": 8}}, size_hw=(32, 32))
+    base = dict(
+        mode="test", img_size=32, test_batch_size=4, ngf=16, n_blocks=2,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False, quant_int8=True,
+    )
+    s1 = run_test(Config(output_dir=str(tmp_path / "single"), **base))
+    s2 = run_test(Config(output_dir=str(tmp_path / "dp"), dp_devices=4, **base))
+    assert s2["count"] == s1["count"]
+    assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 1e-3
+    assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-4
+
+
 def test_quant_aot_export_roundtrip(tmp_path):
     """The int8 serving mode is pure StableHLO: it survives jax.export with
     quantization intact (reloaded artifact == live quantized module)."""
