@@ -40,4 +40,9 @@ TMO=5400 run train512 python tools/trainbench.py \
 #    path is real; closes the question if it lowers slow).
 TMO=2400 run int8probe python tools/int8probe.py
 
+# 7. Decision-free headline refresh with the SHIPPED defaults (512x640 +
+#    256^2 aux + train field) — lands the driver metric even if the ship
+#    decisions above wait for analysis.
+TMO=5400 run bench python bench.py
+
 echo "ALL DONE -> $LOG" | tee -a "$LOG/driver.log"
