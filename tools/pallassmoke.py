@@ -127,6 +127,38 @@ def main() -> None:
     )(xh, mh, ih)
     ok &= check("conv7x7_head", got_h, want_h, atol=0.05)
 
+    # Mosaic int8 matmul CAPABILITY probe (not a regression gate): if this
+    # compiles and matches, an int8 fused resblock (in-DMA halos + int8
+    # matmuls + IN epilogue) is buildable on top of the XLA-level int8
+    # results from tools/int8probe.py. If Mosaic rejects int8 dots, that
+    # kernel idea closes here regardless of the XLA probe.
+    from jax.experimental import pallas as pl
+
+    def _i8mm_kernel(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            a_ref[...], b_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    a8 = jnp.asarray(rng.randint(-127, 128, (256, 256)), jnp.int8)
+    b8 = jnp.asarray(rng.randint(-127, 128, (256, 256)), jnp.int8)
+    try:
+        got8 = jax.jit(
+            pl.pallas_call(
+                _i8mm_kernel,
+                out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32),
+            )
+        )(a8, b8)
+        want8 = jnp.dot(a8.astype(jnp.int32), b8.astype(jnp.int32))
+        check("mosaic int8 matmul (info)", got8, want8, atol=0)
+    except Exception as exc:  # capability info only — never fails the smoke
+        print(
+            f"INFO mosaic int8 matmul unsupported: "
+            f"{type(exc).__name__}: {str(exc)[:200]}",
+            flush=True,
+        )
+
     print("SMOKE PASS" if ok else "SMOKE FAIL", flush=True)
     _sys.exit(0 if ok else 1)
 
