@@ -36,12 +36,13 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_inference(h: int, w: int, batch: int, dtype: str, iters: int, warmup: int) -> float:
+def bench_inference(h: int, w: int, batch: int, dtype: str, iters: int, warmup: int,
+                    quant: bool = False) -> float:
     from ircolor_tpu.config import Config
     from ircolor_tpu.eval.runner import make_infer_fn
     from ircolor_tpu.models.wrapper import generator_from_config
 
-    cfg = Config(img_height=h, img_width=w, compute_dtype=dtype)
+    cfg = Config(img_height=h, img_width=w, compute_dtype=dtype, quant_int8=quant)
     module = generator_from_config(cfg)
     rng = np.random.RandomState(0)
     ir0 = jnp.asarray(rng.rand(batch, h, w, 1).astype(np.float32) * 2 - 1)
@@ -127,10 +128,14 @@ def main() -> None:
     # 256² is the reference's published-table resolution — recorded as an
     # auxiliary field every round (VERDICT r2 #8). Opt out with --no-aux.
     p.add_argument("--no-aux", dest="with_aux", action="store_false")
+    # int8 serving mode (Config.quant_int8) — measurement flag; the shipped
+    # headline stays the float path unless the int8 gates pass (docs/PERF.md).
+    p.add_argument("--quant-int8", dest="quant_int8", action="store_true")
     args = p.parse_args()
 
     infer_fps = bench_inference(args.height, args.width, args.batch,
-                                args.dtype, args.iters, args.warmup)
+                                args.dtype, args.iters, args.warmup,
+                                quant=args.quant_int8)
     train_fps = None
     if args.with_train:
         try:
@@ -157,6 +162,8 @@ def main() -> None:
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),
     }
+    if args.quant_int8:
+        result["quant_int8"] = True
     print(json.dumps(result))
 
 

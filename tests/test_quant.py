@@ -182,6 +182,29 @@ def test_quant_dp_eval_matches_single_device(tmp_path):
     assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-4
 
 
+def test_quant_spatial_sharding_eval(tmp_path):
+    """quant × spatial sharding: the per-sample amax becomes a cross-shard
+    reduce under GSPMD — results stay at metric precision vs single-device."""
+    from ircolor_tpu.data.synthetic import make_kaist_tree
+    from ircolor_tpu.eval.runner import run_test
+
+    root = tmp_path / "tree"
+    make_kaist_tree(str(root), {"set02": {"V000": 4}}, size_hw=(32, 32))
+    base = dict(
+        mode="test", img_size=32, test_batch_size=2, ngf=16, n_blocks=2,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False, quant_int8=True,
+    )
+    s1 = run_test(Config(output_dir=str(tmp_path / "single"), **base))
+    s2 = run_test(Config(output_dir=str(tmp_path / "sp"), sp_devices=2, **base))
+    assert s2["count"] == s1["count"]
+    # Sharded reductions reassociate f32 sums; an int8 boundary flip moves a
+    # uint8 output pixel by 1 → millidB PSNR wiggle on tiny images. 0.01 dB
+    # is 5× tighter than the float-path parity budget.
+    assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 1e-2
+    assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-3
+
+
 def test_quant_aot_export_roundtrip(tmp_path):
     """The int8 serving mode is pure StableHLO: it survives jax.export with
     quantization intact (reloaded artifact == live quantized module)."""
