@@ -204,9 +204,13 @@ def _kernel_norm(x_hbm, m_ref, i_ref, o_ref, x_vmem, sems, *, th: int, nh: int):
     )
     yh = xm + 2.0 * xe + xo  # (th, W, C)
 
+    # W phase split. Strided slices (yh[:, 0::2]) emit gather, which Mosaic
+    # cannot lower (>2-D); lax.slice with strides trips a vector.extract
+    # verification error. The reshape split is the one form that lowers.
     w = yh.shape[1]
-    ye = yh[:, 0:w:2]  # col 2w'
-    yo_ = yh[:, 1:w:2]  # col 2w'+1
+    yhr = yh.reshape(yh.shape[0], w // 2, 2, yh.shape[2])
+    ye = yhr[:, :, 0]  # col 2w'
+    yo_ = yhr[:, :, 1]  # col 2w'+1
     ym = jnp.concatenate([yo_[:, 0:1], yo_[:, :-1]], axis=1)  # col 2w'−1, reflect
     o_ref[...] = ((ym + 2.0 * ye + yo_) * (1.0 / 16.0)).astype(o_ref.dtype)[None]
 

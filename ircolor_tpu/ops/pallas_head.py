@@ -198,9 +198,13 @@ def _kernel_head(
         # Right-neighbor slots (m 36..39 = pixels 32g+32..35): the next
         # group's first 4; the last group takes reflect pixels W−2..W−5
         # (x[W−1+k] ≡ x[W−1−k]; m=39 multiplies zero weights).
+        # NOTE: a NEGATIVE integer index (xm[:, -1]) routes through
+        # dynamic_slice, which Mosaic cannot lower; the positive static
+        # index takes the lax.slice path and lowers fine.
+        lg = xm.shape[1] - 1
         redge = jnp.concatenate(
-            [xm[:, -1, 30 * c : 31 * c], xm[:, -1, 29 * c : 30 * c],
-             xm[:, -1, 28 * c : 29 * c], xm[:, -1, 27 * c : 28 * c]], axis=-1,
+            [xm[:, lg, 30 * c : 31 * c], xm[:, lg, 29 * c : 30 * c],
+             xm[:, lg, 28 * c : 29 * c], xm[:, lg, 27 * c : 28 * c]], axis=-1,
         )
         xr = jnp.concatenate([xm[:, 1:, : 4 * c], redge[:, None]], axis=1)
         acc = acc + dot(xr, kc_ref[dy])

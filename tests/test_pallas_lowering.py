@@ -1,0 +1,95 @@
+"""Client-side Mosaic lowering gates for every candidate Pallas TPU kernel.
+
+``jax.export`` with ``platforms=["tpu"]`` runs the full python-side Mosaic
+lowering (jax/_src/pallas/mosaic/lowering.py) on a CPU-only host — the same
+pass that rejected ``yh[:, 0::2]`` (strided slice → >2-D gather) and
+``xm[:, -1]`` (negative integer index → dynamic_slice) on the real TPU after
+the kernels had already passed interpret-mode parity. These tests make that
+class of rot a CPU-test failure instead of a wasted serial TPU run. The
+remote Mosaic→binary compile (and its silent-HTTP-500 failure mode,
+CLAUDE.md) is still only provable on hardware via tools/pallassmoke.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ircolor_tpu.ops.norm import instance_norm_stats
+
+
+def _lower_tpu(fn, *args):
+    jax.export.export(jax.jit(fn), platforms=["tpu"])(*args)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(0)
+
+
+def _bf16(a):
+    return jnp.asarray(a.astype(np.float32)).astype(jnp.bfloat16)
+
+
+def test_resnet_block_pallas_lowers(rng):
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+
+    x = _bf16(rng.rand(1, 32, 64, 256) * 2 - 1)
+    k1 = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
+    k2 = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
+    _lower_tpu(lambda v: resnet_block_pallas(v, k1, k2, tile_h=16), x)
+    # The training path: custom_vjp forward (fused kernels) + XLA backward.
+    _lower_tpu(
+        jax.grad(
+            lambda v: resnet_block_pallas(v, k1, k2, tile_h=16)
+            .astype(jnp.float32)
+            .sum()
+        ),
+        x,
+    )
+
+
+def test_conv3x3_sum_fused_lowers(rng):
+    from ircolor_tpu.ops.pallas_resblock import conv3x3_sum_fused
+
+    x = _bf16(rng.rand(1, 32, 64, 128) * 2 - 1)
+    k = _bf16(rng.randn(3, 3, 128, 128) * 0.05)
+    for pad in ("zero", "reflect"):
+        _lower_tpu(
+            lambda v, pad=pad: conv3x3_sum_fused([v], [k], pad=pad, tile_h=16)[0],
+            x,
+        )
+
+
+def test_conv7x7_head_pallas_lowers(rng):
+    from ircolor_tpu.ops.pallas_head import conv7x7_head_pallas, outc_head
+
+    x = _bf16(rng.rand(1, 32, 64, 64) * 2 - 1)
+    k7 = _bf16(rng.randn(7, 7, 64, 3) * 0.05)
+    mean, inv = instance_norm_stats(x)
+    _lower_tpu(lambda v, m, i: conv7x7_head_pallas(v, m, i, k7), x, mean, inv)
+    _lower_tpu(
+        jax.grad(lambda v: outc_head(v, k7).astype(jnp.float32).sum()), x
+    )
+
+
+def test_norm_relu_blur_down_lowers(rng):
+    from ircolor_tpu.ops.pallas_blur import (
+        norm_relu_blur_down,
+        norm_relu_blur_down_pallas,
+    )
+
+    x = _bf16(rng.rand(1, 32, 64, 128) * 2 - 1)
+    mean, inv = instance_norm_stats(x)
+    _lower_tpu(lambda v, m, i: norm_relu_blur_down_pallas(v, m, i), x, mean, inv)
+    _lower_tpu(
+        jax.grad(lambda v: norm_relu_blur_down(v).astype(jnp.float32).sum()), x
+    )
+
+
+def test_blur_downsample_pallas_lowers(rng):
+    from ircolor_tpu.ops.pallas_blur import blur_downsample_pallas
+
+    x = _bf16(rng.rand(1, 32, 64, 128) * 2 - 1)
+    _lower_tpu(blur_downsample_pallas, x)

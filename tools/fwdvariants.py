@@ -337,8 +337,15 @@ def main():
     ir = jnp.asarray(rng.rand(b, args.height, args.width, 1).astype(np.float32) * 2 - 1)
     base = None
     for name in args.variants.split(","):
-        fwd = build_forward(**VARIANTS[name])
-        t = time_fn(fwd, ir, iters=args.iters)
+        # One broken variant (a kernel that fails remote lowering, say) must
+        # not abort the whole serial measurement run — later variants are
+        # independent ship decisions.
+        try:
+            fwd = build_forward(**VARIANTS[name])
+            t = time_fn(fwd, ir, iters=args.iters)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:14s} FAILED: {type(exc).__name__}: {exc}", flush=True)
+            continue
         if name == "base":
             base = t
         rel = f"  ({(t - base) * 1e3:+6.2f} ms vs base)" if base is not None and name != "base" else ""

@@ -121,10 +121,16 @@ def main() -> None:
 
     results: dict[str, float] = {}
     for name in args.variants.split(","):
-        sec = bench_variant(
-            name, args.height, args.width, args.batch, args.iters, args.warmup,
-            args.remat,
-        )
+        # A variant whose kernel fails remote lowering must not abort the
+        # remaining, independent variants of a serial measurement run.
+        try:
+            sec = bench_variant(
+                name, args.height, args.width, args.batch, args.iters,
+                args.warmup, args.remat,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:10s}  FAILED: {type(exc).__name__}: {exc}", flush=True)
+            continue
         results[name] = sec
         fps = args.batch / sec
         print(f"{name:10s}  {sec * 1e3:8.1f} ms/step  {fps:6.2f} frames/s", flush=True)
