@@ -59,29 +59,42 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAVE_PLTPU = False
 
-_PACK = 32  # output pixels per lane group (matches the shipped p=32 head)
 _KS = 7  # kernel size (pad 3)
-_WIN = _PACK + _KS + 1  # 40: window pixel slots m per group (m = pixel+4)
+# Candidate output-pixels-per-lane-group widths, best MXU N-fill first.
+# Mosaic constrains BOTH tiled dims of the group-packed (B, H, W/p, p·C)
+# memref: lane extent p·C % 128 == 0 AND sublane extent (W/p) % 8 == 0 —
+# the first serial run failed remote compile at W=640/p=32 (WG=20, "Slice
+# shape along dimension 2 must be aligned to tiling (8), but is 20").
+# p=40 fits 640 exactly (WG=16, N=120/128 lanes); p=32 fits 256 (WG=8).
+_PACKS = (40, 32, 16, 8)
 
 
-def _pack_head_kernels(k7: jnp.ndarray):
+def _pick_pack(w: int, c: int, cout: int) -> int | None:
+    for p in _PACKS:
+        if w % p == 0 and (w // p) % 8 == 0 and (p * c) % 128 == 0:
+            return p
+    return None
+
+
+def _pack_head_kernels(k7: jnp.ndarray, p: int):
     """(7, 7, C, cout) → (Ka, Kb, Kc) dense lane-packed weight matrices.
 
     Kd[dy, m·C+ci, off·cout+co] = k7[dy, m−off−1, ci, co] (zero outside
-    0 ≤ m−off−1 < 7), where window slot m holds input pixel 32·g+m−4 and
+    0 ≤ m−off−1 < 7), where window slot m holds input pixel p·g+m−4 and
     off is the output pixel within group g. Ka = the 4 left-neighbor slots
-    (m 0..3), Kb = the group's own 32 (m 4..35), Kc = the 4 right-neighbor
-    slots (m 36..39).
+    (m 0..3), Kb = the group's own p (m 4..p+3), Kc = the 4 right-neighbor
+    slots (m p+4..p+7).
     """
     ks, _, c, cout = k7.shape
     assert ks == _KS, k7.shape
+    win = p + _KS + 1  # window pixel slots m per group (m = pixel+4)
     cols = [
-        jnp.pad(k7, ((0, 0), (off + 1, _WIN - _KS - (off + 1)), (0, 0), (0, 0)))
-        for off in range(_PACK)
+        jnp.pad(k7, ((0, 0), (off + 1, win - _KS - (off + 1)), (0, 0), (0, 0)))
+        for off in range(p)
     ]
-    kd = jnp.stack(cols, axis=3)  # (7, 40, C, 32, cout)
-    kd = kd.reshape(_KS, _WIN * c, _PACK * cout)
-    return kd[:, : 4 * c], kd[:, 4 * c : 36 * c], kd[:, 36 * c :]
+    kd = jnp.stack(cols, axis=3)  # (7, p+8, C, p, cout)
+    kd = kd.reshape(_KS, win * c, p * cout)
+    return kd[:, : 4 * c], kd[:, 4 * c : (p + 4) * c], kd[:, (p + 4) * c :]
 
 
 def _halo3_copies(x_hbm, x_vmem, sems, bb, hh, slot, *, th: int, h: int, nh: int):
@@ -113,7 +126,7 @@ def _halo3_copies(x_hbm, x_vmem, sems, bb, hh, slot, *, th: int, h: int, nh: int
 
 def _kernel_head(
     x_hbm, ka_ref, kb_ref, kc_ref, m_ref, i_ref, o_ref, x_vmem, sems,
-    *, th: int, h: int, nh: int, c: int,
+    *, th: int, h: int, nh: int, c: int, p: int,
 ):
     b = pl.program_id(0)
     hh = pl.program_id(1)
@@ -168,10 +181,10 @@ def _kernel_head(
         def _():
             fix_bottom()
 
-    # Normalize + ReLU on load (mean/inv are lane-tiled to 32·C XLA-side).
+    # Normalize + ReLU on load (mean/inv are lane-tiled to p·C XLA-side).
     mean = m_ref[b]
     inv = i_ref[b]
-    xn = x_vmem[slot].astype(jnp.float32)  # (th+6, WG, 32C)
+    xn = x_vmem[slot].astype(jnp.float32)  # (th+6, WG, p·C)
     xn = jnp.maximum((xn - mean[None, None, :]) * inv[None, None, :], 0.0)
     xn = xn.astype(x_vmem.dtype)
 
@@ -184,42 +197,46 @@ def _kernel_head(
         preferred_element_type=jnp.float32,
     )
     for dy in range(_KS):
-        xm = xn[dy : dy + th]  # (th, WG, 32C)
+        xm = xn[dy : dy + th]  # (th, WG, p·C)
         acc = acc + dot(xm, kb_ref[dy])
-        # Left-neighbor window slots (m 0..3 = pixels 32g−4..32g−1): the
+        # Left-neighbor window slots (m 0..3 = pixels p·g−4..p·g−1): the
         # previous group's last 4 pixels; group 0 takes the W-reflect
         # pixels 4, 3, 2, 1 (x[−k] ≡ x[k]; m=0 multiplies zero weights).
         ledge = jnp.concatenate(
             [xm[:, 0, 4 * c : 5 * c], xm[:, 0, 3 * c : 4 * c],
              xm[:, 0, 2 * c : 3 * c], xm[:, 0, 1 * c : 2 * c]], axis=-1,
         )
-        xl = jnp.concatenate([ledge[:, None], xm[:, :-1, 28 * c :]], axis=1)
+        xl = jnp.concatenate(
+            [ledge[:, None], xm[:, :-1, (p - 4) * c :]], axis=1
+        )
         acc = acc + dot(xl, ka_ref[dy])
-        # Right-neighbor slots (m 36..39 = pixels 32g+32..35): the next
+        # Right-neighbor slots (m p+4..p+7 = pixels p·g+p..p+3): the next
         # group's first 4; the last group takes reflect pixels W−2..W−5
-        # (x[W−1+k] ≡ x[W−1−k]; m=39 multiplies zero weights).
+        # (x[W−1+k] ≡ x[W−1−k]; m=p+7 multiplies zero weights).
         # NOTE: a NEGATIVE integer index (xm[:, -1]) routes through
         # dynamic_slice, which Mosaic cannot lower; the positive static
         # index takes the lax.slice path and lowers fine.
         lg = xm.shape[1] - 1
         redge = jnp.concatenate(
-            [xm[:, lg, 30 * c : 31 * c], xm[:, lg, 29 * c : 30 * c],
-             xm[:, lg, 28 * c : 29 * c], xm[:, lg, 27 * c : 28 * c]], axis=-1,
+            [xm[:, lg, (p - 2) * c : (p - 1) * c],
+             xm[:, lg, (p - 3) * c : (p - 2) * c],
+             xm[:, lg, (p - 4) * c : (p - 3) * c],
+             xm[:, lg, (p - 5) * c : (p - 4) * c]], axis=-1,
         )
         xr = jnp.concatenate([xm[:, 1:, : 4 * c], redge[:, None]], axis=1)
         acc = acc + dot(xr, kc_ref[dy])
     o_ref[...] = acc.astype(o_ref.dtype)[None]
 
 
-def _pick_tile(h: int, wg: int, c: int, limit: int) -> int | None:
+def _pick_tile(h: int, wg: int, c: int, p: int, limit: int) -> int | None:
     """Largest H-tile whose double-buffered bf16 scratch + the ~3 f32 tile
     temporaries (normalize intermediates; Mosaic's OOM accounting includes
     them) fit the scoped VMEM cap."""
     for th in (32, 16, 8, 4):
         if h % th != 0 or th > h:
             continue
-        scratch = 2 * (th + 6) * wg * _PACK * c * 2
-        temps = 3 * (th + 6) * wg * _PACK * c * 4
+        scratch = 2 * (th + 6) * wg * p * c * 2
+        temps = 3 * (th + 6) * wg * p * c * 4
         if scratch + temps > int(limit * 0.75):
             continue
         return th
@@ -227,15 +244,16 @@ def _pick_tile(h: int, wg: int, c: int, limit: int) -> int | None:
 
 
 def head_supported(shape: tuple[int, ...], vmem_limit_mb: int = 96) -> bool:
-    """Shapes ``conv7x7_head_pallas`` can run on real TPU: W % 32 == 0
-    (group packing), 32·C % 128 == 0 (Mosaic halo-DMA lane tiling), H ≥ 8
-    (reflect sources inside one tile) with a valid H-tile."""
+    """Shapes ``conv7x7_head_pallas`` can run on real TPU: a group pack p
+    with W % p == 0, (W/p) % 8 == 0 (Mosaic sublane tiling of the packed
+    memref) and p·C % 128 == 0 (lane tiling), H ≥ 8 (reflect sources inside
+    one tile) with a valid H-tile."""
     _, h, w, c = shape
+    p = _pick_pack(w, c, 3)
     return (
-        w % _PACK == 0
-        and (_PACK * c) % 128 == 0
+        p is not None
         and h >= 8
-        and _pick_tile(h, w // _PACK, c, vmem_limit_mb * 1024 * 1024) is not None
+        and _pick_tile(h, w // p, c, p, vmem_limit_mb * 1024 * 1024) is not None
     )
 
 
@@ -246,6 +264,7 @@ def conv7x7_head_pallas(
     kernel: jnp.ndarray,
     *,
     tile_h: int | None = None,
+    pack: int | None = None,
     vmem_limit_mb: int = 96,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -256,21 +275,25 @@ def conv7x7_head_pallas(
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
     assert kernel.shape == (_KS, _KS, c, cout), (kernel.shape, x.shape)
-    assert w % _PACK == 0, f"W={w} must be a multiple of {_PACK}"
     assert h >= 8, f"H={h} too small for 3-row reflect halos"
     assert mean.shape == (b, c) and inv.shape == (b, c), (mean.shape, inv.shape)
-    assert interpret or (_PACK * c) % 128 == 0, (
-        f"conv7x7_head_pallas: 32·C={_PACK * c} not 128-aligned for halo DMA"
+    p = pack or _pick_pack(w, c, cout)
+    if p is None and interpret:  # parity tests only need W % p == 0
+        p = next((q for q in _PACKS if w % q == 0), None)
+    assert p is not None and w % p == 0, (
+        f"conv7x7_head_pallas: no group pack fits W={w}, C={c} "
+        f"(need W%p==0, (W/p)%8==0, p·C%128==0 for p in {_PACKS})"
     )
-    wg = w // _PACK
-    th = tile_h or _pick_tile(h, wg, c, vmem_limit_mb * 1024 * 1024)
+    assert p >= 8, p  # ledge/redge draw 4+1 pixels from a single group
+    wg = w // p
+    th = tile_h or _pick_tile(h, wg, c, p, vmem_limit_mb * 1024 * 1024)
     assert th is not None and h % th == 0, (x.shape, th)
     nh = h // th
 
-    xg = x.reshape(b, h, wg, _PACK * c)  # one XLA relayout pass
-    ka, kb, kc = _pack_head_kernels(kernel.astype(x.dtype))
-    m32 = jnp.tile(mean.astype(jnp.float32), (1, _PACK))
-    i32 = jnp.tile(inv.astype(jnp.float32), (1, _PACK))
+    xg = x.reshape(b, h, wg, p * c)  # one XLA relayout pass
+    ka, kb, kc = _pack_head_kernels(kernel.astype(x.dtype), p)
+    m32 = jnp.tile(mean.astype(jnp.float32), (1, p))
+    i32 = jnp.tile(inv.astype(jnp.float32), (1, p))
 
     vmem = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
     anym = pltpu.ANY if (_HAVE_PLTPU and not interpret) else None
@@ -285,8 +308,8 @@ def conv7x7_head_pallas(
             transcendentals=0,
         )
     out = pl.pallas_call(
-        functools.partial(_kernel_head, th=th, h=h, nh=nh, c=c),
-        out_shape=jax.ShapeDtypeStruct((b, h, wg, _PACK * cout), x.dtype),
+        functools.partial(_kernel_head, th=th, h=h, nh=nh, c=c, p=p),
+        out_shape=jax.ShapeDtypeStruct((b, h, wg, p * cout), x.dtype),
         grid=(b, nh),
         in_specs=[
             pl.BlockSpec(memory_space=anym),
@@ -297,11 +320,11 @@ def conv7x7_head_pallas(
             pl.BlockSpec(memory_space=vmem),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, wg, _PACK * cout), lambda i, j: (i, j, 0, 0),
+            (1, th, wg, p * cout), lambda i, j: (i, j, 0, 0),
             memory_space=vmem,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 6, wg, _PACK * c), x.dtype),
+            pltpu.VMEM((2, th + 6, wg, p * c), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -37,6 +37,8 @@ def _xla_chain(x, kernel):
         ((1, 8, 32, 8), 8),      # nh=1, WG=1 (edge windows only)
         ((1, 32, 96, 4), 8),     # nh=4 (mid DMA branch), WG=3
         ((2, 16, 64, 16), 16),   # nh=1 at th=16
+        ((1, 16, 80, 8), 8),     # p=40 pack (the 512×640 production pick)
+        ((2, 24, 120, 8), 8),    # p=40, WG=3, nh=3
     ],
 )
 def test_conv7x7_head_pallas_matches_chain(shape, tile_h):
@@ -54,12 +56,19 @@ def test_conv7x7_head_pallas_matches_chain(shape, tile_h):
 
 
 def test_head_supported_gates():
+    from ircolor_tpu.ops.pallas_head import _pick_pack
+
     assert head_supported((16, 512, 640, 64))
+    assert _pick_pack(640, 64, 3) == 40  # WG=16: 8-aligned sublane extent
     assert head_supported((16, 256, 256, 64))
-    assert not head_supported((1, 16, 60, 64))   # W % 32 != 0
-    assert not head_supported((1, 16, 64, 6))    # 32·C % 128 != 0
-    assert not head_supported((1, 4, 64, 64))    # H too small for halos
-    assert not head_supported((1, 18, 64, 64))   # no valid H-tile divisor
+    assert _pick_pack(256, 64, 3) == 32  # WG=8
+    # W=640 must NOT pick p=32: WG=20 fails Mosaic's 8-aligned sublane
+    # tiling on real TPU ("Slice shape along dimension 2 ... is 20").
+    assert not head_supported((1, 16, 60, 64))   # no pack divides W
+    assert not head_supported((1, 16, 64, 6))    # p·C % 128 != 0 for all p
+    assert not head_supported((1, 4, 640, 64))   # H too small for halos
+    assert not head_supported((1, 18, 640, 64))  # no valid H-tile divisor
+    assert _pick_pack(64, 64, 3) == 8            # p=32 rejected (WG=2), p=8 fits
 
 
 def test_outc_head_grad_matches_xla_chain():

@@ -63,15 +63,21 @@ def test_conv3x3_sum_fused_lowers(rng):
 
 
 def test_conv7x7_head_pallas_lowers(rng):
-    from ircolor_tpu.ops.pallas_head import conv7x7_head_pallas, outc_head
+    from ircolor_tpu.ops.pallas_head import _pick_pack, conv7x7_head_pallas, outc_head
 
-    x = _bf16(rng.rand(1, 32, 64, 64) * 2 - 1)
     k7 = _bf16(rng.randn(7, 7, 64, 3) * 0.05)
-    mean, inv = instance_norm_stats(x)
-    _lower_tpu(lambda v, m, i: conv7x7_head_pallas(v, m, i, k7), x, mean, inv)
-    _lower_tpu(
-        jax.grad(lambda v: outc_head(v, k7).astype(jnp.float32).sum()), x
-    )
+    # W=320 → p=40 (the 512×640 production pick: WG=8 sublane-aligned);
+    # W=256 → p=32 (the 256² pick). Both packs must stay lowerable.
+    for w, want_p in ((320, 40), (256, 32)):
+        assert _pick_pack(w, 64, 3) == want_p
+        x = _bf16(rng.rand(1, 32, w, 64) * 2 - 1)
+        mean, inv = instance_norm_stats(x)
+        _lower_tpu(
+            lambda v, m, i: conv7x7_head_pallas(v, m, i, k7), x, mean, inv
+        )
+        _lower_tpu(
+            jax.grad(lambda v: outc_head(v, k7).astype(jnp.float32).sum()), x
+        )
 
 
 def test_norm_relu_blur_down_lowers(rng):
