@@ -573,3 +573,250 @@ def conv3x3_sum_fused(
     var = stats[:, 1] / n - mean_out * mean_out
     inv_out = jax.lax.rsqrt(var + _EPS)
     return out, mean_out, inv_out
+
+
+# ---------------------------------------------------------------------------
+# int8 fused variant (opt-in serving mode): same one-read/one-write schedule,
+# but the three dx-concat contractions run on the MXU's 2× int8 path.
+# ---------------------------------------------------------------------------
+
+# Fixed post-IN quantization clip: conv2's input is instance-normalized
+# (unit variance) and ReLU'd, so clipping at 6σ loses essentially nothing
+# and a FIXED scale avoids any cross-tile amax dependency in-kernel.
+_QCLIP = 6.0
+
+
+def _kernel_q(
+    x_hbm, k_ref, *rest, th: int, w: int, h: int, nh: int, norm_in: bool,
+):
+    """int8 twin of ``_kernel``: HBM stays bf16 (identical DMA + traffic);
+    the VMEM tile is quantized on load — conv1 by the per-sample dynamic
+    scale ``q_ref`` (=127/amax), conv2 by normalize→ReLU→fixed 127/6σ —
+    and the three dx matmuls contract int8×int8→int32. The (B, Cout) f32
+    ``sc_ref`` (= s_in·s_w[co]) dequantizes the accumulator in the epilogue;
+    output tile + Σy/Σy² stats are bit-identical in structure to the float
+    kernel's, so IN₂ absorbs the scales exactly (ops/quant.py docstring).
+    """
+    if norm_in:
+        m_ref, i_ref, sc_ref, o_ref, s_ref, x_vmem, xcat, sems = rest
+        q_ref = None
+    else:
+        q_ref, sc_ref, o_ref, s_ref, x_vmem, xcat, sems = rest
+        m_ref = i_ref = None
+
+    b = pl.program_id(0)
+    hh = pl.program_id(1)
+    lin = b * nh + hh
+    total = pl.num_programs(0) * nh
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def run(linear, slot_idx, action):
+        bb = jax.lax.div(linear, nh)
+        jj = jax.lax.rem(linear, nh)
+        for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
+                                   th=th, h=h, nh=nh):
+            if pred is None:
+                getattr(cp, action)()
+            else:
+                @pl.when(pred)
+                def _(cp=cp):
+                    getattr(cp, action)()
+
+    @pl.when(lin == 0)
+    def _():
+        run(lin, slot, "start")
+
+    @pl.when(lin + 1 < total)
+    def _():
+        run(lin + 1, nslot, "start")
+
+    run(lin, slot, "wait")
+
+    if nh == 1:
+        x_vmem[slot, 0] = x_vmem[slot, 2]
+        x_vmem[slot, th + 1] = x_vmem[slot, th - 1]
+    else:
+        @pl.when(hh == 0)
+        def _():
+            x_vmem[slot, 0] = x_vmem[slot, 2]
+
+        @pl.when(hh == nh - 1)
+        def _():
+            x_vmem[slot, th + 1] = x_vmem[slot, th - 1]
+
+    xin = x_vmem[slot].astype(jnp.float32)
+    c = xin.shape[-1]
+    if norm_in:
+        mean = m_ref[b]
+        inv = i_ref[b]
+        xin = jnp.maximum(
+            (xin - mean[None, None, :]) * inv[None, None, :], 0.0
+        )
+        xq = jnp.minimum(jnp.round(xin * (127.0 / _QCLIP)), 127.0)
+    else:
+        xq = jnp.clip(jnp.round(xin * q_ref[b]), -127.0, 127.0)
+    xq = xq.astype(jnp.int8)
+
+    xcat[:, :, c : 2 * c] = xq
+    xcat[:, 1:, 0:c] = xq[:, : w - 1]
+    xcat[:, 0:1, 0:c] = xq[:, 1:2]
+    xcat[:, : w - 1, 2 * c :] = xq[:, 1:]
+    xcat[:, w - 1 : w, 2 * c :] = xq[:, w - 2 : w - 1]
+
+    cout = o_ref.shape[-1]
+    acc = jnp.zeros((th, w, cout), jnp.int32)
+    for dy in range(3):
+        acc = acc + jax.lax.dot_general(
+            xcat[dy : dy + th],
+            k_ref[dy],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    accf = acc.astype(jnp.float32) * sc_ref[b][None, None, :]
+    o_ref[...] = accf.astype(o_ref.dtype)[None]
+
+    tile = jnp.stack(
+        [jnp.sum(accf, axis=(0, 1)), jnp.sum(accf * accf, axis=(0, 1))]
+    )[None]
+
+    @pl.when(hh == 0)
+    def _():
+        s_ref[...] = tile
+
+    @pl.when(hh != 0)
+    def _():
+        s_ref[...] = s_ref[...] + tile
+
+
+def conv3x3_reflect_fused_q(
+    x: jnp.ndarray,
+    kq: jnp.ndarray,
+    sc: jnp.ndarray,
+    *,
+    qscale: jnp.ndarray | None = None,
+    mean: jnp.ndarray | None = None,
+    inv: jnp.ndarray | None = None,
+    tile_h: int = 16,
+    vmem_limit_mb: int = 100,
+    interpret: bool = False,
+):
+    """int8-MXU reflect-padded 3×3 conv of float ``x`` (B, H, W, C).
+
+    ``kq``: (3, 3, C, Cout) int8 per-output-channel quantized weights.
+    ``sc``: (B, Cout) f32 output dequant scale = s_in · s_w[co].
+    Exactly one of:
+    * ``qscale`` (B,) f32 = 127/amax(|x|) per sample — conv1: quantize the
+      raw input on load;
+    * ``mean``/``inv`` (B, C) — conv2: IN-normalize + ReLU on load, then
+      quantize by the fixed 127/6σ scale (``sc`` must carry 6/127·s_w).
+    Returns (y float, IN mean, IN inv_std of y) like conv3x3_reflect_fused.
+    """
+    b, h, w, c = x.shape
+    cout = kq.shape[-1]
+    assert kq.dtype == jnp.int8 and kq.shape[:3] == (3, 3, c), kq.shape
+    assert sc.shape == (b, cout), sc.shape
+    norm_in = mean is not None
+    assert norm_in != (qscale is not None), "need exactly one of qscale / stats"
+    assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
+    assert w % 8 == 0, f"W={w} must be 8-aligned"
+    assert interpret or c % 128 == 0, (
+        f"conv3x3_reflect_fused_q: input C={c} not 128-aligned for halo DMA"
+    )
+    nh = h // tile_h
+
+    kpacked = kq.reshape(3, 3 * c, cout)
+
+    vmem = pltpu.VMEM if not interpret else None
+    anym = pltpu.ANY if not interpret else None
+    in_specs = [pl.BlockSpec(memory_space=anym), pl.BlockSpec(memory_space=vmem)]
+    operands = [x, kpacked]
+    stat_spec = pl.BlockSpec(memory_space=vmem)
+    if norm_in:
+        in_specs += [stat_spec, stat_spec]
+        operands += [mean.astype(jnp.float32), inv.astype(jnp.float32)]
+    else:
+        in_specs += [stat_spec]
+        operands += [qscale.astype(jnp.float32)]
+    in_specs += [stat_spec]
+    operands += [sc.astype(jnp.float32)]
+
+    kernel_fn = functools.partial(
+        _kernel_q, th=tile_h, w=w, h=h, nh=nh, norm_in=norm_in
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * b * h * w * 9 * c * cout,
+            bytes_accessed=(x.size + b * h * w * cout) * x.dtype.itemsize,
+            transcendentals=0,
+        )
+    out, stats = pl.pallas_call(
+        kernel_fn,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+            jax.ShapeDtypeStruct((b, 2, cout), jnp.float32),
+        ),
+        grid=(b, nh),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, tile_h, w, cout), lambda i, j: (i, j, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, 2, cout), lambda i, j: (i, 0, 0),
+                         memory_space=vmem),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, w, c), x.dtype),
+            pltpu.VMEM((tile_h + 2, w, 3 * c), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*operands)
+    n = h * w
+    mean_out = stats[:, 0] / n
+    var = stats[:, 1] / n - mean_out * mean_out
+    inv_out = jax.lax.rsqrt(var + _EPS)
+    return out, mean_out, inv_out
+
+
+def resnet_block_pallas_q(
+    x: jnp.ndarray,
+    k1: jnp.ndarray,
+    k2: jnp.ndarray,
+    *,
+    tile_h: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8-MXU ResnetBlock (inference-only — round-to-nearest has zero
+    gradient, same stance as ops/quant.py): the fused-block schedule of
+    ``resnet_block_pallas`` with both convs on the int8 path. HBM traffic
+    is identical (bf16 tensors); only the matmul floor halves. Scales are
+    absorbed exactly by the INs each conv feeds; the only added error is
+    int8 rounding on activations/weights (ref semantics
+    `/root/reference/Code/ir_colorization.py:362-418`).
+    """
+    from ircolor_tpu.ops.quant import _AMAX_FLOOR, quantize_weight_per_channel
+
+    b = x.shape[0]
+    kq1, sw1 = quantize_weight_per_channel(k1)
+    kq2, sw2 = quantize_weight_per_channel(k2)
+    # Per-sample dynamic range of the raw block input (XLA fuses the amax
+    # into the producer's elementwise epilogue).
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3)), _AMAX_FLOOR
+    )
+    qs = 127.0 / amax
+    sc1 = (amax / 127.0)[:, None] * sw1[None, :]
+    raw1, m1, i1 = conv3x3_reflect_fused_q(
+        x, kq1, sc1, qscale=qs, tile_h=tile_h, interpret=interpret
+    )
+    sc2 = jnp.broadcast_to((_QCLIP / 127.0) * sw2[None, :], (b, k2.shape[-1]))
+    raw2, m2, i2 = conv3x3_reflect_fused_q(
+        raw1, kq2, sc2, mean=m1, inv=i1, tile_h=tile_h, interpret=interpret
+    )
+    y = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
+    return x + y.astype(x.dtype)

@@ -99,3 +99,12 @@ def test_blur_downsample_pallas_lowers(rng):
 
     x = _bf16(rng.rand(1, 32, 64, 128) * 2 - 1)
     _lower_tpu(blur_downsample_pallas, x)
+
+
+def test_resnet_block_pallas_q_lowers(rng):
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas_q
+
+    x = _bf16(rng.rand(1, 32, 64, 256) * 2 - 1)
+    k1 = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
+    k2 = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
+    _lower_tpu(lambda v: resnet_block_pallas_q(v, k1, k2, tile_h=16), x)

@@ -130,3 +130,75 @@ def test_sum_fused_two_inputs_matches_concat_conv(pad, tile_h):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
     m_ref, _ = _stats(want)
     np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-4)
+
+
+# --- int8 fused variant (serving mode) ---
+
+
+def _fake_quant_block_reference(x, k1, k2):
+    """Exact XLA twin of resnet_block_pallas_q's math: int-valued convs with
+    int32 accumulation, identical scale placement and stats order."""
+    from ircolor_tpu.ops.quant import _AMAX_FLOOR, quantize_weight_per_channel
+    from ircolor_tpu.ops.pallas_resblock import _QCLIP
+
+    kq1, sw1 = quantize_weight_per_channel(k1)
+    kq2, sw2 = quantize_weight_per_channel(k2)
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3)), _AMAX_FLOOR)
+
+    def int_conv(xq_i8, kq):
+        pad = reflect_pad2d(xq_i8.astype(jnp.int8), 1)
+        y32 = jax.lax.conv_general_dilated(
+            pad, kq, (1, 1), "VALID",
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                pad.shape, kq.shape, ("NHWC", "HWIO", "NHWC")
+            ),
+            preferred_element_type=jnp.int32,
+        )
+        return y32
+
+    xq1 = jnp.clip(jnp.round(xf * (127.0 / amax)[:, None, None, None]), -127, 127)
+    sc1 = (amax / 127.0)[:, None] * sw1[None, :]
+    y1 = int_conv(xq1, kq1).astype(jnp.float32) * sc1[:, None, None, :]
+    m1, i1 = _stats(y1)
+    z = jnp.maximum((y1 - m1[:, None, None, :]) * i1[:, None, None, :], 0.0)
+    xq2 = jnp.minimum(jnp.round(z * (127.0 / _QCLIP)), 127.0)
+    y2 = int_conv(xq2, kq2).astype(jnp.float32) * (
+        (_QCLIP / 127.0) * sw2[None, :]
+    )[:, None, None, :]
+    m2, i2 = _stats(y2)
+    out = xf + (y2 - m2[:, None, None, :]) * i2[:, None, None, :]
+    return out.astype(x.dtype)
+
+
+@pytest.mark.parametrize("tile_h", [4, 16])
+def test_resnet_block_pallas_q_matches_fake_quant_reference(tile_h):
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas_q
+
+    rng = np.random.RandomState(3)
+    B, H, W, C = 2, 16, 24, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    want = np.asarray(_fake_quant_block_reference(x, k1, k2))
+    got = np.asarray(
+        resnet_block_pallas_q(x, k1, k2, tile_h=tile_h, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_resnet_block_pallas_q_tracks_float_block():
+    """Quantized block ≈ float block within int8 rounding noise (the scales
+    are absorbed by the INs — any systematic scale error would blow this)."""
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas_q
+
+    rng = np.random.RandomState(4)
+    B, H, W, C = 2, 16, 24, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    fl = np.asarray(resnet_block_pallas(x, k1, k2, tile_h=4, interpret=True))
+    q = np.asarray(resnet_block_pallas_q(x, k1, k2, tile_h=4, interpret=True))
+    # The residual dominates; the quantized branch should stay close.
+    assert np.max(np.abs(q - fl)) < 0.25
+    assert np.mean(np.abs(q - fl)) < 0.03

@@ -180,6 +180,11 @@ def build_forward(
 
     def one_res(h, kpair):
         k1, k2 = kpair
+        if res_pallas == "int8":
+            from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas_q
+
+            th = 32 if h.shape[1] % 32 == 0 else 16
+            return resnet_block_pallas_q(h, k1, k2, tile_h=th)
         if res_pallas:
             from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
 
@@ -314,6 +319,14 @@ VARIANTS = {
     # int8 convs + the fused 7×7 head (independent sites — the head kernel
     # reads the float up2 output either way).
     "int8_head": dict(_BASE, quant=True, fused_head=True),
+    # int8 MXU matmuls INSIDE the fused block kernel (resnet_block_pallas_q:
+    # bf16 HBM traffic unchanged, quantize-on-load in VPU, int8 dx-concat
+    # contractions halve the 3.92 ms/block MXU floor). Unlike the XLA-level
+    # "int8" variant, no quantize epilogue ever touches HBM or breaks a
+    # fusion — the in-context number that decides the quantized-serving mode.
+    "pb_int8": dict(_BASE, res_pallas="int8"),
+    # int8 blocks + XLA int8 encoder/decoder convs (the full quant mode).
+    "pb_int8_full": dict(_BASE, res_pallas="int8", quant=True),
     # Bisection probes (WRONG math — perf attribution of the two strip pairs).
     "pb_fold7_tb": dict(_BASE, res_pallas=True, fold7="h"),
     "pb_fold7_lr": dict(_BASE, res_pallas=True, fold7="w"),

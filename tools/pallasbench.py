@@ -38,7 +38,11 @@ from ircolor_tpu.ops.norm import instance_norm
 from ircolor_tpu.ops.padding import reflect_pad2d
 from ircolor_tpu.ops.pallas_conv import conv3x3_valid_pallas, conv3x3_valid_pallas_v2
 from ircolor_tpu.ops.pallas_block import conv3x3_stats, conv3x3_norm_in_stats
-from ircolor_tpu.ops.pallas_resblock import conv3x3_reflect_fused, resnet_block_pallas
+from ircolor_tpu.ops.pallas_resblock import (
+    conv3x3_reflect_fused,
+    resnet_block_pallas,
+    resnet_block_pallas_q,
+)
 
 DT = jnp.bfloat16
 
@@ -147,6 +151,10 @@ def main():
         block_cases.append((
             f"pallas v3 block th={th}",
             lambda v, th=th: resnet_block_pallas(v, k1, k2, tile_h=th),
+        ))
+        block_cases.append((
+            f"pallas int8 block th={th}",
+            lambda v, th=th: resnet_block_pallas_q(v, k1, k2, tile_h=th),
         ))
     for name, fn in block_cases:
         if not selected(name):
