@@ -150,6 +150,18 @@ def main() -> None:
                                       args.iters, args.warmup)
         except Exception as exc:
             print(f"# 256x256 aux bench failed: {exc!r}", flush=True)
+    # int8 serving mode (--quant-int8 at the CLI; in-kernel int8 fused blocks
+    # + XLA int8 enc/dec convs) — recorded as an auxiliary field since round
+    # 3's in-context win (docs/PERF.md run C: 154.5 fps forward vs the float
+    # path's 136.9). The headline stays the reference-parity float path.
+    aux_int8 = None
+    if args.with_aux and not args.quant_int8:
+        try:
+            aux_int8 = bench_inference(args.height, args.width, args.batch,
+                                       args.dtype, args.iters, args.warmup,
+                                       quant=True)
+        except Exception as exc:
+            print(f"# int8 aux bench failed: {exc!r}", flush=True)
 
     result = {
         "metric": f"test-mode inference frames/sec/chip at {args.height}x{args.width}",
@@ -158,6 +170,7 @@ def main() -> None:
         "vs_baseline": round(infer_fps / 2000.0, 4),
         "train_frames_per_sec_per_chip": round(train_fps, 2) if train_fps else None,
         "infer_fps_256x256": round(aux_256, 2) if aux_256 else None,
+        "infer_fps_int8": round(aux_int8, 2) if aux_int8 else None,
         "batch": args.batch,
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),

@@ -199,26 +199,42 @@ class Config:
 
     # Fuse the down-stage IN-normalize+ReLU+reflect-blur-pool tails into one
     # normalize-on-load Pallas pass each (ops/pallas_blur.py). Differentiable
-    # (custom_vjp), identical params. Default OFF pending the in-context
-    # A/B (tools/fwdvariants.py pb_normblur); same gspmd-multi-device
-    # restriction as pallas_block (shard_map DP keeps it on).
-    pallas_norm_blur: bool = False
+    # (custom_vjp), identical params. Default ON for INFERENCE — in-context
+    # 512×640 b16 A/B: −1.34 ms (run B) / −1.59 ms (run C) vs the fused
+    # blocks alone (run A's +0.96 was the pre-fix kernel; docs/PERF.md r3).
+    # Same gspmd-multi-device restriction as pallas_block (shard_map DP
+    # keeps it on).
+    pallas_norm_blur: bool = True
 
     # Smallest down-stage conv-output plane (H·W px) the fused tail engages
-    # at; 0 = no area gate until the small-resolution A/B lands (the fused
-    # blocks needed one — 256² regressed — so the knob exists from day one).
-    pallas_norm_blur_min_area: int = 0
+    # at. 18000 keeps both 512×640 tails (81920 / 20480 px) and disables
+    # both at 256² (16384 / 4096 px), where the kernel loses (+5.41 ms,
+    # fwdvariants 256² run A).
+    pallas_norm_blur_min_area: int = 18000
+
+    # In TRAINING the fused tail LOSES (28.20 vs 28.43 f/s ship, b8
+    # 512×640, tools/trainbench.py nb_train runs A+B) — the custom_vjp
+    # recompute backward costs more than the fused forward saves — so
+    # training uses the XLA tails unless this is set (identical params).
+    pallas_norm_blur_train: bool = False
 
     # Fuse the whole output head (up2's IN-normalize+ReLU, the 3-px reflect
     # pad, and the 7×7 conv) into one Pallas read + lane-packed write
     # (ops/pallas_head.py). Differentiable (custom_vjp), identical params.
-    # Default OFF pending the in-context A/B (tools/fwdvariants.py pb_head);
-    # same gspmd-multi-device restriction as pallas_block (shard_map DP
+    # Default ON for INFERENCE — isolated 6.67 vs 10.74 ms (XLA segment),
+    # in-context −1.54 (run B) / −1.61 ms (run C) vs fused blocks alone.
+    # Same gspmd-multi-device restriction as pallas_block (shard_map DP
     # keeps it on).
-    pallas_head: bool = False
-    # Smallest head-input plane (H·W px) the fused head engages at; 0 = no
-    # area gate until the small-resolution A/B lands.
-    pallas_head_min_area: int = 0
+    pallas_head: bool = True
+    # Smallest head-input plane (H·W px) the fused head engages at. 100000
+    # keeps 512×640 (327680 px) and disables 256² (65536 px), where the
+    # kernel loses (+7.29 ms, fwdvariants 256² run A).
+    pallas_head_min_area: int = 100000
+
+    # In TRAINING the fused head LOSES (27.92 vs 28.43 f/s ship, b8
+    # 512×640, trainbench head_train runs A+B) — training uses the XLA
+    # head unless this is set (identical params).
+    pallas_head_train: bool = False
 
     # int8 MXU serving mode (ops/quant.py): the generator's heavy convs run
     # int8×int8→int32 on the MXU's 2× path (394 vs 197 TOPS on v5e) with

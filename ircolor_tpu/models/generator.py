@@ -46,7 +46,10 @@ from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
 from ircolor_tpu.ops.pallas_blur import norm_blur_supported, norm_relu_blur_down
 from ircolor_tpu.ops.pallas_head import head_supported, outc_head
 from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
-from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+from ircolor_tpu.ops.pallas_resblock import (
+    resnet_block_pallas,
+    resnet_block_pallas_q,
+)
 from ircolor_tpu.ops.resize import bilinear_align_corners
 
 
@@ -177,7 +180,6 @@ class ResnetBlock(nn.Module):
         th = _fused_tile_h(x.shape[1])
         if (
             self.norm == "instance"
-            and not quant  # int8 convs replace the fused bf16 kernel
             and self.pallas_block
             and not self.use_dropout
             and self.padding_type == "reflect"
@@ -195,6 +197,17 @@ class ResnetBlock(nn.Module):
         ):
             k1 = _ConvParams(self.dim, self.use_bias, name="conv1")(x.shape[-1])
             k2 = _ConvParams(self.dim, self.use_bias, name="conv2")(self.dim)
+            if quant:
+                # int8 serving mode INSIDE the fused schedule: HBM tensors
+                # stay bf16, the VMEM tile quantizes on load, the dx-concat
+                # contractions run int8×int8→int32 on the MXU's 2× path.
+                # In-context 512×640 b16: 105.7 vs 119.6 ms for the bf16
+                # kernel (fwdvariants pb_int8, docs/PERF.md r3 run C) — vs
+                # the XLA QuantConv fallback below, whose inter-conv
+                # quantize epilogues measured NULL.
+                return resnet_block_pallas_q(
+                    x, k1.astype(self.dtype), k2.astype(self.dtype), tile_h=th
+                )
             return resnet_block_pallas(
                 x, k1.astype(self.dtype), k2.astype(self.dtype), tile_h=th
             )

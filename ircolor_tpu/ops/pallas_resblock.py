@@ -736,7 +736,13 @@ def conv3x3_reflect_fused_q(
         in_specs += [stat_spec, stat_spec]
         operands += [mean.astype(jnp.float32), inv.astype(jnp.float32)]
     else:
-        in_specs += [stat_spec]
+        # (B,) per-sample scale: a 1-D VMEM ref puts B in the LANE dim, and
+        # Mosaic rejects dynamic lane-indexed scalar loads ("index in
+        # dimension 0 is a multiple of 128", r3c run). SMEM is the canonical
+        # home for dynamically-indexed scalars. (The 2-D (B, C) stat refs
+        # are fine in VMEM: their dynamic index lands on sublanes.)
+        smem = pltpu.SMEM if not interpret else None
+        in_specs += [pl.BlockSpec(memory_space=smem)]
         operands += [qscale.astype(jnp.float32)]
     in_specs += [stat_spec]
     operands += [sc.astype(jnp.float32)]

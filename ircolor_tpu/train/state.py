@@ -79,6 +79,14 @@ def create_train_state(
         # float convs (identical params; a float-trained checkpoint serves
         # quantized).
         cfg = cfg.replace(quant_int8=False)
+    # nb / head kernels measured WORSE in training (trainbench nb_train /
+    # head_train, docs/PERF.md r3 runs A+B): default to the XLA paths for
+    # the train step unless their explicit train flags are set (identical
+    # params — checkpoints from either path load into the other).
+    if cfg.pallas_norm_blur and not cfg.pallas_norm_blur_train:
+        cfg = cfg.replace(pallas_norm_blur=False)
+    if cfg.pallas_head and not cfg.pallas_head_train:
+        cfg = cfg.replace(pallas_head=False)
     if (
         (cfg.pallas_block and cfg.pallas_block_train)
         or cfg.pallas_norm_blur

@@ -373,7 +373,10 @@ def test_check_spatial_compat_rejects_pallas_block_when_kernels_available(
     monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
     with pytest.raises(ValueError, match="pallas_block"):
         check_spatial_compat(mod, mesh)
-    check_spatial_compat(mod.clone(pallas_block=False), mesh)
+    check_spatial_compat(
+        mod.clone(pallas_block=False, pallas_norm_blur=False, pallas_head=False),
+        mesh,
+    )
 
 
 def test_create_train_state_keeps_pallas_for_shardmap(eight_cpu_devices):

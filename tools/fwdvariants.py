@@ -327,6 +327,13 @@ VARIANTS = {
     "pb_int8": dict(_BASE, res_pallas="int8"),
     # int8 blocks + XLA int8 encoder/decoder convs (the full quant mode).
     "pb_int8_full": dict(_BASE, res_pallas="int8", quant=True),
+    # int8 blocks + the bf16 nb/head kernels (no XLA quant convs).
+    "int8_nbh": dict(_BASE, res_pallas="int8", norm_blur=True, fused_head=True),
+    # The full int8 serving candidate: int8 blocks + XLA int8 enc/dec convs
+    # + bf16 nb/head kernels — what `--quant-int8` ships if it wins.
+    "int8_ship": dict(
+        _BASE, res_pallas="int8", quant=True, norm_blur=True, fused_head=True
+    ),
     # Bisection probes (WRONG math — perf attribution of the two strip pairs).
     "pb_fold7_tb": dict(_BASE, res_pallas=True, fold7="h"),
     "pb_fold7_lr": dict(_BASE, res_pallas=True, fold7="w"),

@@ -1,0 +1,108 @@
+#!/bin/bash
+# Round-3 run D: re-measure the int8 fused block after the SMEM scale fix
+# (run C: Mosaic rejected the (B,)-VMEM dynamic scalar load — 1-D refs put
+# B in lanes; the per-sample quant scale now rides SMEM), plus the verify
+# recipe's CLI legs. Run SERIALLY on the TPU (CLAUDE.md).
+# Usage: bash tools/r3d_kernel_run.sh [logdir]
+set -u
+LOG=${1:-/tmp/r3drun}
+mkdir -p "$LOG"
+cd "$(dirname "$0")/.."
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ===" | tee -a "$LOG/driver.log"
+  timeout "$TMO" "$@" > "$LOG/$name.log" 2>&1
+  rc=$?
+  tail -25 "$LOG/$name.log" | tee -a "$LOG/driver.log"
+  echo "=== $name rc=$rc ===" | tee -a "$LOG/driver.log"
+}
+
+# 1. Hardware parity: compiled-on-TPU vs interpret (interpret semantics are
+#    pinned to the exact fake-quant XLA twin on CPU).
+TMO=1800 run int8parity python - <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas_q
+rng = np.random.RandomState(0)
+x = jnp.asarray(rng.randn(2, 32, 160, 256).astype(np.float32) * 0.5).astype(jnp.bfloat16)
+k1 = jnp.asarray(rng.randn(3, 3, 256, 256).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+k2 = jnp.asarray(rng.randn(3, 3, 256, 256).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+for th in (16, 32):
+    got = np.asarray(jax.jit(
+        lambda x, k1, k2: resnet_block_pallas_q(x, k1, k2, tile_h=th))(x, k1, k2),
+        dtype=np.float32)
+    want = np.asarray(resnet_block_pallas_q(x, k1, k2, tile_h=th, interpret=True),
+                      dtype=np.float32)
+    d = np.abs(got - want).max()
+    print(f"th={th}: max|tpu - interpret| = {d:.3e}", flush=True)
+    assert d <= 3e-2, d
+print("INT8 BLOCK TPU PARITY PASS", flush=True)
+EOF
+
+# 2. Isolated int8 block vs the bf16 fused block at the bottleneck shape.
+TMO=2400 run blockbench python tools/pallasbench.py \
+  --cases "xla resblock,v3 block,int8 block"
+
+# 3. In-context A/B at 512x640 b16: the full int8 serving combos vs the
+#    float champions (same-process deltas; pallas_block is the anchor).
+TMO=6000 run fwd512e python tools/fwdvariants.py \
+  --variants pallas_block,pb_nb_head,pb_int8_full,int8_nbh,int8_ship
+
+# 3b. Full-res head-kernel parity on hardware (p=40 pack at W=640; the
+#     pallassmoke parity ran small shapes only).
+TMO=1800 run headparity python - <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+from ircolor_tpu.ops.pallas_head import outc_head
+from ircolor_tpu.ops.norm import instance_norm
+from ircolor_tpu.ops.padding import reflect_pad2d
+from ircolor_tpu.ops.conv import conv2d
+rng = np.random.RandomState(0)
+x = jnp.asarray(rng.randn(2, 512, 640, 64).astype(np.float32) * 0.5).astype(jnp.bfloat16)
+k = jnp.asarray(rng.randn(7, 7, 64, 3).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+
+def xla_ref(x, k):
+    y = jax.nn.relu(instance_norm(x))
+    return conv2d(reflect_pad2d(y, 3), k, padding="VALID")
+
+got = np.asarray(jax.jit(outc_head)(x, k), dtype=np.float32)
+want = np.asarray(jax.jit(xla_ref)(x, k), dtype=np.float32)
+d = np.abs(got - want).max()
+print(f"head 512x640 p=40: max|pallas - xla| = {d:.3e}", flush=True)
+assert d <= 6e-2, d
+print("HEAD FULL-RES TPU PARITY PASS", flush=True)
+EOF
+
+# 4. Verify-recipe CLI legs at 64^2 (synthetic tree; cached compiles).
+TMO=3600 run vtest python - <<'EOF'
+from ircolor_tpu.data.synthetic import make_kaist_tree
+make_kaist_tree("/tmp/vtree", {"set02": {"V000": 6}, "set00": {"V000": 8}}, size_hw=(64, 64))
+import sys
+from ircolor_tpu.cli import main
+sys.argv = ["ircolor", "test", "--img-size", "64", "--test-batch-size", "4",
+            "--test-roots", "/tmp/vtree/set02", "--output-dir", "/tmp/vout",
+            "--topk", "3"]
+main()
+EOF
+TMO=3600 run vtrain python - <<'EOF'
+import sys
+from ircolor_tpu.cli import main
+sys.argv = ["ircolor", "train", "--img-size", "64", "--batch-size", "2",
+            "--epochs", "1", "--save-every", "1", "--n-blocks", "1",
+            "--ngf", "8", "--train-roots", "/tmp/vtree/set00",
+            "--save-dir", "/tmp/vckpt", "--lr-decay-start-epoch", "1"]
+main()
+EOF
+TMO=2400 run vchain python - <<'EOF'
+import sys
+from ircolor_tpu.cli import main
+sys.argv = ["ircolor", "test", "--img-size", "64", "--test-batch-size", "4",
+            "--test-roots", "/tmp/vtree/set02", "--output-dir", "/tmp/vout2",
+            "--topk", "3", "--test-g-weights", "/tmp/vckpt/netG_best.pth",
+            "--n-blocks", "1", "--ngf", "8"]
+main()
+EOF
+
+# 5. Bench refresh on the new shipped defaults (fused blocks + nb + head).
+TMO=6000 run bench python bench.py
+
+echo "ALL DONE -> $LOG" | tee -a "$LOG/driver.log"
