@@ -395,6 +395,25 @@ def test_create_train_state_keeps_pallas_for_shardmap(eight_cpu_devices):
     assert not g_gspmd.pallas_block
 
 
+def test_create_train_state_clears_nb_head_without_train_flags():
+    """pallas_norm_blur / pallas_head default ON for inference but measured
+    WORSE in training (docs/PERF.md r3 trainbench nb_train/head_train):
+    create_train_state drops them unless the explicit *_train flags are set
+    (identical param tree either way, so checkpoints interchange)."""
+    # dp_devices=1: single-device mesh, so only the *_train flag logic (not
+    # the multi-device GSPMD rule) decides.
+    base = dict(img_size=32, batch_size=2, n_blocks=1, dp_devices=1)
+    cfg = Config(**base)
+    assert cfg.pallas_norm_blur and cfg.pallas_head  # shipped inference defaults
+    _, g, _, _ = create_train_state(cfg, steps_per_epoch=5)
+    assert not g.pallas_norm_blur and not g.pallas_head
+    _, g_opt, _, _ = create_train_state(
+        Config(pallas_norm_blur_train=True, pallas_head_train=True, **base),
+        steps_per_epoch=5,
+    )
+    assert g_opt.pallas_norm_blur and g_opt.pallas_head
+
+
 def test_shardmap_fused_blocks_match_single_device(eight_cpu_devices, monkeypatch):
     """dp_mode='shard_map' + fused Pallas resblocks (interpret mode on CPU):
     the 8-device explicit-collectives step matches the single-device step
