@@ -288,9 +288,43 @@ class ResnetUNetGenerator(nn.Module):
         use_bias = use_bias_for_norm(self.norm)
         ngf = self.ngf
         quant = self.quant_int8 and not train  # int8 is inference-only
+        # XLA int8 enc/dec convs LOSE when the fused nb/head kernels engage
+        # (+3.0 ms at 512×640 b16: fwdvariants int8_ship 106.0 vs int8_nbh
+        # 103.0 ms, docs/PERF.md r3 run D) — their dequantize epilogues sit
+        # exactly where those kernels' normalize-on-load reads would fuse.
+        # When either fused kernel will engage for THIS input (flags + area
+        # gates + shape support), keep the XLA convs bf16; int8 then rides
+        # inside the fused blocks (resnet_block_pallas_q). Where neither
+        # engages (e.g. 256², CPU, --no-pallas-*) the XLA QuantConv path
+        # stays on (it won in that context: pb_int8_full 103.6 vs pb_int8
+        # 105.7, run C).
+        quant_convs = quant
+        if quant and _pallas_available() and _fused_dtype_ok(self.dtype):
+            bh, bw = x.shape[1], x.shape[2]
+            nb_on = (
+                self.pallas_norm_blur
+                and self.norm == "instance"
+                and not self.no_antialias
+                and any(
+                    hh * ww >= self.pallas_norm_blur_min_area
+                    and norm_blur_supported((1, hh, ww, cc))
+                    for hh, ww, cc in (
+                        (bh, bw, ngf * 2),          # down1 tail plane
+                        (bh // 2, bw // 2, ngf * 4),  # down2 tail plane
+                    )
+                )
+            )
+            head_on = (
+                self.pallas_head
+                and self.norm == "instance"
+                and bh * bw >= self.pallas_head_min_area
+                and head_supported((1, bh, bw, ngf))
+            )
+            if nb_on or head_on:
+                quant_convs = False
 
         def conv(name, feats, ksize, stride=1, padding="VALID", bias=use_bias):
-            if quant:
+            if quant_convs:
                 return QuantConv(
                     feats, ksize, stride=stride, padding=padding,
                     use_bias=bias, dtype=self.dtype, name=name,
@@ -399,7 +433,7 @@ class ResnetUNetGenerator(nn.Module):
         # conv over concat([y, x1]) without materializing the 384-ch concat.
         y = ConcatConv3x3(
             ngf * 2, use_bias=use_bias, dtype=self.dtype,
-            precision=self.precision, quant_int8=quant, name="up1_conv",
+            precision=self.precision, quant_int8=quant_convs, name="up1_conv",
         )(y, x1)
         y = norm_relu("up1_norm", y)
 
@@ -423,7 +457,7 @@ class ResnetUNetGenerator(nn.Module):
             y = bilinear_align_corners(y, x0.shape[1:3])     # fixup (ref :562-563)
         y = ConcatConv3x3(
             ngf, use_bias=use_bias, dtype=self.dtype,
-            precision=self.precision, quant_int8=quant, name="up2_conv",
+            precision=self.precision, quant_int8=quant_convs, name="up2_conv",
         )(y, x0)
 
         # --- output head (bias always on: ref :529 has no bias= kwarg) ---

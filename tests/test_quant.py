@@ -238,3 +238,43 @@ def test_generator_quant_variants_run(no_aa):
     x = jnp.zeros((1, 16, 16, 1), jnp.float32)
     y = mod.apply({"params": mod.init(jax.random.PRNGKey(0), x)["params"]}, x)
     assert y.shape == (1, 16, 16, 3)
+
+
+def test_quant_convs_disabled_when_fused_kernels_engage(monkeypatch):
+    """The XLA int8 enc/dec convs LOSE when the fused nb/head kernels engage
+    (+3.0 ms at 512×640 b16: fwdvariants int8_ship 106.0 vs int8_nbh 103.0,
+    docs/PERF.md r3 run D): the generator must keep those convs bf16
+    whenever either fused kernel will run, and keep the QuantConv path
+    where neither does. n_blocks=0 isolates the enc/dec sites (resblocks
+    carry their own int8 handling)."""
+    import functools
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.ops.pallas_blur import norm_relu_blur_down
+    from ircolor_tpu.ops.pallas_head import outc_head
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    monkeypatch.setattr(
+        gen_mod, "norm_relu_blur_down",
+        functools.partial(norm_relu_blur_down, interpret=True),
+    )
+    monkeypatch.setattr(
+        gen_mod, "outc_head", functools.partial(outc_head, interpret=True)
+    )
+    kw = dict(n_blocks=0, dtype=jnp.float32, quant_int8=True)
+    fused = ResnetUNetGenerator(
+        pallas_norm_blur=True, pallas_norm_blur_min_area=0,
+        pallas_head=True, pallas_head_min_area=0, **kw,
+    )
+    plain = ResnetUNetGenerator(**kw)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    hlo_fused = (
+        jax.jit(lambda p, v: fused.apply({"params": p}, v)).lower(params, x).as_text()
+    )
+    assert "xi8>" not in hlo_fused, "QuantConv engaged alongside fused kernels"
+    hlo_plain = (
+        jax.jit(lambda p, v: plain.apply({"params": p}, v)).lower(params, x).as_text()
+    )
+    assert "xi8>" in hlo_plain, "QuantConv path lost without fused kernels"

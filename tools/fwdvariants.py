@@ -100,6 +100,8 @@ def build_forward(
     norm_blur=False,
     fused_head=False,
     quant=False,
+    nb_const_stats=False,
+    in_off_sites=(),
 ):
     rng = np.random.RandomState(0)
 
@@ -119,8 +121,10 @@ def build_forward(
 
     in_fn = instance_norm_onepass if in_onepass else instance_norm
 
-    def inr(v):
-        return jax.nn.relu(in_fn(v)) if use_in else jax.nn.relu(v)
+    def inr(v, site=None):
+        if not use_in or (site is not None and site in in_off_sites):
+            return jax.nn.relu(v)
+        return jax.nn.relu(in_fn(v))
 
     def innorm(v):
         return in_fn(v) if use_in else v
@@ -215,11 +219,15 @@ def build_forward(
         from ircolor_tpu.ops.norm import instance_norm_stats
         from ircolor_tpu.ops.pallas_blur import norm_relu_blur_down_pallas
 
-        m, inv = instance_norm_stats(raw)
+        if nb_const_stats:  # WRONG MATH — stats-read cost probe only
+            m = jnp.zeros((raw.shape[0], raw.shape[-1]), jnp.float32)
+            inv = jnp.ones_like(m)
+        else:
+            m, inv = instance_norm_stats(raw)
         return norm_relu_blur_down_pallas(raw, m, inv)
 
     def fwd(v):
-        x0 = inr(pad7_conv(v.astype(DT), p["inc"], 2, lp_inc, site="inc"))
+        x0 = inr(pad7_conv(v.astype(DT), p["inc"], 2, lp_inc, site="inc"), site="inc")
         # d1 (x0 C=64) and u2 (x0 skip C=64) CANNOT fuse: Mosaic can't
         # DMA-slice sub-128-channel legs (see conv3x3_sum_fused). Only the
         # 128-aligned stages — d2 (128→256) and u1 (256+128→128) — fuse.
@@ -245,7 +253,7 @@ def build_forward(
         if fused_du:
             y = fused_inr([y, x1], [p["u1"][:, :, :ca], p["u1"][:, :, ca:]])
         else:
-            y = inr(c3(y, p["u1"][:, :, :ca]) + c3(x1, p["u1"][:, :, ca:]))
+            y = inr(c3(y, p["u1"][:, :, :ca]) + c3(x1, p["u1"][:, :, ca:]), site="u1")
         y = up_blur(y)
         ca = y.shape[-1]
         u2c = q3 if quant else (lambda v, k: lp(v, k, 2, lp_up2))
@@ -257,7 +265,11 @@ def build_forward(
             from ircolor_tpu.ops.norm import instance_norm_stats
             from ircolor_tpu.ops.pallas_head import conv7x7_head_pallas
 
-            m, i = instance_norm_stats(raw2)
+            if nb_const_stats:  # WRONG MATH — stats-read cost probe only
+                m = jnp.zeros((raw2.shape[0], raw2.shape[-1]), jnp.float32)
+                i = jnp.ones_like(m)
+            else:
+                m, i = instance_norm_stats(raw2)
             return jnp.tanh(conv7x7_head_pallas(raw2, m, i, p["out"]))
         y = inr(raw2)
         return jnp.tanh(pad7_conv(y, p["out"], 32, lp_outc))
@@ -327,12 +339,38 @@ VARIANTS = {
     "pb_int8": dict(_BASE, res_pallas="int8"),
     # int8 blocks + XLA int8 encoder/decoder convs (the full quant mode).
     "pb_int8_full": dict(_BASE, res_pallas="int8", quant=True),
-    # int8 blocks + the bf16 nb/head kernels (no XLA quant convs).
+    # int8 blocks + the bf16 nb/head kernels (no XLA quant convs) — the
+    # run-D WINNER (103.0 ms) and what `--quant-int8` now ships at shapes
+    # where nb/head engage (the generator auto-deselects QuantConv there).
     "int8_nbh": dict(_BASE, res_pallas="int8", norm_blur=True, fused_head=True),
-    # The full int8 serving candidate: int8 blocks + XLA int8 enc/dec convs
-    # + bf16 nb/head kernels — what `--quant-int8` ships if it wins.
+    # int8 blocks + XLA int8 enc/dec convs + bf16 nb/head kernels — LOST
+    # run D (106.0 ms: the quant convs' dequant epilogues break the nb/head
+    # kernels' normalize-on-load fusion).
     "int8_ship": dict(
         _BASE, res_pallas="int8", quant=True, norm_blur=True, fused_head=True
+    ),
+    # Round-3 remaining-gap attribution ON TOP of the shipped nb+head combo
+    # (pb_nb_head). All WRONG MATH — perf probes only.
+    # What the nb/head kernels' XLA stats reduces still cost (what stats
+    # EPILOGUES on the producing convs would reclaim):
+    "nbh_freestats": dict(
+        _BASE, res_pallas=True, norm_blur=True, fused_head=True,
+        nb_const_stats=True,
+    ),
+    # The two remaining XLA INs, separately (stats read + normalize pass):
+    "nbh_no_inc_in": dict(
+        _BASE, res_pallas=True, norm_blur=True, fused_head=True,
+        in_off_sites=("inc",),
+    ),
+    "nbh_no_up1_in": dict(
+        _BASE, res_pallas=True, norm_blur=True, fused_head=True,
+        in_off_sites=("u1",),
+    ),
+    # Revised float ceiling: everything semantics-bound knocked out on the
+    # shipped kernel set.
+    "nbh_ceiling": dict(
+        _BASE, res_pallas=True, norm_blur=True, fused_head=True,
+        nb_const_stats=True, use_in=False, pad_mode="zero",
     ),
     # Bisection probes (WRONG math — perf attribution of the two strip pairs).
     "pb_fold7_tb": dict(_BASE, res_pallas=True, fold7="h"),

