@@ -180,23 +180,33 @@ def run_test(cfg: Config) -> dict[str, Any]:
             or getattr(infer_module, "pallas_norm_blur", False)
             or getattr(infer_module, "pallas_head", False)
         ):
-            # The fused kernels (resblock, norm-blur tail, 7×7 head) compute
-            # their own reflect halos from the full image; under spatial
-            # sharding each shard would reflect at its local edge — silently
-            # wrong. GSPMD halo exchange needs the plain XLA paths
-            # (identical params).
+            # The norm-blur tail and 7×7 head kernels compute their own
+            # reflect halos from the full image; under spatial sharding each
+            # shard would reflect at its local edge — silently wrong, so
+            # they fall back to the plain XLA paths (identical params). The
+            # fused RESBLOCK kernel has a spatial form: with a 1-D H mesh it
+            # runs under shard_map with ppermuted neighbor halo rows +
+            # psum'd IN stats (ops/pallas_resblock.
+            # resnet_block_pallas_spatial) — wired below after the mesh is
+            # built; 2-D (W-tiled) meshes still disable it.
             import dataclasses as _dc
 
             from ircolor_tpu.models.wrapper import generator_from_config
 
+            keep_block = (
+                getattr(infer_module, "pallas_block", False)
+                and cfg.sp_w_devices <= 1
+            )
             log.info(
                 "[TEST] spatial sharding: rebuilding generator with "
-                "pallas_block=False / pallas_norm_blur=False / "
-                "pallas_head=False (in-kernel reflect halos are incompatible "
-                "with image-axis sharding; params unchanged)"
+                "pallas_norm_blur=False / pallas_head=False%s (in-kernel "
+                "reflect halos are incompatible with image-axis sharding; "
+                "params unchanged)",
+                "; fused resblocks stay ON via shard_map halo exchange"
+                if keep_block else " / pallas_block=False",
             )
             cfg = _dc.replace(
-                cfg, pallas_block=False, pallas_norm_blur=False,
+                cfg, pallas_block=keep_block, pallas_norm_blur=False,
                 pallas_head=False,
             )
             infer_module = generator_from_config(cfg)
@@ -236,6 +246,10 @@ def run_test(cfg: Config) -> dict[str, Any]:
                 )
         else:
             sp_mesh = make_spatial_mesh(cfg.sp_devices)
+            if getattr(infer_module, "pallas_block", False):
+                # Wire the shard_map spatial form of the fused resblocks
+                # (1-D H mesh only; see the rebuild above).
+                infer_module = infer_module.clone(spatial_mesh=sp_mesh)
         check_spatial_compat(infer_module, sp_mesh)
 
     # Data-parallel test mode (cfg.dp_devices > 1): batch sharded over a

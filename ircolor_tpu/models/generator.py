@@ -26,12 +26,14 @@ image directly and the wrapper preserves the tuple shape where needed.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 import jax
+from jax.sharding import PartitionSpec as P
 
 from ircolor_tpu.models.common import (
     ConcatConv3x3,
@@ -49,6 +51,8 @@ from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
 from ircolor_tpu.ops.pallas_resblock import (
     resnet_block_pallas,
     resnet_block_pallas_q,
+    resnet_block_pallas_q_spatial,
+    resnet_block_pallas_spatial,
 )
 from ircolor_tpu.ops.resize import bilinear_align_corners
 
@@ -136,6 +140,13 @@ class ResnetBlock(nn.Module):
     pallas_block: bool = False  # fused reflect-conv-IN kernel (inference)
     pallas_block_min_area: int = _FUSED_MIN_AREA
     quant_int8: bool = False  # int8 MXU convs (inference serving mode)
+    # H-axis spatial sharding for the fused kernel (inference): a 1-D
+    # ('sp',)-style Mesh. The block then runs under shard_map — per-shard
+    # kernel launches consume ppermuted neighbor halo rows and psum their IN
+    # stats (ops/pallas_resblock.resnet_block_pallas_spatial), matching the
+    # single-device fused block. Leave None for GSPMD/single-device use.
+    spatial_mesh: Any = None
+    spatial_axis: str = "sp"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -177,7 +188,11 @@ class ResnetBlock(nn.Module):
         # ends, two kernel launches + one elementwise pass for the whole
         # block. Static-shape guard falls back to the XLA path (identical
         # params) when tiling constraints don't hold.
-        th = _fused_tile_h(x.shape[1])
+        sp = self.spatial_mesh is not None
+        sp_n = self.spatial_mesh.shape[self.spatial_axis] if sp else 1
+        # Under H-axis spatial sharding the kernel tiles the LOCAL shard.
+        local_h = x.shape[1] // sp_n if x.shape[1] % sp_n == 0 else 0
+        th = _fused_tile_h(local_h) if local_h else None
         if (
             self.norm == "instance"
             and self.pallas_block
@@ -193,10 +208,31 @@ class ResnetBlock(nn.Module):
             and x.shape[-1] % 128 == 0
             and self.dim % 128 == 0
             and x.shape[1] * x.shape[2] >= self.pallas_block_min_area
+            # Spatial route: inference-only (no custom_vjp through
+            # shard_map), 1-D H mesh only (W halos stay in-kernel).
+            and (not sp or (
+                not train
+                and tuple(self.spatial_mesh.axis_names) == (self.spatial_axis,)
+            ))
             and _pallas_available()
         ):
             k1 = _ConvParams(self.dim, self.use_bias, name="conv1")(x.shape[-1])
             k2 = _ConvParams(self.dim, self.use_bias, name="conv2")(self.dim)
+            if sp:
+                blk = (
+                    resnet_block_pallas_q_spatial
+                    if quant
+                    else resnet_block_pallas_spatial
+                )
+                fn = jax.shard_map(
+                    functools.partial(blk, axis=self.spatial_axis, tile_h=th),
+                    mesh=self.spatial_mesh,
+                    in_specs=(
+                        P(None, self.spatial_axis, None, None), P(), P()),
+                    out_specs=P(None, self.spatial_axis, None, None),
+                    check_vma=False,
+                )
+                return fn(x, k1.astype(self.dtype), k2.astype(self.dtype))
             if quant:
                 # int8 serving mode INSIDE the fused schedule: HBM tensors
                 # stay bf16, the VMEM tile quantizes on load, the dx-concat
@@ -281,6 +317,13 @@ class ResnetUNetGenerator(nn.Module):
     # activations per block alive — the lever that avoids the HBM cliff at
     # larger train batches. No effect on inference graphs.
     remat: bool = False
+    # 1-D H-axis spatial mesh (('sp',) from parallel.spatial.make_spatial_mesh):
+    # when set together with pallas_block, the bottleneck blocks run fused
+    # under shard_map with ppermuted halo rows + psum'd IN stats instead of
+    # falling back to XLA (inference only — the eval runner wires this for
+    # `test --sp-devices N`). All other stages stay GSPMD-sharded.
+    spatial_mesh: Any = None
+    spatial_axis: str = "sp"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -409,6 +452,8 @@ class ResnetUNetGenerator(nn.Module):
                 pallas_block=self.pallas_block,
                 pallas_block_min_area=self.pallas_block_min_area,
                 quant_int8=self.quant_int8,
+                spatial_mesh=self.spatial_mesh,
+                spatial_axis=self.spatial_axis,
                 name=f"resblock_{i}",
             )(h, train)
 

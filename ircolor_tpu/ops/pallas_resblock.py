@@ -67,13 +67,28 @@ from ircolor_tpu.ops.padding import reflect_pad2d
 _EPS = 1e-5
 
 
-def _halo_copy(x_hbm, x_vmem, sems, bb, hh, slot, *, th: int, h: int, nh: int):
+def _halo_copy(
+    x_hbm, x_vmem, sems, bb, hh, slot, *, th: int, h: int, nh: int,
+    halo: str = "reflect",
+):
     """The (branch-static) halo DMA descriptor set for tile ``hh``.
 
     Returns a list of (when_predicate | None, copy) pairs; ``None`` means
     unconditional. Every branch uses static sizes — Mosaic DMAs cannot be
     variable-length — so boundary tiles get their own descriptors.
+
+    ``halo="provided"``: the HBM tensor is a SLAB whose first and last rows
+    ARE the halo rows (h = tile rows + 2, attached by the caller — e.g. a
+    shard_map spatial wrapper that ppermuted neighbor-shard rows in). Every
+    tile then reads rows [hh·th, hh·th + th + 2) — one unconditional
+    descriptor, no boundary branches, no reflect fixups.
     """
+    if halo == "provided":
+        return [(None, pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(hh * th, th + 2)],
+            x_vmem.at[slot],
+            sems.at[slot],
+        ))]
     if nh == 1:
         # Single tile: rows 0..h-1 land in slots 1..h; slots 0 and h+1 are
         # restored from the reflected rows after the wait.
@@ -103,7 +118,7 @@ def _halo_copy(x_hbm, x_vmem, sems, bb, hh, slot, *, th: int, h: int, nh: int):
 
 def _kernel(
     x_hbm, k_ref, *maybe_stats_and_out, th: int, w: int, h: int, nh: int,
-    norm_in: bool,
+    norm_in: bool, halo: str = "reflect",
 ):
     if norm_in:
         m_ref, i_ref, o_ref, s_ref, x_vmem, xcat, sems = maybe_stats_and_out
@@ -122,7 +137,7 @@ def _kernel(
         bb = jax.lax.div(linear, nh)
         jj = jax.lax.rem(linear, nh)
         for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
-                                   th=th, h=h, nh=nh):
+                                   th=th, h=h, nh=nh, halo=halo):
             if pred is None:
                 cp.start()
             else:
@@ -134,7 +149,7 @@ def _kernel(
         bb = jax.lax.div(linear, nh)
         jj = jax.lax.rem(linear, nh)
         for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
-                                   th=th, h=h, nh=nh):
+                                   th=th, h=h, nh=nh, halo=halo):
             if pred is None:
                 cp.wait()
             else:
@@ -152,8 +167,11 @@ def _kernel(
 
     wait_for(lin, slot)
 
-    # H-axis reflect fixups (1-row VMEM copies, boundary tiles only).
-    if nh == 1:
+    # H-axis reflect fixups (1-row VMEM copies, boundary tiles only). With
+    # provided halos the slab's edge rows already hold the right values.
+    if halo == "provided":
+        pass
+    elif nh == 1:
         x_vmem[slot, 0] = x_vmem[slot, 2]
         x_vmem[slot, th + 1] = x_vmem[slot, th - 1]
     else:
@@ -214,6 +232,8 @@ def conv3x3_reflect_fused(
     *,
     tile_h: int = 16,
     vmem_limit_mb: int = 100,
+    halo: str = "reflect",
+    stats_axis: str | None = None,
     interpret: bool = False,
 ):
     """Reflect-padded 3×3 conv of UNPADDED ``x`` (B, H, W, C) → raw output
@@ -223,8 +243,18 @@ def conv3x3_reflect_fused(
     on load (fusing the previous conv's IN+ReLU). See module docstring.
     Requires H % tile_h == 0 and W % 8 == 0 (true for all generator
     bottleneck shapes: 128×160, 64×64, …).
+
+    ``halo="provided"``: ``x`` is a SLAB of H+2 rows whose first and last
+    rows are caller-supplied halo rows (e.g. neighbor-shard rows ppermuted
+    in by a shard_map spatial wrapper — see ``resnet_block_pallas_spatial``);
+    output has H rows. ``stats_axis``: psum the Σy/Σy² stats over that named
+    axis (the per-(B, C) IN moments then cover the GLOBAL image, exactly as
+    the single-device kernel's do).
     """
+    assert halo in ("reflect", "provided"), halo
     b, h, w, c = x.shape
+    if halo == "provided":
+        h -= 2  # interior rows; x carries one halo row at each end
     cout = kernel.shape[-1]
     assert kernel.shape[:3] == (3, 3, c), kernel.shape
     assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
@@ -249,7 +279,7 @@ def conv3x3_reflect_fused(
         operands += [mean, inv]
 
     kernel_fn = functools.partial(
-        _kernel, th=tile_h, w=w, h=h, nh=nh, norm_in=norm_in
+        _kernel, th=tile_h, w=w, h=h, nh=nh, norm_in=norm_in, halo=halo
     )
     kwargs = {}
     if not interpret:
@@ -285,6 +315,9 @@ def conv3x3_reflect_fused(
         **kwargs,
     )(*operands)
     n = h * w
+    if stats_axis is not None:
+        stats = jax.lax.psum(stats, stats_axis)
+        n *= jax.lax.axis_size(stats_axis)
     mean_out = stats[:, 0] / n
     var = stats[:, 1] / n - mean_out * mean_out
     inv_out = jax.lax.rsqrt(var + _EPS)
@@ -588,6 +621,7 @@ _QCLIP = 6.0
 
 def _kernel_q(
     x_hbm, k_ref, *rest, th: int, w: int, h: int, nh: int, norm_in: bool,
+    halo: str = "reflect",
 ):
     """int8 twin of ``_kernel``: HBM stays bf16 (identical DMA + traffic);
     the VMEM tile is quantized on load — conv1 by the per-sample dynamic
@@ -615,7 +649,7 @@ def _kernel_q(
         bb = jax.lax.div(linear, nh)
         jj = jax.lax.rem(linear, nh)
         for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
-                                   th=th, h=h, nh=nh):
+                                   th=th, h=h, nh=nh, halo=halo):
             if pred is None:
                 getattr(cp, action)()
             else:
@@ -633,7 +667,9 @@ def _kernel_q(
 
     run(lin, slot, "wait")
 
-    if nh == 1:
+    if halo == "provided":
+        pass
+    elif nh == 1:
         x_vmem[slot, 0] = x_vmem[slot, 2]
         x_vmem[slot, th + 1] = x_vmem[slot, th - 1]
     else:
@@ -699,6 +735,8 @@ def conv3x3_reflect_fused_q(
     inv: jnp.ndarray | None = None,
     tile_h: int = 16,
     vmem_limit_mb: int = 100,
+    halo: str = "reflect",
+    stats_axis: str | None = None,
     interpret: bool = False,
 ):
     """int8-MXU reflect-padded 3×3 conv of float ``x`` (B, H, W, C).
@@ -711,8 +749,13 @@ def conv3x3_reflect_fused_q(
     * ``mean``/``inv`` (B, C) — conv2: IN-normalize + ReLU on load, then
       quantize by the fixed 127/6σ scale (``sc`` must carry 6/127·s_w).
     Returns (y float, IN mean, IN inv_std of y) like conv3x3_reflect_fused.
+    ``halo``/``stats_axis``: same spatial-sharding contract as
+    ``conv3x3_reflect_fused`` (H+2-row slab input / psum'd IN stats).
     """
+    assert halo in ("reflect", "provided"), halo
     b, h, w, c = x.shape
+    if halo == "provided":
+        h -= 2
     cout = kq.shape[-1]
     assert kq.dtype == jnp.int8 and kq.shape[:3] == (3, 3, c), kq.shape
     assert sc.shape == (b, cout), sc.shape
@@ -748,7 +791,7 @@ def conv3x3_reflect_fused_q(
     operands += [sc.astype(jnp.float32)]
 
     kernel_fn = functools.partial(
-        _kernel_q, th=tile_h, w=w, h=h, nh=nh, norm_in=norm_in
+        _kernel_q, th=tile_h, w=w, h=h, nh=nh, norm_in=norm_in, halo=halo
     )
     kwargs = {}
     if not interpret:
@@ -783,6 +826,9 @@ def conv3x3_reflect_fused_q(
         **kwargs,
     )(*operands)
     n = h * w
+    if stats_axis is not None:
+        stats = jax.lax.psum(stats, stats_axis)
+        n *= jax.lax.axis_size(stats_axis)
     mean_out = stats[:, 0] / n
     var = stats[:, 1] / n - mean_out * mean_out
     inv_out = jax.lax.rsqrt(var + _EPS)
@@ -823,6 +869,106 @@ def resnet_block_pallas_q(
     sc2 = jnp.broadcast_to((_QCLIP / 127.0) * sw2[None, :], (b, k2.shape[-1]))
     raw2, m2, i2 = conv3x3_reflect_fused_q(
         raw1, kq2, sc2, mean=m1, inv=i1, tile_h=tile_h, interpret=interpret
+    )
+    y = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
+    return x + y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Spatial-sharding (H-axis shard_map) wrappers: the fused kernels compose
+# with image-parallel inference. Each per-shard kernel launch consumes a
+# CALLER-PROVIDED halo slab (halo="provided") whose edge rows were
+# ppermuted in from the neighbor shards over ICI, and the IN moments are
+# psum'd to cover the global image — bit-compatible (up to f32 reduction
+# order) with the single-device fused block. Inference-only, like every
+# manual-DMA path here (parallel/spatial.py wires it for `test
+# --sp-devices N`).
+# ---------------------------------------------------------------------------
+
+
+def _attach_halo_rows(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """(B, Hloc, W, C) per-shard tensor → (B, Hloc+2, W, C) slab inside a
+    ``shard_map`` over named H-shard axis ``axis``.
+
+    Interior halo rows come from the neighbor shards (two ``ppermute``
+    shifts); the global boundary shards reflect locally, which IS the global
+    ReflectionPad2d(1) row (global row −1 ≡ global row 1 = shard 0's local
+    row 1, and symmetrically at the bottom)."""
+    size = jax.lax.axis_size(axis)
+    if size == 1:
+        return jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
+    idx = jax.lax.axis_index(axis)
+    down = [(i, i + 1) for i in range(size - 1)]  # my last row → next shard
+    up = [(i + 1, i) for i in range(size - 1)]    # my first row → prev shard
+    top = jax.lax.ppermute(x[:, -1:], axis, down)
+    bot = jax.lax.ppermute(x[:, 0:1], axis, up)
+    top = jnp.where(idx == 0, x[:, 1:2], top)
+    bot = jnp.where(idx == size - 1, x[:, -2:-1], bot)
+    return jnp.concatenate([top, x, bot], axis=1)
+
+
+def resnet_block_pallas_spatial(
+    x: jnp.ndarray,
+    k1: jnp.ndarray,
+    k2: jnp.ndarray,
+    *,
+    axis: str,
+    tile_h: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``resnet_block_pallas`` for an H-sharded ``x``, called INSIDE a
+    ``shard_map`` over named axis ``axis`` (e.g. via
+    ``parallel.spatial.spatial_resblock_fn``). Halo rows ride two 1-row
+    ppermutes per conv; IN stats psum once per conv. Inference-only (no
+    custom_vjp: spatial sharding is the serving layout; training is DP)."""
+    slab = _attach_halo_rows(x, axis)
+    raw1, m1, i1 = conv3x3_reflect_fused(
+        slab, k1, tile_h=tile_h, halo="provided", stats_axis=axis,
+        interpret=interpret,
+    )
+    slab1 = _attach_halo_rows(raw1, axis)
+    raw2, m2, i2 = conv3x3_reflect_fused(
+        slab1, k2, m1, i1, tile_h=tile_h, halo="provided", stats_axis=axis,
+        interpret=interpret,
+    )
+    y = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
+    return x + y.astype(x.dtype)
+
+
+def resnet_block_pallas_q_spatial(
+    x: jnp.ndarray,
+    k1: jnp.ndarray,
+    k2: jnp.ndarray,
+    *,
+    axis: str,
+    tile_h: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8 twin of ``resnet_block_pallas_spatial``: per-sample activation
+    amax is pmax'd over the shard axis so the quant scale matches the
+    single-device ``resnet_block_pallas_q`` exactly (same scale ⇒ same int8
+    grid; the only cross-shard float is the psum'd IN stats)."""
+    from ircolor_tpu.ops.quant import _AMAX_FLOOR, quantize_weight_per_channel
+
+    b = x.shape[0]
+    kq1, sw1 = quantize_weight_per_channel(k1)
+    kq2, sw2 = quantize_weight_per_channel(k2)
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3)), _AMAX_FLOOR
+    )
+    amax = jax.lax.pmax(amax, axis)
+    qs = 127.0 / amax
+    sc1 = (amax / 127.0)[:, None] * sw1[None, :]
+    slab = _attach_halo_rows(x, axis)
+    raw1, m1, i1 = conv3x3_reflect_fused_q(
+        slab, kq1, sc1, qscale=qs, tile_h=tile_h, halo="provided",
+        stats_axis=axis, interpret=interpret,
+    )
+    sc2 = jnp.broadcast_to((_QCLIP / 127.0) * sw2[None, :], (b, k2.shape[-1]))
+    slab1 = _attach_halo_rows(raw1, axis)
+    raw2, m2, i2 = conv3x3_reflect_fused_q(
+        slab1, kq2, sc2, mean=m1, inv=i1, tile_h=tile_h, halo="provided",
+        stats_axis=axis, interpret=interpret,
     )
     y = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
     return x + y.astype(x.dtype)

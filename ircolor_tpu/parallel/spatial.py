@@ -80,17 +80,25 @@ def make_spatial_mesh(
 def check_spatial_compat(module: Any, mesh: Mesh) -> None:
     """Raise if ``module`` is known to miscompute under this mesh:
 
-    * ANY image-axis sharding with the fused Pallas resblock kernel
-      (``module.pallas_block`` True, the live-TPU inference default): the
-      kernel builds its reflect halos from the *local shard*, so every
-      shard seam reflects at the wrong rows — silently wrong pixels. The
-      eval runner rebuilds with ``pallas_block=False`` automatically;
-      library users must do the same (identical param tree).
+    * Image-axis sharding with the fused Pallas kernels engaged but NOT
+      spatially wired: the kernels build their reflect halos from the
+      *local shard*, so every shard seam reflects at the wrong rows —
+      silently wrong pixels. Exception: ``pallas_block`` with
+      ``module.spatial_mesh`` set to this 1-D H mesh runs the blocks under
+      shard_map with ppermuted halos + psum'd IN stats (exact; the eval
+      runner wires this automatically). The norm-blur tail and 7×7 head
+      kernels have no spatial form and must be off.
     * 2-D H×W tiling with a lane-packed output head (``module.lanepack``
       True): GSPMD mispartitions the packed head's unpack reshape
       (regression-tested in tests/test_parallel.py)."""
+    block_ok = (
+        getattr(module, "spatial_mesh", None) is not None
+        and tuple(module.spatial_mesh.axis_names)
+        == (getattr(module, "spatial_axis", "sp"),)
+        and module.spatial_mesh == mesh
+    )
     if (
-        getattr(module, "pallas_block", False)
+        (getattr(module, "pallas_block", False) and not block_ok)
         or getattr(module, "pallas_norm_blur", False)
         or getattr(module, "pallas_head", False)
     ):
@@ -101,11 +109,12 @@ def check_spatial_compat(module: Any, mesh: Mesh) -> None:
         # paths compute correctly.
         if _pallas_available():
             raise ValueError(
-                "spatial sharding with a pallas_block=True, "
-                "pallas_norm_blur=True, or pallas_head=True generator "
-                "produces silently wrong shard-seam pixels (the fused "
-                "kernels reflect at local tile edges) — rebuild the model "
-                "with these flags False "
+                "spatial sharding with a pallas_block=True (and no matching "
+                "spatial_mesh), pallas_norm_blur=True, or pallas_head=True "
+                "generator produces silently wrong shard-seam pixels (the "
+                "fused kernels reflect at local tile edges) — rebuild the "
+                "model with these flags False, or wire "
+                "spatial_mesh=<the 1-D sp mesh> for the fused blocks "
                 "(identical params; the CLI test runner does this "
                 "automatically)"
             )

@@ -323,6 +323,53 @@ def test_run_test_spatial_sharded(kaist_tree, tmp_path):
     assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-3
 
 
+def test_run_test_spatial_fused_blocks_engage(kaist_tree, tmp_path, monkeypatch):
+    """--sp-devices with pallas_block: the runner wires spatial_mesh so the
+    fused blocks stay ON under sharding (shard_map halo exchange; run in
+    interpret mode on CPU) instead of falling back to XLA — metrics must
+    match the single-device fused run."""
+    import functools
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.models import wrapper as wrap_mod
+    from ircolor_tpu.ops.pallas_resblock import (
+        resnet_block_pallas,
+        resnet_block_pallas_spatial,
+    )
+
+    orig_from_config = wrap_mod.generator_from_config
+    monkeypatch.setattr(
+        wrap_mod, "generator_from_config",
+        # engage the fused gate at the tiny test bottleneck (8×8 px)
+        lambda cfg: orig_from_config(cfg).clone(pallas_block_min_area=0),
+    )
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    monkeypatch.setattr(
+        gen_mod, "resnet_block_pallas",
+        functools.partial(resnet_block_pallas, interpret=True),
+    )
+    calls = []
+
+    def counted_spatial(*a, **kw):
+        calls.append(1)
+        return resnet_block_pallas_spatial(*a, interpret=True, **kw)
+
+    monkeypatch.setattr(gen_mod, "resnet_block_pallas_spatial", counted_spatial)
+    root, _ = kaist_tree
+    base = dict(
+        mode="test", img_size=32, test_batch_size=4, n_blocks=1,
+        test_roots=(str(root / "set02"),), topk=2, num_workers=2,
+        save_comparisons=False,
+    )
+    s1 = run_test(Config(output_dir=str(tmp_path / "single_f"), **base))
+    s2 = run_test(Config(output_dir=str(tmp_path / "sp_f"), sp_devices=2, **base))
+    assert calls, "spatial fused block never engaged under --sp-devices"
+    assert s2["count"] == s1["count"]
+    assert abs(s2["mean_psnr"] - s1["mean_psnr"]) < 0.1
+    assert abs(s2["mean_ssim"] - s1["mean_ssim"]) < 1e-3
+
+
 def test_run_test_2d_spatial_auto_degrades_lanepack(kaist_tree, tmp_path):
     """--sp-devices 4 --sp-w-devices 2 with the DEFAULT lanepack=True config:
     the runner must transparently rebuild the generator with lanepack=False

@@ -108,3 +108,45 @@ def test_resnet_block_pallas_q_lowers(rng):
     k1 = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
     k2 = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
     _lower_tpu(lambda v: resnet_block_pallas_q(v, k1, k2, tile_h=16), x)
+
+
+def test_conv3x3_reflect_fused_provided_halo_lowers(rng):
+    """The spatial-sharding form: H+2-row slab input, one unconditional
+    halo DMA per tile (ops/pallas_resblock halo='provided'). Float + int8,
+    with and without norm-on-load."""
+    from ircolor_tpu.ops.pallas_resblock import (
+        conv3x3_reflect_fused,
+        conv3x3_reflect_fused_q,
+    )
+
+    slab = _bf16(rng.rand(1, 34, 64, 256) * 2 - 1)  # 32 interior + 2 halo
+    k = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
+    m = jnp.asarray(rng.randn(1, 256).astype(np.float32))
+    iv = jnp.asarray(rng.rand(1, 256).astype(np.float32) + 0.5)
+    _lower_tpu(
+        lambda v: conv3x3_reflect_fused(v, k, tile_h=16, halo="provided")[0],
+        slab,
+    )
+    _lower_tpu(
+        lambda v: conv3x3_reflect_fused(
+            v, k, m, iv, tile_h=16, halo="provided"
+        )[0],
+        slab,
+    )
+    kq = jnp.asarray(
+        np.clip(np.round(rng.randn(3, 3, 256, 256) * 30), -127, 127), jnp.int8
+    )
+    sc = jnp.asarray(rng.rand(1, 256).astype(np.float32) * 1e-2)
+    qs = jnp.asarray(rng.rand(1).astype(np.float32) + 100.0)
+    _lower_tpu(
+        lambda v: conv3x3_reflect_fused_q(
+            v, kq, sc, qscale=qs, tile_h=16, halo="provided"
+        )[0],
+        slab,
+    )
+    _lower_tpu(
+        lambda v: conv3x3_reflect_fused_q(
+            v, kq, sc, mean=m, inv=iv, tile_h=16, halo="provided"
+        )[0],
+        slab,
+    )

@@ -202,3 +202,84 @@ def test_resnet_block_pallas_q_tracks_float_block():
     # The residual dominates; the quantized branch should stay close.
     assert np.max(np.abs(q - fl)) < 0.25
     assert np.mean(np.abs(q - fl)) < 0.03
+
+
+# --- spatial-sharding (H-axis shard_map) composition ---
+
+
+def _spatial_block_fn(blk, mesh, *, tile_h):
+    """shard_map wrapper mirroring ResnetBlock's spatial dispatch."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(jax.shard_map(
+        functools.partial(blk, axis="sp", tile_h=tile_h, interpret=True),
+        mesh=mesh,
+        in_specs=(P(None, "sp", None, None), P(), P()),
+        out_specs=P(None, "sp", None, None),
+        check_vma=False,
+    ))
+
+
+def test_fused_conv_provided_halo_matches_reflect():
+    """halo='provided' on a hand-built reflect slab ≡ the in-kernel reflect
+    path (output AND stats) — the contract the shard_map wrapper relies on."""
+    rng = np.random.RandomState(6)
+    B, H, W, C = 2, 16, 16, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, C, 12).astype(np.float32) * 0.1)
+    want, m_ref, i_ref = conv3x3_reflect_fused(x, k, tile_h=8, interpret=True)
+    slab = reflect_pad2d(x, 1)[:, :, 1:-1]  # H halo rows only; W untouched
+    got, m, inv = conv3x3_reflect_fused(
+        slab, k, tile_h=8, halo="provided", interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(inv), np.asarray(i_ref))
+
+
+@pytest.mark.parametrize("n_sp", [2, 4, 8])
+def test_resnet_block_pallas_spatial_matches_single_device(
+    eight_cpu_devices, n_sp
+):
+    """The shard_map spatial block (ppermuted halo rows + psum'd IN stats)
+    ≡ the single-device fused block, for 2/4/8-way H sharding."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas_spatial
+
+    rng = np.random.RandomState(7)
+    B, H, W, C = 2, 32, 16, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    want = resnet_block_pallas(x, k1, k2, tile_h=8, interpret=True)
+    mesh = Mesh(np.asarray(eight_cpu_devices[:n_sp]), ("sp",))
+    fn = _spatial_block_fn(resnet_block_pallas_spatial, mesh, tile_h=4)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "sp", None, None)))
+    got = fn(xs, k1, k2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_resnet_block_pallas_q_spatial_matches_single_device(eight_cpu_devices):
+    """int8 spatial block: global (pmax'd) amax ⇒ identical quant grid ⇒
+    matches the single-device int8 block to f32 reduction-order noise."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ircolor_tpu.ops.pallas_resblock import (
+        resnet_block_pallas_q,
+        resnet_block_pallas_q_spatial,
+    )
+
+    rng = np.random.RandomState(8)
+    B, H, W, C = 2, 32, 16, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    want = resnet_block_pallas_q(x, k1, k2, tile_h=8, interpret=True)
+    mesh = Mesh(np.asarray(eight_cpu_devices), ("sp",))
+    fn = _spatial_block_fn(resnet_block_pallas_q_spatial, mesh, tile_h=4)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "sp", None, None)))
+    got = fn(xs, k1, k2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -377,6 +377,74 @@ def test_check_spatial_compat_rejects_pallas_block_when_kernels_available(
         mod.clone(pallas_block=False, pallas_norm_blur=False, pallas_head=False),
         mesh,
     )
+    # The spatially-WIRED fused blocks (spatial_mesh set to this 1-D H mesh)
+    # are exact under sharding (ppermuted halos + psum'd stats) — accepted.
+    check_spatial_compat(
+        mod.clone(
+            pallas_norm_blur=False, pallas_head=False, spatial_mesh=mesh
+        ),
+        mesh,
+    )
+    # …but only for the matching mesh: a different sp mesh still raises.
+    with pytest.raises(ValueError, match="pallas_block"):
+        check_spatial_compat(
+            mod.clone(
+                pallas_norm_blur=False, pallas_head=False,
+                spatial_mesh=make_spatial_mesh(4),
+            ),
+            mesh,
+        )
+
+
+def test_generator_spatial_mesh_fused_blocks_match_unsharded(
+    eight_cpu_devices, monkeypatch
+):
+    """spatial_mesh wiring: the generator's bottleneck runs the FUSED blocks
+    under shard_map (ppermuted halo rows + psum'd IN stats, interpret mode
+    on CPU) and matches the unsharded XLA-block forward — the `test
+    --sp-devices N` fused path."""
+    import functools
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas_spatial
+    from ircolor_tpu.parallel.mesh import replicated_sharding
+    from ircolor_tpu.parallel.spatial import (
+        check_spatial_compat,
+        make_spatial_mesh,
+        spatial_sharding,
+    )
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    monkeypatch.setattr(
+        gen_mod, "resnet_block_pallas_spatial",
+        functools.partial(resnet_block_pallas_spatial, interpret=True),
+    )
+    # ngf=32 ⇒ bottleneck C=128 (the fused gate's lane-tiling minimum);
+    # default min_area keeps the plain module on the XLA path for `ref`.
+    from ircolor_tpu.models.wrapper import generator_from_config
+
+    cfg = Config(img_size=64, n_blocks=2, ngf=32)
+    mod = generator_from_config(cfg)
+    rng = np.random.RandomState(3)
+    ir = rng.rand(2, 64, 64, 1).astype(np.float32) * 2 - 1
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(ir[:1]))["params"]
+    ref = np.asarray(mod.apply({"params": params}, jnp.asarray(ir)))
+    assert mod.pallas_block
+    mesh = make_spatial_mesh(4)
+    spat = mod.clone(
+        pallas_block_min_area=0, pallas_norm_blur=False, pallas_head=False,
+        spatial_mesh=mesh,
+    )
+    check_spatial_compat(spat, mesh)
+    sh = spatial_sharding(mesh)
+    fwd = jax.jit(lambda p, x: spat.apply({"params": p}, x), out_shardings=sh)
+    out = fwd(
+        jax.device_put(params, replicated_sharding(mesh)),
+        jax.device_put(jnp.asarray(ir), sh),
+    )
+    assert len(out.sharding.device_set) == 4
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
 
 
 def test_create_train_state_keeps_pallas_for_shardmap(eight_cpu_devices):

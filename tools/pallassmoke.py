@@ -173,6 +173,27 @@ def main() -> None:
             flush=True,
         )
 
+    # Provided-halo (spatial-sharding) form: H+2-row slab input, one
+    # unconditional halo DMA per tile — the kernel behind
+    # resnet_block_pallas_spatial (`test --sp-devices N`). A 1-device
+    # shard_map cannot run here (the relay exposes one chip and the slab
+    # kernel is what differs anyway), so smoke the slab kernel directly
+    # against the in-kernel-reflect form.
+    try:
+        slab = reflect_pad2d(x, 1)[:, :, 1:-1]
+        got_p, mp, ip = jax.jit(
+            lambda v: conv3x3_reflect_fused(v, k1, tile_h=16, halo="provided")
+        )(slab)
+        ok &= check("provided-halo reflconv", got_p, want_refl, atol=0.5)
+        ok &= check("provided-halo mean", mp, m_ref, atol=0.02)
+    except Exception as exc:
+        print(
+            f"FAIL provided-halo reflconv: {type(exc).__name__}: "
+            f"{str(exc)[:200]}",
+            flush=True,
+        )
+        ok = False
+
     print("SMOKE PASS" if ok else "SMOKE FAIL", flush=True)
     _sys.exit(0 if ok else 1)
 
