@@ -83,7 +83,10 @@ def main(argv: Sequence[str] | None = None) -> int:
     )
     sub = parser.add_subparsers(dest="command", required=True)
     for name, desc in (("train", "Train the conditional GAN on KAIST pairs"),
-                       ("test", "Run inference + metrics + exports")):
+                       ("test", "Run inference + metrics + exports"),
+                       ("export", "Write an AOT serving artifact "
+                                  "(jax.export StableHLO; --export-keep-pallas "
+                                  "embeds the fused TPU kernels)")):
         p = sub.add_parser(name, help=desc)
         p.add_argument("--config", default=None, help="JSON config file")
         _add_config_flags(p)
@@ -105,8 +108,12 @@ def main(argv: Sequence[str] | None = None) -> int:
         from ircolor_tpu.eval.runner import run_test
 
         run_test(cfg)
+    elif cfg.mode == "export":
+        from ircolor_tpu.export.aot import run_export
+
+        run_export(cfg)
     else:
-        raise ValueError("cfg.mode must be 'train' or 'test'")
+        raise ValueError("cfg.mode must be 'train', 'test', or 'export'")
     return 0
 
 

@@ -247,6 +247,18 @@ class Config:
     # export (pure StableHLO).
     quant_int8: bool = False
 
+    # AOT serving export (mode="export" / `python -m ircolor_tpu export`,
+    # export/aot.py — no reference equivalent; the ref ships bare .pth
+    # weights that need the full model source, ref :781-789). Output path
+    # for the serialized jax.export artifact; platforms as a comma list
+    # ("tpu" / "tpu,cpu", None = current backend's default); keep_pallas
+    # embeds the fused Mosaic kernels for a same-fleet TPU artifact (the
+    # measured-fastest serving graph — bit-identical uint8 output to the
+    # live model, tools/aotcheck.py) instead of portable pure StableHLO.
+    export_out: str = "netG_serving.stablehlo"
+    export_platforms: str | None = None
+    export_keep_pallas: bool = False
+
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50
 

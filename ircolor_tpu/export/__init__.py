@@ -3,7 +3,12 @@ AOT serving artifact (``jax.export`` StableHLO with weights baked in)."""
 
 from ircolor_tpu.export.collage import make_comparison_collage, save_comparison_image
 from ircolor_tpu.export.topk import save_best_k_outputs, write_metrics_csv
-from ircolor_tpu.export.aot import export_inference, load_exported, save_exported
+from ircolor_tpu.export.aot import (
+    export_inference,
+    load_exported,
+    run_export,
+    save_exported,
+)
 
 __all__ = [
     "make_comparison_collage",
@@ -12,5 +17,6 @@ __all__ = [
     "write_metrics_csv",
     "export_inference",
     "load_exported",
+    "run_export",
     "save_exported",
 ]

@@ -38,27 +38,46 @@ def export_inference(
     batch_size: int = 16,
     input_nc: int = 1,
     platforms: Sequence[str] | None = None,
+    keep_pallas: bool = False,
 ) -> bytes:
     """Serialize ``IR [-1,1] float32 (B,H,W,C) → uint8 RGB`` with weights
     baked in. ``params`` may be a bare param tree or a full variables dict
     (with ``batch_stats`` for norm="batch" models, as make_infer_fn
     accepts). ``platforms`` e.g. ``("tpu",)`` or ``("tpu", "cpu")``; None →
-    the default export platform of the current backend."""
+    the default export platform of the current backend.
+
+    ``keep_pallas``: by default the fused Pallas kernels are stripped so
+    the artifact is pure StableHLO (portable across XLA/libtpu versions —
+    ``jax.export`` refuses ``tpu_custom_call`` because Mosaic binaries
+    carry no compatibility guarantee). Pass True for a SAME-FLEET serving
+    artifact that keeps the fused kernels (the measured-fastest inference
+    path: fused blocks + nb/head, and the int8 fused blocks under
+    ``quant_int8``): the export opts in via
+    ``DisabledSafetyCheck.custom_call("tpu_custom_call")``, requires
+    ``platforms=("tpu",)``, and the artifact must be served on a
+    Mosaic-compatible libtpu (re-export on TPU runtime upgrades)."""
     from ircolor_tpu.eval.metrics import quantize_to_uint8_01
 
-    # Serving artifacts must be pure StableHLO: the fused Pallas resblock
-    # (pallas_block, default ON for live TPU inference) lowers to a
-    # tpu_custom_call, which jax.export rejects (no compatibility
-    # guarantee) and which would pin the artifact to one libtpu version
-    # even if allowed. Param trees are identical either way, so stripping
-    # the flag changes nothing but the lowering.
-    strip = {
-        f: False
-        for f in ("pallas_block", "pallas_norm_blur", "pallas_head", "use_pallas")
-        if getattr(module, f, False)
-    }
-    if strip:
-        module = module.clone(**strip)
+    disabled_checks: tuple = ()
+    if keep_pallas:
+        if platforms is not None and tuple(platforms) != ("tpu",):
+            raise ValueError(
+                "keep_pallas=True artifacts embed tpu_custom_call — only "
+                "platforms=('tpu',) can run them"
+            )
+        disabled_checks = (
+            jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+        )
+    else:
+        # Pure-StableHLO artifact: strip the fused kernels. Param trees are
+        # identical either way, so stripping changes nothing but lowering.
+        strip = {
+            f: False
+            for f in ("pallas_block", "pallas_norm_blur", "pallas_head", "use_pallas")
+            if getattr(module, f, False)
+        }
+        if strip:
+            module = module.clone(**strip)
 
     variables = params if "params" in params else {"params": params}
 
@@ -71,6 +90,7 @@ def export_inference(
     exp = jax_export.export(
         jax.jit(serve),
         platforms=tuple(platforms) if platforms is not None else None,
+        disabled_checks=disabled_checks,
     )(spec)
     return exp.serialize()
 
@@ -85,3 +105,53 @@ def load_exported(path: str):
     runs the full inference step (compiles on first call)."""
     with open(path, "rb") as f:
         return jax_export.deserialize(f.read())
+
+
+def run_export(cfg) -> str:
+    """CLI mode="export": load generator weights (``--test-g-weights``, .pth
+    or native export) and write the AOT serving artifact to
+    ``cfg.export_out``. Returns the output path.
+
+    ``--export-keep-pallas`` embeds the fused Mosaic kernels (same-fleet TPU
+    artifact, the fastest serving graph); default is portable pure
+    StableHLO. ``--quant-int8`` composes: with keep_pallas the int8 fused
+    blocks ride inside the artifact."""
+    import os
+
+    from ircolor_tpu.models.wrapper import IRColorizationModel
+    from ircolor_tpu.utils.logging import get_logger
+
+    log = get_logger(__name__)
+    model = IRColorizationModel(cfg)
+    if cfg.test_G_weights is not None and os.path.isfile(cfg.test_G_weights):
+        log.info("Loading generator weights from: %s", cfg.test_G_weights)
+        model.load_weights(cfg.test_G_weights)
+    else:
+        log.warning(
+            "WARNING: cfg.test_G_weights is None or does not exist; "
+            "exporting a randomly initialized generator."
+        )
+    variables = {"params": model.params}
+    if model.batch_stats:
+        variables["batch_stats"] = model.batch_stats
+    h, w = cfg.resolved_hw
+    platforms = (
+        tuple(p.strip() for p in cfg.export_platforms.split(","))
+        if cfg.export_platforms
+        else None
+    )
+    blob = export_inference(
+        model.module, variables, h, w,
+        batch_size=max(1, cfg.test_batch_size), input_nc=cfg.input_nc,
+        platforms=platforms, keep_pallas=cfg.export_keep_pallas,
+    )
+    out = cfg.export_out
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_exported(out, blob)
+    log.info(
+        "Exported %s serving artifact: %s (%.1f MB, %dx%d b%d, platforms=%s)",
+        "same-fleet fused-kernel" if cfg.export_keep_pallas else "pure-StableHLO",
+        out, len(blob) / 1e6, h, w, max(1, cfg.test_batch_size),
+        platforms or "(backend default)",
+    )
+    return out

@@ -87,6 +87,32 @@ def test_cli_test_mode_end_to_end(kaist_tree, tmp_path):
     assert os.path.isfile(os.path.join(out, "metrics_test.csv"))
 
 
+def test_cli_export_mode_end_to_end(tmp_path):
+    """`python -m ircolor_tpu export`: writes a loadable AOT serving
+    artifact (random init — the weights warning path); the reloaded
+    artifact colorizes on CPU."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ircolor_tpu.export.aot import load_exported
+
+    out = str(tmp_path / "serve" / "netG.stablehlo")
+    rc = main([
+        "export",
+        "--img-size", "32",
+        "--n-blocks", "1",
+        "--ngf", "8",
+        "--test-batch-size", "2",
+        "--export-out", out,
+        "--export-platforms", "cpu",
+    ])
+    assert rc == 0
+    served = load_exported(out)
+    ir = np.random.RandomState(0).rand(2, 32, 32, 1).astype(np.float32) * 2 - 1
+    pred = np.asarray(served.call(jnp.asarray(ir)))
+    assert pred.shape == (2, 32, 32, 3) and pred.dtype == np.uint8
+
+
 def test_cli_round2_extension_flags():
     """--batch-transport / --no-lanepack round-trip through the REAL
     argparse parser (auto-generated flags) into typed Config fields."""

@@ -284,6 +284,41 @@ def test_aot_export_strips_pallas_paths(tmp_path, monkeypatch):
     assert out.shape == (1, 32, 32, 3) and out.dtype == np.uint8
 
 
+def test_aot_export_keep_pallas_same_fleet_artifact(monkeypatch):
+    """keep_pallas=True: the fused-kernel inference path (the measured-
+    fastest serving graph) exports as a TPU-only artifact carrying the
+    Mosaic custom call — opt-in via DisabledSafetyCheck, refused for
+    non-TPU platforms."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from ircolor_tpu.export.aot import export_inference
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.models.wrapper import generator_from_config
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+
+    cfg = Config(img_size=32, n_blocks=1, ngf=32)  # bottleneck C=128: gate-able
+    plain = generator_from_config(cfg)
+    params = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    module = plain.clone(pallas_block_min_area=0)
+    assert module.pallas_block
+    blob = export_inference(
+        module, params, 32, 32, batch_size=1, platforms=("tpu",),
+        keep_pallas=True,
+    )
+    # The artifact embeds the Mosaic kernel (python-side lowering runs on
+    # CPU; execution needs a compatible libtpu — TPU-validated separately).
+    assert b"tpu_custom_call" in blob
+    with pytest.raises(ValueError, match="tpu"):
+        export_inference(
+            module, params, 32, 32, batch_size=1, platforms=("cpu",),
+            keep_pallas=True,
+        )
+
+
 def test_aot_export_batchnorm_variables_dict(tmp_path):
     """norm='batch' models export with the full variables dict (batch_stats
     baked in), matching make_infer_fn's accepted forms."""
