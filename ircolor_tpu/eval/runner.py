@@ -202,7 +202,8 @@ def run_test(cfg: Config) -> dict[str, Any]:
                 "pallas_norm_blur=False / pallas_head=False%s (in-kernel "
                 "reflect halos are incompatible with image-axis sharding; "
                 "params unchanged)",
-                "; fused resblocks stay ON via shard_map halo exchange"
+                "; fused resblocks available via shard_map halo exchange "
+                "(engage when the PER-SHARD bottleneck clears the area gate)"
                 if keep_block else " / pallas_block=False",
             )
             cfg = _dc.replace(

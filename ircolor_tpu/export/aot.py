@@ -60,7 +60,9 @@ def export_inference(
 
     disabled_checks: tuple = ()
     if keep_pallas:
-        if platforms is not None and tuple(platforms) != ("tpu",):
+        if platforms is None:
+            platforms = ("tpu",)  # the only platform that can run the kernels
+        elif tuple(platforms) != ("tpu",):
             raise ValueError(
                 "keep_pallas=True artifacts embed tpu_custom_call — only "
                 "platforms=('tpu',) can run them"
@@ -107,6 +109,16 @@ def load_exported(path: str):
         return jax_export.deserialize(f.read())
 
 
+def artifact_has_tpu_kernels(blob: bytes) -> bool:
+    """True iff the artifact's StableHLO actually CALLS Mosaic kernels.
+
+    Scanning the serialized bytes is wrong: a keep_pallas export embeds the
+    literal string "tpu_custom_call" in its DisabledSafetyCheck metadata
+    even when every fused-kernel gate stayed off — inspect the deserialized
+    MLIR module for real custom_call ops instead."""
+    return "tpu_custom_call" in jax_export.deserialize(blob).mlir_module()
+
+
 def run_export(cfg) -> str:
     """CLI mode="export": load generator weights (``--test-g-weights``, .pth
     or native export) and write the AOT serving artifact to
@@ -120,8 +132,13 @@ def run_export(cfg) -> str:
 
     from ircolor_tpu.models.wrapper import IRColorizationModel
     from ircolor_tpu.utils.logging import get_logger
+    from ircolor_tpu.utils.timing import start_transfer_warmup
 
     log = get_logger(__name__)
+    # Export fetches the full param tree to host (weights become artifact
+    # constants) — fire the relay-handshake D2H warmup now so that first
+    # fetch doesn't stall 1.5-2.5 min on this environment (CLAUDE.md).
+    start_transfer_warmup()
     model = IRColorizationModel(cfg)
     if cfg.test_G_weights is not None and os.path.isfile(cfg.test_G_weights):
         log.info("Loading generator weights from: %s", cfg.test_G_weights)
@@ -148,10 +165,21 @@ def run_export(cfg) -> str:
     out = cfg.export_out
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     save_exported(out, blob)
+    has_kernels = cfg.export_keep_pallas and artifact_has_tpu_kernels(blob)
+    if cfg.export_keep_pallas and not has_kernels:
+        # keep_pallas was requested but no Mosaic kernel traced into the
+        # graph (non-TPU backend, f32 dtype, or every area/shape gate off)
+        # — the artifact is valid but serves the plain XLA graph; say so
+        # instead of advertising a fused artifact that isn't.
+        log.warning(
+            "WARNING: --export-keep-pallas requested but no fused kernel "
+            "engaged for this config (backend/dtype/area gates) — the "
+            "artifact is pure StableHLO and serves the XLA graph."
+        )
     log.info(
         "Exported %s serving artifact: %s (%.1f MB, %dx%d b%d, platforms=%s)",
-        "same-fleet fused-kernel" if cfg.export_keep_pallas else "pure-StableHLO",
+        "same-fleet fused-kernel" if has_kernels else "pure-StableHLO",
         out, len(blob) / 1e6, h, w, max(1, cfg.test_batch_size),
-        platforms or "(backend default)",
+        platforms or ("tpu" if cfg.export_keep_pallas else "(backend default)"),
     )
     return out

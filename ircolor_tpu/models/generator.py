@@ -188,7 +188,14 @@ class ResnetBlock(nn.Module):
         # ends, two kernel launches + one elementwise pass for the whole
         # block. Static-shape guard falls back to the XLA path (identical
         # params) when tiling constraints don't hold.
-        sp = self.spatial_mesh is not None
+        # Spatial route: inference-only (no custom_vjp through shard_map),
+        # 1-D H mesh only (W halos stay in-kernel). A mesh that doesn't
+        # match falls back to the XLA path (GSPMD handles its halos).
+        sp = (
+            self.spatial_mesh is not None
+            and not train
+            and tuple(self.spatial_mesh.axis_names) == (self.spatial_axis,)
+        )
         sp_n = self.spatial_mesh.shape[self.spatial_axis] if sp else 1
         # Under H-axis spatial sharding the kernel tiles the LOCAL shard.
         local_h = x.shape[1] // sp_n if x.shape[1] % sp_n == 0 else 0
@@ -207,13 +214,12 @@ class ResnetBlock(nn.Module):
             # tiling (128)") — caught by the r3 verify probe at ngf=8.
             and x.shape[-1] % 128 == 0
             and self.dim % 128 == 0
-            and x.shape[1] * x.shape[2] >= self.pallas_block_min_area
-            # Spatial route: inference-only (no custom_vjp through
-            # shard_map), 1-D H mesh only (W halos stay in-kernel).
-            and (not sp or (
-                not train
-                and tuple(self.spatial_mesh.axis_names) == (self.spatial_axis,)
-            ))
+            # Area gate on what one kernel LAUNCH sees: the per-shard plane
+            # under spatial sharding — the small-launch regime (shallow tile
+            # pipelining) is where the kernel measured a loss at 256², and
+            # sharding puts each launch in exactly that regime.
+            and local_h * x.shape[2] >= self.pallas_block_min_area
+            and (self.spatial_mesh is None or sp)
             and _pallas_available()
         ):
             k1 = _ConvParams(self.dim, self.use_bias, name="conv1")(x.shape[-1])

@@ -69,7 +69,7 @@ _EPS = 1e-5
 
 def _halo_copy(
     x_hbm, x_vmem, sems, bb, hh, slot, *, th: int, h: int, nh: int,
-    halo: str = "reflect",
+    halo: str = "reflect", top_hbm=None, bot_hbm=None,
 ):
     """The (branch-static) halo DMA descriptor set for tile ``hh``.
 
@@ -78,10 +78,16 @@ def _halo_copy(
     variable-length — so boundary tiles get their own descriptors.
 
     ``halo="provided"``: the HBM tensor is a SLAB whose first and last rows
-    ARE the halo rows (h = tile rows + 2, attached by the caller — e.g. a
-    shard_map spatial wrapper that ppermuted neighbor-shard rows in). Every
+    ARE the halo rows (h = tile rows + 2, attached by the caller). Every
     tile then reads rows [hh·th, hh·th + th + 2) — one unconditional
     descriptor, no boundary branches, no reflect fixups.
+
+    ``halo="separate"``: interior rows come from the UNPADDED ``x_hbm`` and
+    the two global halo rows from the 1-row ``top_hbm``/``bot_hbm``
+    operands (e.g. neighbor-shard rows ppermuted in by the shard_map
+    spatial wrapper). Avoids the full slab copy ``provided`` would need the
+    caller to materialize — the activation itself is still read exactly
+    once.
     """
     if halo == "provided":
         return [(None, pltpu.make_async_copy(
@@ -89,6 +95,38 @@ def _halo_copy(
             x_vmem.at[slot],
             sems.at[slot],
         ))]
+    if halo == "separate":
+        top = pltpu.make_async_copy(
+            top_hbm.at[bb], x_vmem.at[slot, pl.ds(0, 1)], sems.at[slot]
+        )
+        bot = pltpu.make_async_copy(
+            bot_hbm.at[bb], x_vmem.at[slot, pl.ds(th + 1, 1)], sems.at[slot]
+        )
+        if nh == 1:
+            main = pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(0, th)],
+                x_vmem.at[slot, pl.ds(1, th)],
+                sems.at[slot],
+            )
+            return [(None, main), (None, top), (None, bot)]
+        first = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(0, th + 1)],
+            x_vmem.at[slot, pl.ds(1, th + 1)],
+            sems.at[slot],
+        )
+        last = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(h - th - 1, th + 1)],
+            x_vmem.at[slot, pl.ds(0, th + 1)],
+            sems.at[slot],
+        )
+        mid = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(hh * th - 1, th + 2)],
+            x_vmem.at[slot],
+            sems.at[slot],
+        )
+        return [(hh == 0, first), (hh == 0, top),
+                (hh == nh - 1, last), (hh == nh - 1, bot),
+                (jnp.logical_and(hh != 0, hh != nh - 1), mid)]
     if nh == 1:
         # Single tile: rows 0..h-1 land in slots 1..h; slots 0 and h+1 are
         # restored from the reflected rows after the wait.
@@ -117,14 +155,18 @@ def _halo_copy(
 
 
 def _kernel(
-    x_hbm, k_ref, *maybe_stats_and_out, th: int, w: int, h: int, nh: int,
+    x_hbm, k_ref, *rest, th: int, w: int, h: int, nh: int,
     norm_in: bool, halo: str = "reflect",
 ):
+    i = 0
+    m_ref = i_ref = top_hbm = bot_hbm = None
     if norm_in:
-        m_ref, i_ref, o_ref, s_ref, x_vmem, xcat, sems = maybe_stats_and_out
-    else:
-        o_ref, s_ref, x_vmem, xcat, sems = maybe_stats_and_out
-        m_ref = i_ref = None
+        m_ref, i_ref = rest[0], rest[1]
+        i = 2
+    if halo == "separate":
+        top_hbm, bot_hbm = rest[i], rest[i + 1]
+        i += 2
+    o_ref, s_ref, x_vmem, xcat, sems = rest[i:]
 
     b = pl.program_id(0)
     hh = pl.program_id(1)
@@ -137,7 +179,8 @@ def _kernel(
         bb = jax.lax.div(linear, nh)
         jj = jax.lax.rem(linear, nh)
         for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
-                                   th=th, h=h, nh=nh, halo=halo):
+                                   th=th, h=h, nh=nh, halo=halo,
+                                   top_hbm=top_hbm, bot_hbm=bot_hbm):
             if pred is None:
                 cp.start()
             else:
@@ -149,7 +192,8 @@ def _kernel(
         bb = jax.lax.div(linear, nh)
         jj = jax.lax.rem(linear, nh)
         for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
-                                   th=th, h=h, nh=nh, halo=halo):
+                                   th=th, h=h, nh=nh, halo=halo,
+                                   top_hbm=top_hbm, bot_hbm=bot_hbm):
             if pred is None:
                 cp.wait()
             else:
@@ -168,8 +212,9 @@ def _kernel(
     wait_for(lin, slot)
 
     # H-axis reflect fixups (1-row VMEM copies, boundary tiles only). With
-    # provided halos the slab's edge rows already hold the right values.
-    if halo == "provided":
+    # provided/separate halos the tile's edge rows already hold the right
+    # values (slab rows / DMA'd 1-row neighbor tensors).
+    if halo in ("provided", "separate"):
         pass
     elif nh == 1:
         x_vmem[slot, 0] = x_vmem[slot, 2]
@@ -233,6 +278,7 @@ def conv3x3_reflect_fused(
     tile_h: int = 16,
     vmem_limit_mb: int = 100,
     halo: str = "reflect",
+    halo_rows: tuple | None = None,
     stats_axis: str | None = None,
     interpret: bool = False,
 ):
@@ -244,14 +290,18 @@ def conv3x3_reflect_fused(
     Requires H % tile_h == 0 and W % 8 == 0 (true for all generator
     bottleneck shapes: 128×160, 64×64, …).
 
-    ``halo="provided"``: ``x`` is a SLAB of H+2 rows whose first and last
-    rows are caller-supplied halo rows (e.g. neighbor-shard rows ppermuted
-    in by a shard_map spatial wrapper — see ``resnet_block_pallas_spatial``);
-    output has H rows. ``stats_axis``: psum the Σy/Σy² stats over that named
-    axis (the per-(B, C) IN moments then cover the GLOBAL image, exactly as
-    the single-device kernel's do).
+    Spatial-sharding halo contracts (see ``resnet_block_pallas_spatial``):
+    ``halo="provided"`` — ``x`` is a SLAB of H+2 rows whose first and last
+    rows are caller-supplied halo rows; output has H rows. ``halo=
+    "separate"`` — ``x`` stays unpadded and ``halo_rows=(top, bot)`` are
+    (B, 1, W, C) tensors DMA'd into the tile edges in-kernel (no slab
+    materialization: the activation is still read exactly once).
+    ``stats_axis``: psum the Σy/Σy² stats over that named axis (the
+    per-(B, C) IN moments then cover the GLOBAL image, exactly as the
+    single-device kernel's do).
     """
-    assert halo in ("reflect", "provided"), halo
+    assert halo in ("reflect", "provided", "separate"), halo
+    assert (halo_rows is not None) == (halo == "separate"), halo
     b, h, w, c = x.shape
     if halo == "provided":
         h -= 2  # interior rows; x carries one halo row at each end
@@ -277,6 +327,11 @@ def conv3x3_reflect_fused(
         stat_spec = pl.BlockSpec(memory_space=vmem)  # whole (B, C) arrays
         in_specs += [stat_spec, stat_spec]
         operands += [mean, inv]
+    if halo == "separate":
+        top, bot = halo_rows
+        assert top.shape == bot.shape == (b, 1, w, c), (top.shape, x.shape)
+        in_specs += [pl.BlockSpec(memory_space=anym)] * 2
+        operands += [top.astype(x.dtype), bot.astype(x.dtype)]
 
     kernel_fn = functools.partial(
         _kernel, th=tile_h, w=w, h=h, nh=nh, norm_in=norm_in, halo=halo
@@ -631,12 +686,20 @@ def _kernel_q(
     output tile + Σy/Σy² stats are bit-identical in structure to the float
     kernel's, so IN₂ absorbs the scales exactly (ops/quant.py docstring).
     """
+    i = 0
+    m_ref = i_ref = q_ref = top_hbm = bot_hbm = None
     if norm_in:
-        m_ref, i_ref, sc_ref, o_ref, s_ref, x_vmem, xcat, sems = rest
-        q_ref = None
+        m_ref, i_ref = rest[0], rest[1]
+        i = 2
     else:
-        q_ref, sc_ref, o_ref, s_ref, x_vmem, xcat, sems = rest
-        m_ref = i_ref = None
+        q_ref = rest[0]
+        i = 1
+    sc_ref = rest[i]
+    i += 1
+    if halo == "separate":
+        top_hbm, bot_hbm = rest[i], rest[i + 1]
+        i += 2
+    o_ref, s_ref, x_vmem, xcat, sems = rest[i:]
 
     b = pl.program_id(0)
     hh = pl.program_id(1)
@@ -649,7 +712,8 @@ def _kernel_q(
         bb = jax.lax.div(linear, nh)
         jj = jax.lax.rem(linear, nh)
         for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
-                                   th=th, h=h, nh=nh, halo=halo):
+                                   th=th, h=h, nh=nh, halo=halo,
+                                   top_hbm=top_hbm, bot_hbm=bot_hbm):
             if pred is None:
                 getattr(cp, action)()
             else:
@@ -667,7 +731,7 @@ def _kernel_q(
 
     run(lin, slot, "wait")
 
-    if halo == "provided":
+    if halo in ("provided", "separate"):
         pass
     elif nh == 1:
         x_vmem[slot, 0] = x_vmem[slot, 2]
@@ -736,6 +800,7 @@ def conv3x3_reflect_fused_q(
     tile_h: int = 16,
     vmem_limit_mb: int = 100,
     halo: str = "reflect",
+    halo_rows: tuple | None = None,
     stats_axis: str | None = None,
     interpret: bool = False,
 ):
@@ -749,10 +814,12 @@ def conv3x3_reflect_fused_q(
     * ``mean``/``inv`` (B, C) — conv2: IN-normalize + ReLU on load, then
       quantize by the fixed 127/6σ scale (``sc`` must carry 6/127·s_w).
     Returns (y float, IN mean, IN inv_std of y) like conv3x3_reflect_fused.
-    ``halo``/``stats_axis``: same spatial-sharding contract as
-    ``conv3x3_reflect_fused`` (H+2-row slab input / psum'd IN stats).
+    ``halo``/``halo_rows``/``stats_axis``: same spatial-sharding contracts
+    as ``conv3x3_reflect_fused`` (slab input / 1-row halo operands /
+    psum'd IN stats).
     """
-    assert halo in ("reflect", "provided"), halo
+    assert halo in ("reflect", "provided", "separate"), halo
+    assert (halo_rows is not None) == (halo == "separate"), halo
     b, h, w, c = x.shape
     if halo == "provided":
         h -= 2
@@ -789,6 +856,11 @@ def conv3x3_reflect_fused_q(
         operands += [qscale.astype(jnp.float32)]
     in_specs += [stat_spec]
     operands += [sc.astype(jnp.float32)]
+    if halo == "separate":
+        top, bot = halo_rows
+        assert top.shape == bot.shape == (b, 1, w, c), (top.shape, x.shape)
+        in_specs += [pl.BlockSpec(memory_space=anym)] * 2
+        operands += [top.astype(x.dtype), bot.astype(x.dtype)]
 
     kernel_fn = functools.partial(
         _kernel_q, th=tile_h, w=w, h=h, nh=nh, norm_in=norm_in, halo=halo
@@ -886,17 +958,19 @@ def resnet_block_pallas_q(
 # ---------------------------------------------------------------------------
 
 
-def _attach_halo_rows(x: jnp.ndarray, axis: str) -> jnp.ndarray:
-    """(B, Hloc, W, C) per-shard tensor → (B, Hloc+2, W, C) slab inside a
-    ``shard_map`` over named H-shard axis ``axis``.
+def _exchange_halo_rows(x: jnp.ndarray, axis: str) -> tuple:
+    """(B, Hloc, W, C) per-shard tensor → its two (B, 1, W, C) halo rows,
+    inside a ``shard_map`` over named H-shard axis ``axis``.
 
     Interior halo rows come from the neighbor shards (two ``ppermute``
     shifts); the global boundary shards reflect locally, which IS the global
     ReflectionPad2d(1) row (global row −1 ≡ global row 1 = shard 0's local
-    row 1, and symmetrically at the bottom)."""
+    row 1, and symmetrically at the bottom). The rows feed the kernel's
+    ``halo="separate"`` input DMA — the activation itself is never copied
+    (no slab materialization)."""
     size = jax.lax.axis_size(axis)
     if size == 1:
-        return jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
+        return x[:, 1:2], x[:, -2:-1]
     idx = jax.lax.axis_index(axis)
     down = [(i, i + 1) for i in range(size - 1)]  # my last row → next shard
     up = [(i + 1, i) for i in range(size - 1)]    # my first row → prev shard
@@ -904,7 +978,7 @@ def _attach_halo_rows(x: jnp.ndarray, axis: str) -> jnp.ndarray:
     bot = jax.lax.ppermute(x[:, 0:1], axis, up)
     top = jnp.where(idx == 0, x[:, 1:2], top)
     bot = jnp.where(idx == size - 1, x[:, -2:-1], bot)
-    return jnp.concatenate([top, x, bot], axis=1)
+    return top, bot
 
 
 def resnet_block_pallas_spatial(
@@ -917,18 +991,19 @@ def resnet_block_pallas_spatial(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``resnet_block_pallas`` for an H-sharded ``x``, called INSIDE a
-    ``shard_map`` over named axis ``axis`` (e.g. via
-    ``parallel.spatial.spatial_resblock_fn``). Halo rows ride two 1-row
-    ppermutes per conv; IN stats psum once per conv. Inference-only (no
-    custom_vjp: spatial sharding is the serving layout; training is DP)."""
-    slab = _attach_halo_rows(x, axis)
+    ``shard_map`` over named axis ``axis`` (the generator's spatial_mesh
+    wiring builds this). Halo rows ride two 1-row ppermutes per conv into
+    the kernel's ``halo="separate"`` edge DMAs; IN stats psum once per
+    conv. Inference-only (no custom_vjp: spatial sharding is the serving
+    layout; training is DP)."""
     raw1, m1, i1 = conv3x3_reflect_fused(
-        slab, k1, tile_h=tile_h, halo="provided", stats_axis=axis,
+        x, k1, tile_h=tile_h, halo="separate",
+        halo_rows=_exchange_halo_rows(x, axis), stats_axis=axis,
         interpret=interpret,
     )
-    slab1 = _attach_halo_rows(raw1, axis)
     raw2, m2, i2 = conv3x3_reflect_fused(
-        slab1, k2, m1, i1, tile_h=tile_h, halo="provided", stats_axis=axis,
+        raw1, k2, m1, i1, tile_h=tile_h, halo="separate",
+        halo_rows=_exchange_halo_rows(raw1, axis), stats_axis=axis,
         interpret=interpret,
     )
     y = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
@@ -959,16 +1034,16 @@ def resnet_block_pallas_q_spatial(
     amax = jax.lax.pmax(amax, axis)
     qs = 127.0 / amax
     sc1 = (amax / 127.0)[:, None] * sw1[None, :]
-    slab = _attach_halo_rows(x, axis)
     raw1, m1, i1 = conv3x3_reflect_fused_q(
-        slab, kq1, sc1, qscale=qs, tile_h=tile_h, halo="provided",
-        stats_axis=axis, interpret=interpret,
+        x, kq1, sc1, qscale=qs, tile_h=tile_h, halo="separate",
+        halo_rows=_exchange_halo_rows(x, axis), stats_axis=axis,
+        interpret=interpret,
     )
     sc2 = jnp.broadcast_to((_QCLIP / 127.0) * sw2[None, :], (b, k2.shape[-1]))
-    slab1 = _attach_halo_rows(raw1, axis)
     raw2, m2, i2 = conv3x3_reflect_fused_q(
-        slab1, kq2, sc2, mean=m1, inv=i1, tile_h=tile_h, halo="provided",
-        stats_axis=axis, interpret=interpret,
+        raw1, kq2, sc2, mean=m1, inv=i1, tile_h=tile_h, halo="separate",
+        halo_rows=_exchange_halo_rows(raw1, axis), stats_axis=axis,
+        interpret=interpret,
     )
     y = (raw2.astype(jnp.float32) - m2[:, None, None, :]) * i2[:, None, None, :]
     return x + y.astype(x.dtype)

@@ -293,7 +293,10 @@ def test_aot_export_keep_pallas_same_fleet_artifact(monkeypatch):
     import jax.numpy as jnp
     import pytest
 
-    from ircolor_tpu.export.aot import export_inference
+    from ircolor_tpu.export.aot import (
+        artifact_has_tpu_kernels,
+        export_inference,
+    )
     from ircolor_tpu.models import generator as gen_mod
     from ircolor_tpu.models.wrapper import generator_from_config
 
@@ -309,14 +312,25 @@ def test_aot_export_keep_pallas_same_fleet_artifact(monkeypatch):
         module, params, 32, 32, batch_size=1, platforms=("tpu",),
         keep_pallas=True,
     )
-    # The artifact embeds the Mosaic kernel (python-side lowering runs on
+    # The artifact CALLS the Mosaic kernel (python-side lowering runs on
     # CPU; execution needs a compatible libtpu — TPU-validated separately).
-    assert b"tpu_custom_call" in blob
+    # artifact_has_tpu_kernels inspects the MLIR, not the raw bytes: a
+    # keep_pallas blob always contains the literal "tpu_custom_call" in its
+    # DisabledSafetyCheck metadata, kernels or not.
+    assert artifact_has_tpu_kernels(blob)
     with pytest.raises(ValueError, match="tpu"):
         export_inference(
             module, params, 32, 32, batch_size=1, platforms=("cpu",),
             keep_pallas=True,
         )
+    # Gates off (default min_area at 32²): keep_pallas export succeeds but
+    # produces a kernel-less artifact — the helper must say so (run_export
+    # downgrades its log line on this signal).
+    blob_off = export_inference(
+        plain, params, 32, 32, batch_size=1, keep_pallas=True,
+    )
+    assert b"tpu_custom_call" in blob_off  # metadata string IS present...
+    assert not artifact_has_tpu_kernels(blob_off)  # ...but no kernel call
 
 
 def test_aot_export_batchnorm_variables_dict(tmp_path):

@@ -111,15 +111,18 @@ def test_resnet_block_pallas_q_lowers(rng):
 
 
 def test_conv3x3_reflect_fused_provided_halo_lowers(rng):
-    """The spatial-sharding form: H+2-row slab input, one unconditional
-    halo DMA per tile (ops/pallas_resblock halo='provided'). Float + int8,
-    with and without norm-on-load."""
+    """The spatial-sharding forms: 'provided' (H+2-row slab input, one
+    unconditional halo DMA per tile) and 'separate' (unpadded input + 1-row
+    halo operands DMA'd into the tile edges — what the shard_map wrappers
+    ship). Float + int8, with and without norm-on-load."""
     from ircolor_tpu.ops.pallas_resblock import (
         conv3x3_reflect_fused,
         conv3x3_reflect_fused_q,
     )
 
     slab = _bf16(rng.rand(1, 34, 64, 256) * 2 - 1)  # 32 interior + 2 halo
+    x = slab[:, 1:-1]
+    rows = (slab[:, 0:1], slab[:, -1:])
     k = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
     m = jnp.asarray(rng.randn(1, 256).astype(np.float32))
     iv = jnp.asarray(rng.rand(1, 256).astype(np.float32) + 0.5)
@@ -132,6 +135,19 @@ def test_conv3x3_reflect_fused_provided_halo_lowers(rng):
             v, k, m, iv, tile_h=16, halo="provided"
         )[0],
         slab,
+    )
+    for th in (16, 32):  # nh=2 (boundary-tile DMAs) and nh=1 (single tile)
+        _lower_tpu(
+            lambda v, t, bt, th=th: conv3x3_reflect_fused(
+                v, k, tile_h=th, halo="separate", halo_rows=(t, bt)
+            )[0],
+            x, *rows,
+        )
+    _lower_tpu(
+        lambda v, t, bt: conv3x3_reflect_fused(
+            v, k, m, iv, tile_h=16, halo="separate", halo_rows=(t, bt)
+        )[0],
+        x, *rows,
     )
     kq = jnp.asarray(
         np.clip(np.round(rng.randn(3, 3, 256, 256) * 30), -127, 127), jnp.int8
@@ -149,4 +165,18 @@ def test_conv3x3_reflect_fused_provided_halo_lowers(rng):
             v, kq, sc, mean=m, inv=iv, tile_h=16, halo="provided"
         )[0],
         slab,
+    )
+    _lower_tpu(
+        lambda v, t, bt: conv3x3_reflect_fused_q(
+            v, kq, sc, qscale=qs, tile_h=16, halo="separate",
+            halo_rows=(t, bt)
+        )[0],
+        x, *rows,
+    )
+    _lower_tpu(
+        lambda v, t, bt: conv3x3_reflect_fused_q(
+            v, kq, sc, mean=m, inv=iv, tile_h=16, halo="separate",
+            halo_rows=(t, bt)
+        )[0],
+        x, *rows,
     )

@@ -222,6 +222,25 @@ def _spatial_block_fn(blk, mesh, *, tile_h):
     ))
 
 
+@pytest.mark.parametrize("tile_h", [4, 8, 16])
+def test_fused_conv_separate_halo_matches_reflect(tile_h):
+    """halo='separate' (1-row halo operands DMA'd into the tile edges —
+    what the shard_map wrappers ship) ≡ the in-kernel reflect path, across
+    nh ∈ {4, 2, 1}."""
+    rng = np.random.RandomState(9)
+    B, H, W, C = 2, 16, 16, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, C, 12).astype(np.float32) * 0.1)
+    want, m_ref, i_ref = conv3x3_reflect_fused(x, k, tile_h=tile_h, interpret=True)
+    got, m, inv = conv3x3_reflect_fused(
+        x, k, tile_h=tile_h, halo="separate",
+        halo_rows=(x[:, 1:2], x[:, -2:-1]), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(inv), np.asarray(i_ref))
+
+
 def test_fused_conv_provided_halo_matches_reflect():
     """halo='provided' on a hand-built reflect slab ≡ the in-kernel reflect
     path (output AND stats) — the contract the shard_map wrapper relies on."""

@@ -81,9 +81,12 @@ def main() -> None:
         module, params, args.height, args.width, batch_size=args.batch,
         platforms=("tpu",), keep_pallas=True,
     )
+    from ircolor_tpu.export.aot import artifact_has_tpu_kernels
+
+    has_kernels = artifact_has_tpu_kernels(blob)
     print(f"exported {len(blob)/1e6:.1f} MB in {time.perf_counter()-t0:.1f}s "
-          f"(tpu_custom_call embedded: {b'tpu_custom_call' in blob})",
-          flush=True)
+          f"(Mosaic kernel calls in MLIR: {has_kernels})", flush=True)
+    assert has_kernels, "keep_pallas artifact has no kernel calls — gates off?"
 
     from jax import export as jax_export
 

@@ -173,12 +173,11 @@ def main() -> None:
             flush=True,
         )
 
-    # Provided-halo (spatial-sharding) form: H+2-row slab input, one
-    # unconditional halo DMA per tile — the kernel behind
-    # resnet_block_pallas_spatial (`test --sp-devices N`). A 1-device
-    # shard_map cannot run here (the relay exposes one chip and the slab
-    # kernel is what differs anyway), so smoke the slab kernel directly
-    # against the in-kernel-reflect form.
+    # Spatial-sharding halo forms — the kernels behind
+    # resnet_block_pallas(_q)_spatial (`test --sp-devices N`). A multi-device
+    # shard_map cannot run here (the relay exposes one chip and the halo DMA
+    # pattern is what differs anyway), so smoke the kernels directly against
+    # the in-kernel-reflect form with locally-built halo rows.
     try:
         slab = reflect_pad2d(x, 1)[:, :, 1:-1]
         got_p, mp, ip = jax.jit(
@@ -189,6 +188,55 @@ def main() -> None:
     except Exception as exc:
         print(
             f"FAIL provided-halo reflconv: {type(exc).__name__}: "
+            f"{str(exc)[:200]}",
+            flush=True,
+        )
+        ok = False
+
+    # separate mode (the shipped wrapper form): unpadded input + 1-row halo
+    # operands, float and int8, at nh=2 (boundary DMAs) and nh=1.
+    rows = (x[:, 1:2], x[:, -2:-1])
+    for th in (16, 32):
+        try:
+            got_s, ms, _ = jax.jit(
+                lambda v, t, bt, th=th: conv3x3_reflect_fused(
+                    v, k1, tile_h=th, halo="separate", halo_rows=(t, bt)
+                )
+            )(x, *rows)
+            ok &= check(f"separate-halo reflconv th{th}", got_s, want_refl,
+                        atol=0.5)
+        except Exception as exc:
+            print(
+                f"FAIL separate-halo reflconv th{th}: {type(exc).__name__}: "
+                f"{str(exc)[:200]}",
+                flush=True,
+            )
+            ok = False
+    try:
+        from ircolor_tpu.ops.pallas_resblock import conv3x3_reflect_fused_q
+        from ircolor_tpu.ops.quant import _AMAX_FLOOR, quantize_weight_per_channel
+
+        kq1, sw1 = quantize_weight_per_channel(k1)
+        amax = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3)), _AMAX_FLOOR
+        )
+        qs = 127.0 / amax
+        sc1 = (amax / 127.0)[:, None] * sw1[None, :]
+        want_q = jax.jit(
+            lambda v: conv3x3_reflect_fused_q(v, kq1, sc1, qscale=qs, tile_h=16)
+        )(x)[0]
+        got_q = jax.jit(
+            lambda v, t, bt: conv3x3_reflect_fused_q(
+                v, kq1, sc1, qscale=qs, tile_h=16, halo="separate",
+                halo_rows=(t, bt)
+            )
+        )(x, *rows)[0]
+        # Same quant grid either way — differences are rounding-boundary
+        # flips only (one int8 step through the dequant scale).
+        ok &= check("separate-halo int8 vs reflect", got_q, want_q, atol=0.05)
+    except Exception as exc:
+        print(
+            f"FAIL separate-halo int8: {type(exc).__name__}: "
             f"{str(exc)[:200]}",
             flush=True,
         )
