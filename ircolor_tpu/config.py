@@ -259,6 +259,15 @@ class Config:
     export_platforms: str | None = None
     export_keep_pallas: bool = False
 
+    # D-phase batch-concat: run ONE double-batch discriminator
+    # forward/backward over [real ‖ fake] instead of two (train/step.py).
+    # Exact for instance/none norms (per-sample stats; the hinge terms mean
+    # each half independently); BatchNorm configs ignore it (batch stats
+    # would mix the halves). Default ON: −2.2 to −2.4 ms/step at b8
+    # 512×640, consistent across two processes with a sandwich control
+    # (tools/trainbench.py d_two variant re-tests the two-forward form).
+    d_concat: bool = True
+
     # Train log cadence (ref prints every 50 steps + step 1, ref :1687).
     log_every: int = 50
 

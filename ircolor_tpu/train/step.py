@@ -129,7 +129,22 @@ def make_train_step(
 
         # ---- D phase (hinge) ----
         if update_d:
+            # Batch-concat form: ONE double-batch D forward/backward over
+            # [real ‖ fake] instead of two. EXACT for instance/none norms
+            # (per-sample statistics; hinge terms mean each half
+            # independently) — BatchNorm keeps the literal two-forward
+            # structure (its batch statistics would mix the halves).
+            d_concat = cfg.d_concat and not has_bn
+
             def d_loss_fn(d_params):
+                if d_concat:
+                    both = jnp.concatenate([
+                        jnp.concatenate([ir, rgb], axis=-1),
+                        jnp.concatenate([ir, fake_detached], axis=-1),
+                    ], axis=0)
+                    pred, ds2 = d_apply(d_params, state.d_stats, both)
+                    bsz = ir.shape[0]
+                    return hinge_d_loss(pred[:bsz], pred[bsz:]), ds2
                 pred_real, ds1 = d_apply(d_params, state.d_stats, jnp.concatenate([ir, rgb], axis=-1))
                 pred_fake, ds2 = d_apply(d_params, ds1, jnp.concatenate([ir, fake_detached], axis=-1))
                 return hinge_d_loss(pred_real, pred_fake), ds2

@@ -76,6 +76,17 @@ def make_train_step_shardmap(
 
         # ---- D phase: local grads, explicit all-reduce, identical update ----
         def d_loss_fn(d_params):
+            if cfg.d_concat:
+                # One double-batch D pass over [real ‖ fake] — exact for the
+                # instance/none norms this step supports (train.step ships
+                # it; −2.2 ms/step at b8 512×640, docs/PERF.md).
+                both = jnp.concatenate([
+                    jnp.concatenate([ir, rgb], axis=-1),
+                    jnp.concatenate([ir, fake_detached], axis=-1),
+                ], axis=0)
+                pred = d_apply(d_params, both)
+                b = ir.shape[0]
+                return hinge_d_loss(pred[:b], pred[b:])
             pred_real = d_apply(d_params, jnp.concatenate([ir, rgb], axis=-1))
             pred_fake = d_apply(d_params, jnp.concatenate([ir, fake_detached], axis=-1))
             return hinge_d_loss(pred_real, pred_fake)

@@ -280,7 +280,14 @@ def test_single_forward_step_matches_two_forward_reference(step_setup):
     # gradient of zero, and an adaptive optimizer (Adam) amplifies their
     # float-noise-level grads to ±lr with compilation-dependent sign.
     opt_g = opt_d = optax.sgd(1.0)
-    step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, donate=False)
+    # Pin the two-forward D phase: this test isolates the single-G-forward
+    # restructure at tight (2e-6) tolerance, and the d_concat double-batch
+    # wgrad reassociates sums beyond it (its own equivalence test below
+    # compares loss + grads at reassociation tolerance).
+    step = make_train_step(
+        cfg.replace(d_concat=False), g_mod, d_mod, vgg_mod, opt_g, opt_d,
+        donate=False,
+    )
 
     def two_forward_step(state, batch, vgg_params):
         ir, rgb = batch["ir"], batch["rgb"]
@@ -324,6 +331,56 @@ def test_single_forward_step_matches_two_forward_reference(step_setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(got.d_params), jax.tree_util.tree_leaves(want.d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5)
+
+
+def test_d_concat_step_matches_two_forward(step_setup):
+    """cfg.d_concat (one double-batch D forward/backward over [real ‖ fake])
+    computes the same loss surface as the two-forward form under instance
+    norm: identical losses and D grads to float reassociation noise (the
+    double-batch wgrad sums 2B terms in one reduction, so bitwise equality
+    is not expected — and post-Adam params can't be compared at step 1: the
+    int-transport test's ±lr sign-flip caveat applies)."""
+    from ircolor_tpu.losses.gan import hinge_d_loss
+
+    cfg, state, step, batch, (g_mod, d_mod, vgg_mod, vgg_params) = step_setup
+    fake = jax.lax.stop_gradient(
+        g_mod.apply({"params": state.g_params}, batch["ir"], train=True)
+    )
+    real_in = jnp.concatenate([batch["ir"], batch["rgb"]], axis=-1)
+    fake_in = jnp.concatenate([batch["ir"], fake], axis=-1)
+
+    def loss_two(d_params):
+        pr = d_mod.apply({"params": d_params}, real_in, train=True)
+        pf = d_mod.apply({"params": d_params}, fake_in, train=True)
+        return hinge_d_loss(pr, pf)
+
+    def loss_cat(d_params):
+        pred = d_mod.apply(
+            {"params": d_params},
+            jnp.concatenate([real_in, fake_in], axis=0), train=True,
+        )
+        b = real_in.shape[0]
+        return hinge_d_loss(pred[:b], pred[b:])
+
+    l_a, g_a = jax.value_and_grad(loss_two)(state.d_params)
+    l_b, g_b = jax.value_and_grad(loss_cat)(state.d_params)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+    # And the full step produces the same losses either way (cfg default is
+    # d_concat=True; build the two-forward step explicitly).
+    step_two = make_train_step(
+        cfg.replace(d_concat=False), g_mod, d_mod, vgg_mod,
+        *create_train_state(cfg, steps_per_epoch=10)[3], donate=False,
+    )
+    _, m_a = step(state, dict(batch), vgg_params)
+    _, m_b = step_two(state, dict(batch), vgg_params)
+    for k in m_a:
+        np.testing.assert_allclose(
+            float(m_a[k]), float(m_b[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
 
 
 def test_int_transport_step_matches_float(step_setup):

@@ -51,6 +51,8 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     ),  # fused blocks + down tails + head
     "vgg_lp2": ({}, True),  # lane-packed VGG conv1_1/conv1_2 (p=2)
     "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
+    "d_concat": ({"d_concat": True}, True),  # one double-batch D fwd/bwd (= ship)
+    "d_two": ({"d_concat": False}, True),    # the two-forward D phase
     "no_perc": ({"lambda_perc": 0.0}, True),
     "no_ssim": ({"lambda_ssim": 0.0}, True),
     "no_tv": ({"lambda_tv": 0.0}, True),
