@@ -206,11 +206,14 @@ class Config:
     # keeps it on).
     pallas_norm_blur: bool = True
 
-    # Smallest down-stage conv-output plane (H·W px) the fused tail engages
-    # at. 18000 keeps both 512×640 tails (81920 / 20480 px) and disables
-    # both at 256² (16384 / 4096 px), where the kernel loses (+5.41 ms,
-    # fwdvariants 256² run A).
-    pallas_norm_blur_min_area: int = 18000
+    # Smallest down-stage LAUNCH (batch · H · W px of the conv output) the
+    # fused tail engages at — per-launch work, not plane area: batch-1
+    # kernels measured losses the plane-only gate let through (+7.6 ms
+    # combined nb+head at 512×640 b1, docs/PERF.md round-3 batch-1 A/B).
+    # 600000 preserves every b16 decision (512×640 both tails + 256² down1
+    # on; 256² down2 off, where forcing both lost +5.41 ms) and turns both
+    # tails off at 512×640 b1 (0.33M / 0.08M).
+    pallas_norm_blur_min_area: int = 600000
 
     # In TRAINING the fused tail LOSES (28.20 vs 28.43 f/s ship, b8
     # 512×640, tools/trainbench.py nb_train runs A+B) — the custom_vjp
@@ -226,10 +229,13 @@ class Config:
     # Same gspmd-multi-device restriction as pallas_block (shard_map DP
     # keeps it on).
     pallas_head: bool = True
-    # Smallest head-input plane (H·W px) the fused head engages at. 100000
-    # keeps 512×640 (327680 px) and disables 256² (65536 px), where the
-    # kernel loses (+7.29 ms, fwdvariants 256² run A).
-    pallas_head_min_area: int = 100000
+    # Smallest head-input LAUNCH (batch · H · W px) the fused head engages
+    # at (per-launch work — see pallas_norm_blur_min_area). 2400000 keeps
+    # 512×640 b16 (5.24M, −1.5..−7.4 ms) and b8 (2.62M), disables 256²
+    # at any measured batch (b16 1.05M: +7.29 ms forced; b32 2.1M
+    # unmeasured, conservatively off) and 512×640 b1 (0.33M: part of the
+    # +7.6 ms batch-1 loss).
+    pallas_head_min_area: int = 2400000
 
     # In TRAINING the fused head LOSES (27.92 vs 28.43 f/s ship, b8
     # 512×640, trainbench head_train runs A+B) — training uses the XLA

@@ -118,12 +118,17 @@ def _fused_tile_h(h: int) -> int | None:
     return None
 
 
-# Fused-block crossover: wins at the 512×640 bottleneck (128×160 = 20480 px:
-# bench 112.9→119.9 fps) but LOSES at 256²'s 64×64 = 4096 px bottleneck
-# (620→600 device-step fps — tile pipelining too shallow, copy overheads
-# dominate). Gate on spatial area; threshold sits between the two measured
-# points. Tests override via the module field.
-_FUSED_MIN_AREA = 12288
+# Fused-block crossover, in BATCH·PIXELS of one kernel launch (the grid is
+# (batch, H/tile_h) — shallow grids can't pipeline the halo DMAs and the
+# per-tile copy overheads dominate). Measured in-context:
+#   WIN:  512×640 b16 infer (q = 16·20480 = 327680, −6.8..−9.1 ms),
+#         512×640 b8 train (q = 163840, −14 ms/step)
+#   LOSE: 256² b16 (q = 65536, +9.69 ms forced), 512×640 b1 (q = 20480,
+#         +1.8 ms — round-3 batch-1 A/B, docs/PERF.md)
+# Threshold = the lowest measured win point; everything unmeasured below it
+# (e.g. 256² b32 at 131072) stays conservatively on the XLA path. Tests
+# override via the module field.
+_FUSED_MIN_AREA = 163840
 
 
 class ResnetBlock(nn.Module):
@@ -214,11 +219,11 @@ class ResnetBlock(nn.Module):
             # tiling (128)") — caught by the r3 verify probe at ngf=8.
             and x.shape[-1] % 128 == 0
             and self.dim % 128 == 0
-            # Area gate on what one kernel LAUNCH sees: the per-shard plane
-            # under spatial sharding — the small-launch regime (shallow tile
-            # pipelining) is where the kernel measured a loss at 256², and
-            # sharding puts each launch in exactly that regime.
-            and local_h * x.shape[2] >= self.pallas_block_min_area
+            # Launch-size gate: batch · per-shard rows · W = the work one
+            # kernel launch sees. Small launches (shallow grid pipelining)
+            # measured losses at 256² b16 AND at batch 1 — and spatial
+            # sharding divides rows by the shard count, same regime.
+            and x.shape[0] * local_h * x.shape[2] >= self.pallas_block_min_area
             and (self.spatial_mesh is None or sp)
             and _pallas_available()
         ):
@@ -349,13 +354,13 @@ class ResnetUNetGenerator(nn.Module):
         # 105.7, run C).
         quant_convs = quant
         if quant and _pallas_available() and _fused_dtype_ok(self.dtype):
-            bh, bw = x.shape[1], x.shape[2]
+            bb, bh, bw = x.shape[0], x.shape[1], x.shape[2]
             nb_on = (
                 self.pallas_norm_blur
                 and self.norm == "instance"
                 and not self.no_antialias
                 and any(
-                    hh * ww >= self.pallas_norm_blur_min_area
+                    bb * hh * ww >= self.pallas_norm_blur_min_area
                     and norm_blur_supported((1, hh, ww, cc))
                     for hh, ww, cc in (
                         (bh, bw, ngf * 2),          # down1 tail plane
@@ -366,7 +371,7 @@ class ResnetUNetGenerator(nn.Module):
             head_on = (
                 self.pallas_head
                 and self.norm == "instance"
-                and bh * bw >= self.pallas_head_min_area
+                and bb * bh * bw >= self.pallas_head_min_area
                 and head_supported((1, bh, bw, ngf))
             )
             if nb_on or head_on:
@@ -418,7 +423,11 @@ class ResnetUNetGenerator(nn.Module):
                 and self.norm == "instance"
                 and not self.no_antialias
                 and _fused_dtype_ok(self.dtype)
-                and y.shape[1] * y.shape[2] >= self.pallas_norm_blur_min_area
+                # Launch-size gate in batch·pixels (see _FUSED_MIN_AREA):
+                # batch-1 kernels measured losses that plane-only gating
+                # let through.
+                and y.shape[0] * y.shape[1] * y.shape[2]
+                >= self.pallas_norm_blur_min_area
                 and norm_blur_supported(y.shape)
                 and _pallas_available()
             )
@@ -520,7 +529,8 @@ class ResnetUNetGenerator(nn.Module):
             self.pallas_head
             and self.norm == "instance"
             and _fused_dtype_ok(self.dtype)
-            and y.shape[1] * y.shape[2] >= self.pallas_head_min_area
+            # Launch-size gate in batch·pixels (see _FUSED_MIN_AREA).
+            and y.shape[0] * y.shape[1] * y.shape[2] >= self.pallas_head_min_area
             and head_supported(y.shape)
             and _pallas_available()
         ):
