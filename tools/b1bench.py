@@ -1,0 +1,52 @@
+"""Batch-1 (single-frame latency) in-context A/B of the fused-kernel
+flags at 512×640 — the measurement behind the round-3 launch-size gate
+fix (docs/PERF.md). Run SERIALLY on the TPU."""
+
+import os, sys, time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ircolor_tpu.config import Config
+from ircolor_tpu.eval.runner import make_infer_fn
+from ircolor_tpu.models.wrapper import generator_from_config
+from ircolor_tpu.utils.timing import start_transfer_warmup
+
+start_transfer_warmup()
+
+def bench(name, cfg, iters=40, warmup=4):
+    module = generator_from_config(cfg)
+    rng = np.random.RandomState(0)
+    b = 1
+    ir0 = jnp.asarray(rng.rand(b, 512, 640, 1).astype(np.float32) * 2 - 1)
+    gt = jnp.asarray(rng.rand(b, 512, 640, 3).astype(np.float32))
+    params = module.init(jax.random.PRNGKey(0), ir0[:1])["params"]
+    base_infer = make_infer_fn(module)
+
+    @jax.jit
+    def chained(params, ir, carry, gt):
+        pred, metrics = base_infer(params, ir + carry * 1e-12, gt)
+        new_carry = metrics["mae"].astype(ir.dtype).reshape(b, 1, 1, 1)
+        return pred, metrics, new_carry
+
+    carry = jnp.zeros((b, 1, 1, 1), ir0.dtype)
+    for _ in range(warmup):
+        pred, metrics, carry = chained(params, ir0, carry, gt)
+    _ = float(jnp.sum(metrics["mae"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pred, metrics, carry = chained(params, ir0, carry, gt)
+    _ = float(jnp.sum(metrics["mae"]))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:24s} {dt*1000:7.2f} ms/frame  ({1/dt:6.1f} fps)", flush=True)
+
+common = dict(img_height=512, img_width=640, compute_dtype="bf16")
+bench("shipped (fused on)", Config(**common))
+bench("xla (all fused off)", Config(**common, pallas_block=False, pallas_norm_blur=False, pallas_head=False))
+bench("blocks only", Config(**common, pallas_norm_blur=False, pallas_head=False))
+bench("nb+head only", Config(**common, pallas_block=False))
+bench("int8 shipped", Config(**common, quant_int8=True))
+bench("shipped (repeat)", Config(**common))
