@@ -206,14 +206,17 @@ class Config:
     # keeps it on).
     pallas_norm_blur: bool = True
 
-    # Smallest down-stage LAUNCH (batch · H · W px of the conv output) the
-    # fused tail engages at — per-launch work, not plane area: batch-1
-    # kernels measured losses the plane-only gate let through (+7.6 ms
-    # combined nb+head at 512×640 b1, docs/PERF.md round-3 batch-1 A/B).
-    # 600000 preserves every b16 decision (512×640 both tails + 256² down1
-    # on; 256² down2 off, where forcing both lost +5.41 ms) and turns both
-    # tails off at 512×640 b1 (0.33M / 0.08M).
-    pallas_norm_blur_min_area: int = 600000
+    # TWO gates per fused kernel (both must pass — see docs/PERF.md
+    # "launch-size gates"): *_min_area is the PLANE (H·W px) of the stage —
+    # the resolution regime; *_min_launch is batch·H·W px — the grid depth
+    # one launch sees (batch-1/2 kernels measured losses the plane-only
+    # gates let through, while batch-4 XLA has a pathology the kernels fix).
+    # nb plane 18000: both 512×640 tails + 256²'s down1 pass, 256²'s down2
+    # (16384) doesn't (forcing both at 256² lost +5.41 ms). nb launch
+    # 600000: 512×640 b1 (327680) off, b4 down1 (1.31M) / b8 down2 (655360)
+    # / 256² b16 down1 (1.05M) on — every measured decision preserved.
+    pallas_norm_blur_min_area: int = 18000
+    pallas_norm_blur_min_launch: int = 600000
 
     # In TRAINING the fused tail LOSES (28.20 vs 28.43 f/s ship, b8
     # 512×640, tools/trainbench.py nb_train runs A+B) — the custom_vjp
@@ -229,13 +232,13 @@ class Config:
     # Same gspmd-multi-device restriction as pallas_block (shard_map DP
     # keeps it on).
     pallas_head: bool = True
-    # Smallest head-input LAUNCH (batch · H · W px) the fused head engages
-    # at (per-launch work — see pallas_norm_blur_min_area). 2400000 keeps
-    # 512×640 b16 (5.24M, −1.5..−7.4 ms) and b8 (2.62M), disables 256²
-    # at any measured batch (b16 1.05M: +7.29 ms forced; b32 2.1M
-    # unmeasured, conservatively off) and 512×640 b1 (0.33M: part of the
-    # +7.6 ms batch-1 loss).
-    pallas_head_min_area: int = 2400000
+    # Head plane 100000: 512×640 (327680) passes, 256² (65536) doesn't at
+    # ANY batch (+7.29 ms forced at b16). Head launch 600000: 512×640 b1
+    # (327680: part of the +7.6 ms batch-1 loss) off; b4 (1.31M — inside
+    # the all-fused 44-vs-123 ms win over pathological XLA), b8 (2.62M),
+    # b16 (5.24M: −1.5..−7.4 ms) on.
+    pallas_head_min_area: int = 100000
+    pallas_head_min_launch: int = 600000
 
     # In TRAINING the fused head LOSES (27.92 vs 28.43 f/s ship, b8
     # 512×640, trainbench head_train runs A+B) — training uses the XLA

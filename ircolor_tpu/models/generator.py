@@ -118,17 +118,20 @@ def _fused_tile_h(h: int) -> int | None:
     return None
 
 
-# Fused-block crossover, in BATCH·PIXELS of one kernel launch (the grid is
-# (batch, H/tile_h) — shallow grids can't pipeline the halo DMAs and the
-# per-tile copy overheads dominate). Measured in-context:
-#   WIN:  512×640 b16 infer (q = 16·20480 = 327680, −6.8..−9.1 ms),
-#         512×640 b8 train (q = 163840, −14 ms/step)
-#   LOSE: 256² b16 (q = 65536, +9.69 ms forced), 512×640 b1 (q = 20480,
-#         +1.8 ms — round-3 batch-1 A/B, docs/PERF.md)
-# Threshold = the lowest measured win point; everything unmeasured below it
-# (e.g. 256² b32 at 131072) stays conservatively on the XLA path. Tests
-# override via the module field.
-_FUSED_MIN_AREA = 163840
+# Fused-block crossover, gated on TWO quantities (both per kernel launch,
+# i.e. per-shard under spatial sharding):
+# * PLANE (rows·W px): the resolution regime — 256²'s 4096-px bottleneck
+#   loses at every batch (+9.69 ms forced at b16), 512×640's 20480-px wins.
+#   Threshold between the measured points.
+# * LAUNCH (batch·rows·W px): the grid depth — shallow grids can't pipeline
+#   the halo DMAs. Measured at 512×640: b1 loses (q=20480, +1.8 ms,
+#   docs/PERF.md batch-1 A/B); b2 (q=40960: all-fused 26.8 vs 55 ms XLA)
+#   and b4 (q=81920: 44 vs 123 ms) WIN HUGELY — XLA hits a small-batch
+#   pathology at b2–b4 that the kernels sidestep; b8 wins (163840, infer
+#   −3.8 ms / train −14 ms); b16 wins. Threshold = the lowest measured win.
+# Tests override via the module fields.
+_FUSED_MIN_AREA = 12288
+_FUSED_MIN_LAUNCH = 40960
 
 
 class ResnetBlock(nn.Module):
@@ -144,6 +147,7 @@ class ResnetBlock(nn.Module):
     use_pallas: bool = False
     pallas_block: bool = False  # fused reflect-conv-IN kernel (inference)
     pallas_block_min_area: int = _FUSED_MIN_AREA
+    pallas_block_min_launch: int = _FUSED_MIN_LAUNCH
     quant_int8: bool = False  # int8 MXU convs (inference serving mode)
     # H-axis spatial sharding for the fused kernel (inference): a 1-D
     # ('sp',)-style Mesh. The block then runs under shard_map — per-shard
@@ -219,11 +223,11 @@ class ResnetBlock(nn.Module):
             # tiling (128)") — caught by the r3 verify probe at ngf=8.
             and x.shape[-1] % 128 == 0
             and self.dim % 128 == 0
-            # Launch-size gate: batch · per-shard rows · W = the work one
-            # kernel launch sees. Small launches (shallow grid pipelining)
-            # measured losses at 256² b16 AND at batch 1 — and spatial
-            # sharding divides rows by the shard count, same regime.
-            and x.shape[0] * local_h * x.shape[2] >= self.pallas_block_min_area
+            # Two-regime gate (see _FUSED_MIN_AREA/_FUSED_MIN_LAUNCH):
+            # per-launch plane (resolution regime — per-shard rows under
+            # spatial sharding) AND per-launch batch·plane (grid depth).
+            and local_h * x.shape[2] >= self.pallas_block_min_area
+            and x.shape[0] * local_h * x.shape[2] >= self.pallas_block_min_launch
             and (self.spatial_mesh is None or sp)
             and _pallas_available()
         ):
@@ -300,17 +304,20 @@ class ResnetUNetGenerator(nn.Module):
     use_pallas: bool = False
     pallas_block: bool = False  # fused ResnetBlock kernel (inference-only)
     pallas_block_min_area: int = _FUSED_MIN_AREA
+    pallas_block_min_launch: int = _FUSED_MIN_LAUNCH
     # Fuse each down-stage IN-normalize+ReLU+reflect-blur-pool tail into one
     # Pallas read + quarter-write (ops/pallas_blur.norm_relu_blur_down;
     # stats stay an XLA reduce). Differentiable (custom_vjp). Same sharding
     # caveats as pallas_block: single-device meshes only.
     pallas_norm_blur: bool = False
-    pallas_norm_blur_min_area: int = 0
+    pallas_norm_blur_min_area: int = 0    # plane (H·W px) gate
+    pallas_norm_blur_min_launch: int = 0  # launch (batch·H·W px) gate
     # Fused 7×7 output head (IN+ReLU on load, reflect halos in-kernel,
     # lane-packed matmuls — ops/pallas_head.py). Same caveats as
     # pallas_block: single-device meshes only; differentiable (custom_vjp).
     pallas_head: bool = False
-    pallas_head_min_area: int = 0
+    pallas_head_min_area: int = 0    # plane (H·W px) gate
+    pallas_head_min_launch: int = 0  # launch (batch·H·W px) gate
     # Lane-packing of the outc head (exact math, single-chip layout win).
     # Disable for 2-D spatial sharding — GSPMD mispartitions the packed-
     # stride conv's unpack reshape when both image axes are sharded.
@@ -360,7 +367,8 @@ class ResnetUNetGenerator(nn.Module):
                 and self.norm == "instance"
                 and not self.no_antialias
                 and any(
-                    bb * hh * ww >= self.pallas_norm_blur_min_area
+                    hh * ww >= self.pallas_norm_blur_min_area
+                    and bb * hh * ww >= self.pallas_norm_blur_min_launch
                     and norm_blur_supported((1, hh, ww, cc))
                     for hh, ww, cc in (
                         (bh, bw, ngf * 2),          # down1 tail plane
@@ -371,7 +379,8 @@ class ResnetUNetGenerator(nn.Module):
             head_on = (
                 self.pallas_head
                 and self.norm == "instance"
-                and bb * bh * bw >= self.pallas_head_min_area
+                and bh * bw >= self.pallas_head_min_area
+                and bb * bh * bw >= self.pallas_head_min_launch
                 and head_supported((1, bh, bw, ngf))
             )
             if nb_on or head_on:
@@ -423,11 +432,13 @@ class ResnetUNetGenerator(nn.Module):
                 and self.norm == "instance"
                 and not self.no_antialias
                 and _fused_dtype_ok(self.dtype)
-                # Launch-size gate in batch·pixels (see _FUSED_MIN_AREA):
-                # batch-1 kernels measured losses that plane-only gating
-                # let through.
+                # Two-regime gate (see _FUSED_MIN_AREA/_FUSED_MIN_LAUNCH):
+                # plane for the resolution regime, batch·plane for the
+                # launch depth (batch-1 kernels measured losses that
+                # plane-only gating let through).
+                and y.shape[1] * y.shape[2] >= self.pallas_norm_blur_min_area
                 and y.shape[0] * y.shape[1] * y.shape[2]
-                >= self.pallas_norm_blur_min_area
+                >= self.pallas_norm_blur_min_launch
                 and norm_blur_supported(y.shape)
                 and _pallas_available()
             )
@@ -466,6 +477,7 @@ class ResnetUNetGenerator(nn.Module):
                 use_pallas=self.use_pallas,
                 pallas_block=self.pallas_block,
                 pallas_block_min_area=self.pallas_block_min_area,
+                pallas_block_min_launch=self.pallas_block_min_launch,
                 quant_int8=self.quant_int8,
                 spatial_mesh=self.spatial_mesh,
                 spatial_axis=self.spatial_axis,
@@ -529,8 +541,10 @@ class ResnetUNetGenerator(nn.Module):
             self.pallas_head
             and self.norm == "instance"
             and _fused_dtype_ok(self.dtype)
-            # Launch-size gate in batch·pixels (see _FUSED_MIN_AREA).
-            and y.shape[0] * y.shape[1] * y.shape[2] >= self.pallas_head_min_area
+            # Two-regime gate (see _FUSED_MIN_AREA/_FUSED_MIN_LAUNCH).
+            and y.shape[1] * y.shape[2] >= self.pallas_head_min_area
+            and y.shape[0] * y.shape[1] * y.shape[2]
+            >= self.pallas_head_min_launch
             and head_supported(y.shape)
             and _pallas_available()
         ):

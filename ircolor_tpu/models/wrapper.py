@@ -51,8 +51,10 @@ def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
         pallas_block=cfg.pallas_block,
         pallas_norm_blur=cfg.pallas_norm_blur,
         pallas_norm_blur_min_area=cfg.pallas_norm_blur_min_area,
+        pallas_norm_blur_min_launch=cfg.pallas_norm_blur_min_launch,
         pallas_head=cfg.pallas_head,
         pallas_head_min_area=cfg.pallas_head_min_area,
+        pallas_head_min_launch=cfg.pallas_head_min_launch,
         lanepack=cfg.lanepack,
         quant_int8=cfg.quant_int8,
         remat=cfg.remat,

@@ -17,22 +17,39 @@ from ircolor_tpu.utils.timing import start_transfer_warmup
 
 start_transfer_warmup()
 
-def bench(name, cfg, iters=40, warmup=4):
+import argparse
+
+p = argparse.ArgumentParser()
+p.add_argument("--batch", type=int, default=1)
+p.add_argument("--iters", type=int, default=40)
+p.add_argument("--force", action="store_true",
+               help="force each variant's kernels ON (min_area=0) instead "
+                    "of using the shipped launch-size gates")
+args = p.parse_args()
+B = args.batch
+
+
+def bench(name, cfg, iters=None, warmup=4):
+    iters = iters or args.iters
     module = generator_from_config(cfg)
+    if args.force:
+        module = module.clone(
+            pallas_block_min_area=0, pallas_norm_blur_min_area=0,
+            pallas_head_min_area=0,
+        )
     rng = np.random.RandomState(0)
-    b = 1
-    ir0 = jnp.asarray(rng.rand(b, 512, 640, 1).astype(np.float32) * 2 - 1)
-    gt = jnp.asarray(rng.rand(b, 512, 640, 3).astype(np.float32))
+    ir0 = jnp.asarray(rng.rand(B, 512, 640, 1).astype(np.float32) * 2 - 1)
+    gt = jnp.asarray(rng.rand(B, 512, 640, 3).astype(np.float32))
     params = module.init(jax.random.PRNGKey(0), ir0[:1])["params"]
     base_infer = make_infer_fn(module)
 
     @jax.jit
     def chained(params, ir, carry, gt):
         pred, metrics = base_infer(params, ir + carry * 1e-12, gt)
-        new_carry = metrics["mae"].astype(ir.dtype).reshape(b, 1, 1, 1)
+        new_carry = metrics["mae"].astype(ir.dtype).reshape(B, 1, 1, 1)
         return pred, metrics, new_carry
 
-    carry = jnp.zeros((b, 1, 1, 1), ir0.dtype)
+    carry = jnp.zeros((B, 1, 1, 1), ir0.dtype)
     for _ in range(warmup):
         pred, metrics, carry = chained(params, ir0, carry, gt)
     _ = float(jnp.sum(metrics["mae"]))
@@ -41,10 +58,11 @@ def bench(name, cfg, iters=40, warmup=4):
         pred, metrics, carry = chained(params, ir0, carry, gt)
     _ = float(jnp.sum(metrics["mae"]))
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:24s} {dt*1000:7.2f} ms/frame  ({1/dt:6.1f} fps)", flush=True)
+    print(f"b{B} {name:24s} {dt*1000:7.2f} ms/step  ({B/dt:6.1f} fps)",
+          flush=True)
 
 common = dict(img_height=512, img_width=640, compute_dtype="bf16")
-bench("shipped (fused on)", Config(**common))
+bench("shipped", Config(**common))
 bench("xla (all fused off)", Config(**common, pallas_block=False, pallas_norm_blur=False, pallas_head=False))
 bench("blocks only", Config(**common, pallas_norm_blur=False, pallas_head=False))
 bench("nb+head only", Config(**common, pallas_block=False))
