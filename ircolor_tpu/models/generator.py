@@ -134,6 +134,17 @@ _FUSED_MIN_AREA = 12288
 _FUSED_MIN_LAUNCH = 40960
 
 
+def _xla_smallbatch_band(b: int) -> bool:
+    """XLA's full-step graphs at batch 2–4 run up to 3.5× slower PER FRAME
+    than at b1 or b8+ (512×640: b4 30.7 ms/frame vs b8 8.8; 256²: b4 4.4
+    vs b16 1.6 — reproduced across processes and variant order,
+    docs/PERF.md round-3 small-batch pathology). Every fused kernel
+    measured a win at every probed point in the band, at BOTH resolutions
+    — including 256², where they lose at b16 — so inside the band they
+    engage regardless of the plane/launch gates (b5–7 interpolated)."""
+    return 2 <= b <= 7
+
+
 class ResnetBlock(nn.Module):
     """pad→3×3 conv→norm→ReLU→[dropout]→pad→3×3 conv→norm, residual add."""
 
@@ -225,9 +236,15 @@ class ResnetBlock(nn.Module):
             and self.dim % 128 == 0
             # Two-regime gate (see _FUSED_MIN_AREA/_FUSED_MIN_LAUNCH):
             # per-launch plane (resolution regime — per-shard rows under
-            # spatial sharding) AND per-launch batch·plane (grid depth).
-            and local_h * x.shape[2] >= self.pallas_block_min_area
-            and x.shape[0] * local_h * x.shape[2] >= self.pallas_block_min_launch
+            # spatial sharding) AND per-launch batch·plane (grid depth) —
+            # overridden inside the XLA small-batch pathology band, where
+            # the kernel wins at every measured point.
+            and (
+                (local_h * x.shape[2] >= self.pallas_block_min_area
+                 and x.shape[0] * local_h * x.shape[2]
+                 >= self.pallas_block_min_launch)
+                or (_xla_smallbatch_band(x.shape[0]) and not sp)
+            )
             and (self.spatial_mesh is None or sp)
             and _pallas_available()
         ):
@@ -367,8 +384,9 @@ class ResnetUNetGenerator(nn.Module):
                 and self.norm == "instance"
                 and not self.no_antialias
                 and any(
-                    hh * ww >= self.pallas_norm_blur_min_area
-                    and bb * hh * ww >= self.pallas_norm_blur_min_launch
+                    ((hh * ww >= self.pallas_norm_blur_min_area
+                      and bb * hh * ww >= self.pallas_norm_blur_min_launch)
+                     or _xla_smallbatch_band(bb))
                     and norm_blur_supported((1, hh, ww, cc))
                     for hh, ww, cc in (
                         (bh, bw, ngf * 2),          # down1 tail plane
@@ -379,8 +397,9 @@ class ResnetUNetGenerator(nn.Module):
             head_on = (
                 self.pallas_head
                 and self.norm == "instance"
-                and bh * bw >= self.pallas_head_min_area
-                and bb * bh * bw >= self.pallas_head_min_launch
+                and ((bh * bw >= self.pallas_head_min_area
+                      and bb * bh * bw >= self.pallas_head_min_launch)
+                     or _xla_smallbatch_band(bb))
                 and head_supported((1, bh, bw, ngf))
             )
             if nb_on or head_on:
@@ -435,10 +454,14 @@ class ResnetUNetGenerator(nn.Module):
                 # Two-regime gate (see _FUSED_MIN_AREA/_FUSED_MIN_LAUNCH):
                 # plane for the resolution regime, batch·plane for the
                 # launch depth (batch-1 kernels measured losses that
-                # plane-only gating let through).
-                and y.shape[1] * y.shape[2] >= self.pallas_norm_blur_min_area
-                and y.shape[0] * y.shape[1] * y.shape[2]
-                >= self.pallas_norm_blur_min_launch
+                # plane-only gating let through) — overridden inside the
+                # XLA small-batch pathology band.
+                and (
+                    (y.shape[1] * y.shape[2] >= self.pallas_norm_blur_min_area
+                     and y.shape[0] * y.shape[1] * y.shape[2]
+                     >= self.pallas_norm_blur_min_launch)
+                    or _xla_smallbatch_band(y.shape[0])
+                )
                 and norm_blur_supported(y.shape)
                 and _pallas_available()
             )
@@ -541,10 +564,14 @@ class ResnetUNetGenerator(nn.Module):
             self.pallas_head
             and self.norm == "instance"
             and _fused_dtype_ok(self.dtype)
-            # Two-regime gate (see _FUSED_MIN_AREA/_FUSED_MIN_LAUNCH).
-            and y.shape[1] * y.shape[2] >= self.pallas_head_min_area
-            and y.shape[0] * y.shape[1] * y.shape[2]
-            >= self.pallas_head_min_launch
+            # Two-regime gate (see _FUSED_MIN_AREA/_FUSED_MIN_LAUNCH),
+            # overridden inside the XLA small-batch pathology band.
+            and (
+                (y.shape[1] * y.shape[2] >= self.pallas_head_min_area
+                 and y.shape[0] * y.shape[1] * y.shape[2]
+                 >= self.pallas_head_min_launch)
+                or _xla_smallbatch_band(y.shape[0])
+            )
             and head_supported(y.shape)
             and _pallas_available()
         ):

@@ -273,7 +273,8 @@ def test_aot_export_strips_pallas_paths(tmp_path, monkeypatch):
     plain = generator_from_config(cfg)  # init on the XLA path (same tree)
     params = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
     module = plain.clone(
-        pallas_block=True, pallas_block_min_area=0, use_pallas=False
+        pallas_block=True, pallas_block_min_area=0,
+        pallas_block_min_launch=0, use_pallas=False
     )
     blob = export_inference(module, params, 32, 32, batch_size=1, platforms=("cpu",))
     path = str(tmp_path / "strip_serve.stablehlo")
@@ -306,7 +307,7 @@ def test_aot_export_keep_pallas_same_fleet_artifact(monkeypatch):
     cfg = Config(img_size=32, n_blocks=1, ngf=32)  # bottleneck C=128: gate-able
     plain = generator_from_config(cfg)
     params = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
-    module = plain.clone(pallas_block_min_area=0)
+    module = plain.clone(pallas_block_min_area=0, pallas_block_min_launch=0)
     assert module.pallas_block
     blob = export_inference(
         module, params, 32, 32, batch_size=1, platforms=("tpu",),
@@ -390,7 +391,8 @@ def test_run_test_spatial_fused_blocks_engage(kaist_tree, tmp_path, monkeypatch)
     monkeypatch.setattr(
         wrap_mod, "generator_from_config",
         # engage the fused gate at the tiny test bottleneck (8×8 px)
-        lambda cfg: orig_from_config(cfg).clone(pallas_block_min_area=0),
+        lambda cfg: orig_from_config(cfg).clone(
+            pallas_block_min_area=0, pallas_block_min_launch=0),
     )
     monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
     monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
@@ -410,6 +412,10 @@ def test_run_test_spatial_fused_blocks_engage(kaist_tree, tmp_path, monkeypatch)
         mode="test", img_size=32, test_batch_size=4, n_blocks=1,
         test_roots=(str(root / "set02"),), topk=2, num_workers=2,
         save_comparisons=False,
+        # nb/head off: this test isolates the spatial BLOCK path (batch 4
+        # is inside the small-batch band, which would otherwise engage
+        # them without an interpret-mode monkeypatch).
+        pallas_norm_blur=False, pallas_head=False,
     )
     s1 = run_test(Config(output_dir=str(tmp_path / "single_f"), **base))
     s2 = run_test(Config(output_dir=str(tmp_path / "sp_f"), sp_devices=2, **base))

@@ -85,7 +85,10 @@ def test_generator_pallas_block_path_matches_xla(monkeypatch):
         functools.partial(resnet_block_pallas, interpret=True),
     )
     plain = ResnetUNetGenerator(n_blocks=2)
-    fused = ResnetUNetGenerator(n_blocks=2, pallas_block=True, pallas_block_min_area=0)
+    fused = ResnetUNetGenerator(
+        n_blocks=2, pallas_block=True, pallas_block_min_area=0,
+        pallas_block_min_launch=0,
+    )
     x0 = jnp.zeros((1, 32, 32, 1))
     params = plain.init(jax.random.PRNGKey(0), x0)["params"]
     params_f = fused.init(jax.random.PRNGKey(0), x0)["params"]
@@ -108,7 +111,8 @@ def test_generator_pallas_block_gate_rejects_unaligned_channels(monkeypatch):
     monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
     plain = ResnetUNetGenerator(n_blocks=1, ngf=8)
     fused = ResnetUNetGenerator(
-        n_blocks=1, ngf=8, pallas_block=True, pallas_block_min_area=0
+        n_blocks=1, ngf=8, pallas_block=True, pallas_block_min_area=0,
+        pallas_block_min_launch=0
     )
     x0 = jnp.zeros((1, 32, 32, 1))
     params = plain.init(jax.random.PRNGKey(0), x0)["params"]
@@ -230,6 +234,7 @@ def test_generator_fused_gates_reject_f32(monkeypatch):
     plain = ResnetUNetGenerator(n_blocks=1)
     fused = ResnetUNetGenerator(
         n_blocks=1, pallas_block=True, pallas_block_min_area=0,
+        pallas_block_min_launch=0,
         pallas_norm_blur=True, pallas_head=True,
     )
     x0 = jnp.zeros((1, 32, 32, 1))
@@ -519,6 +524,7 @@ def test_generator_all_fused_kernels_compose(monkeypatch):
     plain = ResnetUNetGenerator(n_blocks=2)
     fused = ResnetUNetGenerator(
         n_blocks=2, pallas_block=True, pallas_block_min_area=0,
+        pallas_block_min_launch=0,
         pallas_norm_blur=True, pallas_head=True,
     )
     x0 = jnp.zeros((1, 32, 32, 1))

@@ -414,26 +414,37 @@ def test_generator_spatial_mesh_fused_blocks_match_unsharded(
         spatial_sharding,
     )
 
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+
     monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
     monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    monkeypatch.setattr(
+        gen_mod, "resnet_block_pallas",
+        functools.partial(resnet_block_pallas, interpret=True),
+    )
     monkeypatch.setattr(
         gen_mod, "resnet_block_pallas_spatial",
         functools.partial(resnet_block_pallas_spatial, interpret=True),
     )
-    # ngf=32 ⇒ bottleneck C=128 (the fused gate's lane-tiling minimum);
-    # default min_area keeps the plain module on the XLA path for `ref`.
+    # ngf=32 ⇒ bottleneck C=128 (the fused gate's lane-tiling minimum).
+    # nb/head off: this test isolates the BLOCK spatial path (at batch 2
+    # the small-batch band would otherwise engage them non-interpret).
     from ircolor_tpu.models.wrapper import generator_from_config
 
-    cfg = Config(img_size=64, n_blocks=2, ngf=32)
+    cfg = Config(img_size=64, n_blocks=2, ngf=32,
+                 pallas_norm_blur=False, pallas_head=False)
     mod = generator_from_config(cfg)
     rng = np.random.RandomState(3)
     ir = rng.rand(2, 64, 64, 1).astype(np.float32) * 2 - 1
     params = mod.init(jax.random.PRNGKey(0), jnp.asarray(ir[:1]))["params"]
+    # The unsharded reference runs the single-device FUSED blocks (batch 2
+    # is inside the band), in interpret mode.
     ref = np.asarray(mod.apply({"params": params}, jnp.asarray(ir)))
     assert mod.pallas_block
     mesh = make_spatial_mesh(4)
     spat = mod.clone(
-        pallas_block_min_area=0, pallas_norm_blur=False, pallas_head=False,
+        pallas_block_min_area=0, pallas_block_min_launch=0,
+        pallas_norm_blur=False, pallas_head=False,
         spatial_mesh=mesh,
     )
     check_spatial_compat(spat, mesh)
@@ -503,7 +514,7 @@ def test_shardmap_fused_blocks_match_single_device(eight_cpu_devices, monkeypatc
     cfg = Config(img_size=32, batch_size=8, n_blocks=1, dp_mode="shard_map")
     state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=5)
     assert g_mod.pallas_block
-    g_mod = g_mod.clone(pallas_block_min_area=0)  # engage at the tiny test size
+    g_mod = g_mod.clone(pallas_block_min_area=0, pallas_block_min_launch=0)  # engage at tiny size
     vgg_mod = VGG16Features()
     vgg_params = init_vgg16_params()
     mesh = make_data_mesh()
@@ -548,7 +559,7 @@ def test_shardmap_val_step_matches_gspmd(eight_cpu_devices, monkeypatch):
     )
     cfg = Config(img_size=32, batch_size=8, n_blocks=1, dp_mode="shard_map")
     state, g_mod, _, _ = create_train_state(cfg, steps_per_epoch=5)
-    g_mod = g_mod.clone(pallas_block_min_area=0)  # engage at the tiny test size
+    g_mod = g_mod.clone(pallas_block_min_area=0, pallas_block_min_launch=0)  # engage at tiny size
     xla_mod = g_mod.clone(pallas_block=False)  # identical param tree
     mesh = make_data_mesh()
     repl = replicated_sharding(mesh)

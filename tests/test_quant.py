@@ -265,7 +265,9 @@ def test_quant_convs_disabled_when_fused_kernels_engage(monkeypatch):
     kw = dict(n_blocks=0, dtype=jnp.float32, quant_int8=True)
     fused = ResnetUNetGenerator(
         pallas_norm_blur=True, pallas_norm_blur_min_area=0,
-        pallas_head=True, pallas_head_min_area=0, **kw,
+        pallas_norm_blur_min_launch=0,
+        pallas_head=True, pallas_head_min_area=0, pallas_head_min_launch=0,
+        **kw,
     )
     plain = ResnetUNetGenerator(**kw)
     x = jnp.zeros((1, 32, 32, 1), jnp.float32)
