@@ -162,6 +162,17 @@ def main() -> None:
                                        quant=True)
         except Exception as exc:
             print(f"# int8 aux bench failed: {exc!r}", flush=True)
+    # Single-frame serving latency (batch 1, full test-mode step) — the
+    # other serving axis; 13.0 ms round 3 (launch-size gates route b1 to
+    # the XLA path, docs/PERF.md).
+    aux_b1 = None
+    if args.with_aux:
+        try:
+            aux_b1 = bench_inference(args.height, args.width, 1, args.dtype,
+                                     max(20, args.iters), args.warmup,
+                                     quant=args.quant_int8)
+        except Exception as exc:
+            print(f"# batch-1 aux bench failed: {exc!r}", flush=True)
 
     result = {
         "metric": f"test-mode inference frames/sec/chip at {args.height}x{args.width}",
@@ -171,6 +182,7 @@ def main() -> None:
         "train_frames_per_sec_per_chip": round(train_fps, 2) if train_fps else None,
         "infer_fps_256x256": round(aux_256, 2) if aux_256 else None,
         "infer_fps_int8": round(aux_int8, 2) if aux_int8 else None,
+        "latency_b1_ms": round(1000.0 / aux_b1, 2) if aux_b1 else None,
         "batch": args.batch,
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),
