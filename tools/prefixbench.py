@@ -1,4 +1,4 @@
-"""Cumulative-prefix timing of the exact generator forward (b16, 512×640).
+"""Cumulative-prefix timing of the exact generator forward (--batch/--height/--width, default b16 512×640).
 
 Isolated stage timings (tools/stagebench.py) don't add up to the full graph
 — XLA schedules/fuses differently in context. Timing prefixes of the real
@@ -32,8 +32,17 @@ from ircolor_tpu.ops.conv import conv2d, conv2d_lanepack
 from ircolor_tpu.ops.norm import instance_norm_onepass as instance_norm
 from ircolor_tpu.ops.padding import reflect_pad2d
 
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=16)
+_ap.add_argument("--height", type=int, default=512)
+_ap.add_argument("--width", type=int, default=640)
+_args, _ = _ap.parse_known_args()
+
 DT = jnp.bfloat16
-B = 16
+B = _args.batch
+H, W = _args.height, _args.width
 
 
 def _chained_runner(fn, x0, iters):
@@ -133,7 +142,7 @@ def main():
             v = f(v)
         return v
 
-    ir = jnp.asarray(rng.rand(B, 512, 640, 1).astype(np.float32) * 2 - 1)
+    ir = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32) * 2 - 1)
     names = ["inc", "down1", "down2", "res×9", "up1", "up2", "outc"]
     prev = 0.0
     for i in range(1, len(names) + 1):
