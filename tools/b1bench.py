@@ -1,5 +1,5 @@
 """Batch-1 (single-frame latency) in-context A/B of the fused-kernel
-flags at 512×640 — the measurement behind the round-3 launch-size gate
+flags (--height/--width, default 512×640) — the measurement behind the round-3 launch-size gate
 fix (docs/PERF.md). Run SERIALLY on the TPU."""
 
 import os, sys, time
@@ -21,6 +21,8 @@ import argparse
 
 p = argparse.ArgumentParser()
 p.add_argument("--batch", type=int, default=1)
+p.add_argument("--height", type=int, default=512)
+p.add_argument("--width", type=int, default=640)
 p.add_argument("--iters", type=int, default=40)
 p.add_argument("--force", action="store_true",
                help="force each variant's kernels ON (min_area=0) instead "
@@ -38,8 +40,9 @@ def bench(name, cfg, iters=None, warmup=4):
             pallas_head_min_area=0,
         )
     rng = np.random.RandomState(0)
-    ir0 = jnp.asarray(rng.rand(B, 512, 640, 1).astype(np.float32) * 2 - 1)
-    gt = jnp.asarray(rng.rand(B, 512, 640, 3).astype(np.float32))
+    H, W = args.height, args.width
+    ir0 = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32) * 2 - 1)
+    gt = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     params = module.init(jax.random.PRNGKey(0), ir0[:1])["params"]
     base_infer = make_infer_fn(module)
 
@@ -61,7 +64,7 @@ def bench(name, cfg, iters=None, warmup=4):
     print(f"b{B} {name:24s} {dt*1000:7.2f} ms/step  ({B/dt:6.1f} fps)",
           flush=True)
 
-common = dict(img_height=512, img_width=640, compute_dtype="bf16")
+common = dict(img_height=args.height, img_width=args.width, compute_dtype="bf16")
 bench("shipped", Config(**common))
 bench("xla (all fused off)", Config(**common, pallas_block=False, pallas_norm_blur=False, pallas_head=False))
 bench("blocks only", Config(**common, pallas_norm_blur=False, pallas_head=False))

@@ -128,9 +128,12 @@ def main():
             continue
         print(f"{name:28s} {t*1e3:8.2f} ms  {conv_flops/t/1e12:7.1f} TF/s", flush=True)
 
+    def xla_block_k(v, a, b):
+        r = jax.nn.relu(instance_norm(conv2d(reflect_pad2d(v, 1), a, padding="VALID")))
+        return v + instance_norm(conv2d(reflect_pad2d(r, 1), b, padding="VALID"))
+
     def xla_block(v):
-        r = jax.nn.relu(instance_norm(conv2d(reflect_pad2d(v, 1), k1, padding="VALID")))
-        return v + instance_norm(conv2d(reflect_pad2d(r, 1), k2, padding="VALID"))
+        return xla_block_k(v, k1, k2)
 
     def fused_block(v):
         raw1, m1, i1 = conv3x3_stats(reflect_pad2d(v, 1), k1, tile_h=args.tile_h)
@@ -156,6 +159,33 @@ def main():
             f"pallas int8 block th={th}",
             lambda v, th=th: resnet_block_pallas_q(v, k1, k2, tile_h=th),
         ))
+    # fwd+bwd (jax.vjp) cases: is the block BACKWARD close to its 4-conv
+    # floor, or is there a fused-backward lever? Cotangent = the primal
+    # output (data-dependent, not constant-foldable); the dk wgrads are kept
+    # live through a scalar add so XLA cannot DCE them. Subtract the known
+    # fwd-only numbers to attribute the backward share.
+    def _vjp_case(block_fn):
+        def run(v):
+            out, vjp = jax.vjp(block_fn, v, k1, k2)
+            dx, dk1, dk2 = vjp(out)
+            keep = (jnp.sum(dk1.astype(jnp.float32))
+                    + jnp.sum(dk2.astype(jnp.float32))) * 1e-12
+            return dx + keep.astype(dx.dtype)
+        return run
+
+    block_cases.append((
+        "xla resblock vjp",
+        _vjp_case(lambda v, a, b: xla_block_k(v, a, b)),
+    ))
+    for th in dict.fromkeys((args.tile_h, 32)):
+        if h % th:
+            continue
+        block_cases.append((
+            f"pallas v3 block vjp th={th}",
+            _vjp_case(lambda v, a, b, th=th: resnet_block_pallas(
+                v, a, b, tile_h=th)),
+        ))
+
     for name, fn in block_cases:
         if not selected(name):
             continue
@@ -164,7 +194,7 @@ def main():
         except Exception as e:
             print(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
             continue
-        mult = 1 if "reflconv" in name else 2
+        mult = 2 if "vjp" in name else (1 if "reflconv" in name else 2)
         print(f"{name:28s} {t*1e3:8.2f} ms  {mult*conv_flops/t/1e12:7.1f} TF/s-equiv",
               flush=True)
 
