@@ -127,9 +127,14 @@ class Config:
     # test_batch_size must divide by it). Mutually exclusive with
     # sp_devices in test mode.
     dp_devices: int = 0
-    # Test-mode spatial sharding: shard the image H axis over this many
-    # devices (parallel/spatial.py; GSPMD halo exchange). 1 = off. For
-    # resolutions that exceed per-chip HBM; H must divide evenly.
+    # Spatial sharding: shard the image H axis over this many devices
+    # (parallel/spatial.py; GSPMD halo exchange). 1 = off. For resolutions
+    # that exceed per-chip HBM; H must divide evenly. Test mode: the eval
+    # runner builds the ('sp',) mesh (fused blocks stay available via their
+    # shard_map spatial form). Train mode: the mesh becomes ('data', 'sp')
+    # (parallel/mesh.py:make_train_mesh) and GSPMD halo-exchanges BOTH the
+    # forward and backward convs; requires dp_mode='gspmd' (fused kernels
+    # fall back to the XLA paths — identical params).
     sp_devices: int = 1
     # 2-D spatial tiling: additionally shard the image W axis over this many
     # of the sp_devices (sp_devices must divide by it; the mesh becomes

@@ -12,6 +12,7 @@ handles the conv halo exchanges (SURVEY.md §5 "long-context" row).
 
 from ircolor_tpu.parallel.mesh import (
     make_data_mesh,
+    make_train_mesh,
     batch_sharding,
     replicated_sharding,
     shard_batch,
@@ -26,6 +27,7 @@ from ircolor_tpu.parallel.spatial import (
 
 __all__ = [
     "make_data_mesh",
+    "make_train_mesh",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

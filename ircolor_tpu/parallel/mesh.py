@@ -52,9 +52,52 @@ def make_data_mesh(
     return Mesh(np.asarray(devices), ("data",))
 
 
+def make_train_mesh(
+    dp_devices: int = 0,
+    sp_devices: int = 1,
+    devices: Any = None,
+    batch_size: int | None = None,
+) -> Mesh:
+    """Training mesh: 1-D ``('data',)``, or 2-D ``('data', 'sp')`` when
+    ``sp_devices > 1`` (spatially-sharded training — the image H axis tiled
+    over 'sp' with GSPMD halo exchange in BOTH the forward and backward
+    convs, for resolutions/batches that exceed per-chip HBM; see
+    parallel/spatial.py for the layout rationale). The 'data' extent shrinks
+    to the largest count that divides ``batch_size``, exactly like
+    ``make_data_mesh``."""
+    if sp_devices <= 1:
+        return make_data_mesh(dp_devices, devices, batch_size)
+    devs = list(devices if devices is not None else jax.devices())
+    if dp_devices and dp_devices > 0:
+        dp = dp_devices
+    else:
+        dp = len(devs) // sp_devices
+        if batch_size is not None:
+            while dp > 1 and batch_size % dp != 0:
+                dp -= 1
+    dp = max(dp, 1)
+    if dp * sp_devices > len(devs):
+        raise ValueError(
+            f"need {dp}×{sp_devices} devices for the (data, sp) train mesh, "
+            f"have {len(devs)}"
+        )
+    grid = np.asarray(devs[: dp * sp_devices]).reshape(dp, sp_devices)
+    return Mesh(grid, ("data", "sp"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-axis sharding (axis 0 over 'data')."""
     return NamedSharding(mesh, P("data"))
+
+
+def _batch_spec(mesh: Mesh, v: Any) -> P:
+    """PartitionSpec for one batch array: axis 0 on 'data'; when the mesh
+    carries an 'sp' axis (spatial training, ``make_train_mesh``), NHWC image
+    arrays additionally shard H on 'sp'. Non-image arrays (masks, labels)
+    stay batch-sharded only."""
+    if "sp" in mesh.axis_names and getattr(v, "ndim", 0) == 4:
+        return P("data", "sp")
+    return P("data")
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -67,11 +110,21 @@ def shard_batch(batch: Mapping[str, np.ndarray], mesh: Mesh) -> dict[str, jax.Ar
     Single-process: ``batch`` holds the full global batch. Multi-host: each
     process passes its local shard (global_batch/process_count rows) and the
     global array is assembled across hosts.
+
+    On a 2-D ``('data', 'sp')`` train mesh (``make_train_mesh``) image
+    arrays are additionally H-sharded on 'sp'. Multi-host note: that layout
+    assumes the 'sp' axis spans devices WITHIN each host's addressable set
+    (the sensible topology — halo exchange rides ICI); 'sp' across hosts
+    would need per-host H pre-slicing, which this helper does not do.
     """
-    sharding = batch_sharding(mesh)
     if jax.process_count() == 1:
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {
+            k: jax.device_put(v, NamedSharding(mesh, _batch_spec(mesh, v)))
+            for k, v in batch.items()
+        }
     return {
-        k: jax.make_array_from_process_local_data(sharding, v)
+        k: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, _batch_spec(mesh, v)), v
+        )
         for k, v in batch.items()
     }

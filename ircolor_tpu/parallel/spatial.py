@@ -26,6 +26,14 @@ time (``P('data', 'sp', None, None)``), giving DP×SP over a 2-D mesh — the
 layout that keeps the halo traffic on ICI while batch gradients reduce over
 the outer axis.
 
+TRAINING uses exactly this layout: ``train --sp-devices N`` builds the
+``('data', 'sp')`` mesh via ``parallel.mesh.make_train_mesh`` and the
+unchanged GSPMD train step halo-exchanges the convolutions in both the
+forward and the backward pass (activation grads need the same neighbor
+rows), with IN/loss spatial means all-reduced — training at resolutions
+whose activations exceed one chip's HBM. Equivalence vs the single-device
+step: tests/test_parallel.py::test_spatial_train_step_matches_single_device.
+
 Typical use (inference at a resolution that does not fit one chip)::
 
     mesh = make_spatial_mesh(8)                       # ('sp',) over 8 chips

@@ -30,7 +30,11 @@ from ircolor_tpu.data.kaist import KAISTPairDataset, scan_kaist_pairs, split_tra
 from ircolor_tpu.data.pipeline import BatchLoader
 from ircolor_tpu.losses.vgg import VGG16Features, load_vgg16_params
 from ircolor_tpu.models.wrapper import merge_params
-from ircolor_tpu.parallel.mesh import make_data_mesh, replicated_sharding, shard_batch
+from ircolor_tpu.parallel.mesh import (
+    make_train_mesh,
+    replicated_sharding,
+    shard_batch,
+)
 from ircolor_tpu.train.checkpoint import (
     latest_checkpoint,
     restore_full_state,
@@ -144,8 +148,20 @@ def train_kaist(
             "perceptual loss uses a deterministic random tower."
         )
 
-    # ---- mesh placement: params replicated, batches sharded on 'data' ----
-    mesh = make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size)
+    # ---- mesh placement: params replicated, batches sharded on 'data'
+    # (and image H on 'sp' when cfg.sp_devices > 1 — spatially-sharded
+    # training for resolutions exceeding per-chip HBM; GSPMD inserts the
+    # conv halo exchanges and turns the IN/loss spatial means into
+    # cross-shard all-reduces in both the forward and backward) ----
+    if cfg.sp_devices > 1 and cfg.dp_mode != "gspmd":
+        raise ValueError(
+            "spatially-sharded training (--sp-devices > 1) requires "
+            "dp_mode='gspmd' — the shard_map step partitions the batch "
+            "axis only"
+        )
+    mesh = make_train_mesh(
+        cfg.dp_devices, cfg.sp_devices, batch_size=cfg.batch_size
+    )
     repl = replicated_sharding(mesh)
     state = jax.device_put(state, repl)
     vgg_params = jax.device_put(vgg_params, repl)

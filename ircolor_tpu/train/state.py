@@ -104,7 +104,11 @@ def create_train_state(
         from ircolor_tpu.parallel.mesh import make_data_mesh
 
         multi = make_data_mesh(cfg.dp_devices, batch_size=cfg.batch_size).devices.size > 1
-        if multi and cfg.dp_mode != "shard_map":
+        # Spatial training (sp_devices > 1) splits images across devices —
+        # the in-kernel reflect halos are per-shard wrong under GSPMD and
+        # the shard_map train step has no spatial form, so the fused
+        # kernels are off regardless of dp_mode.
+        if cfg.sp_devices > 1 or (multi and cfg.dp_mode != "shard_map"):
             cfg = cfg.replace(
                 pallas_block_train=False, pallas_norm_blur=False,
                 pallas_head=False,

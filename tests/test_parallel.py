@@ -173,6 +173,73 @@ def test_shardmap_step_matches_gspmd(eight_cpu_devices, transport):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def test_make_train_mesh_shapes(eight_cpu_devices):
+    """make_train_mesh: ('data',) when sp=1; ('data','sp') grid otherwise;
+    the data extent shrinks to divide the batch; over-asking raises."""
+    from ircolor_tpu.parallel.mesh import make_train_mesh
+
+    assert make_train_mesh(0, 1).shape == {"data": 8}
+    assert make_train_mesh(2, 4).shape == {"data": 2, "sp": 4}
+    # 8 devices, sp=4 → dp=2 candidates; batch 3 shrinks dp to 1.
+    assert make_train_mesh(0, 4, batch_size=3).shape == {"data": 1, "sp": 4}
+    assert make_train_mesh(0, 4, batch_size=4).shape == {"data": 2, "sp": 4}
+    with pytest.raises(ValueError, match="train mesh"):
+        make_train_mesh(4, 4)  # 16 > 8 devices
+
+
+def test_spatial_train_step_matches_single_device(eight_cpu_devices):
+    """Spatially-sharded TRAINING (VERDICT r2 A7 extension): the same GSPMD
+    train step over a ('data','sp') mesh — batch on 'data', image H on 'sp'
+    (parallel/mesh.py:make_train_mesh + spec-aware shard_batch) — matches
+    the single-device step. GSPMD inserts the conv halo exchanges and turns
+    the IN/loss spatial means into cross-shard all-reduces in BOTH the
+    forward and the backward; params/opt state stay replicated."""
+    from ircolor_tpu.parallel.mesh import make_train_mesh
+
+    cfg = Config(img_size=32, batch_size=4, n_blocks=1, ngf=8, sp_devices=4)
+    state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=5)
+    vgg_mod = VGG16Features()
+    vgg_params = init_vgg16_params()
+    step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, donate=False)
+    batch_np = make_batch(4, seed=7)
+
+    s_ref, m_ref = step(
+        state, {k: jnp.asarray(v) for k, v in batch_np.items()}, vgg_params
+    )
+
+    mesh = make_train_mesh(2, 4, batch_size=cfg.batch_size)
+    assert mesh.shape == {"data": 2, "sp": 4}
+    repl = replicated_sharding(mesh)
+    sharded = shard_batch(dict(batch_np), mesh)
+    # Image arrays are H-sharded on 'sp', batch on 'data'.
+    assert sharded["ir"].sharding.spec == P("data", "sp")
+    s_sp, m_sp = step(
+        jax.device_put(state, repl), sharded, jax.device_put(vgg_params, repl)
+    )
+
+    np.testing.assert_allclose(float(m_ref["loss_D"]), float(m_sp["loss_D"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_ref["loss_G"]), float(m_sp["loss_G"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.g_params), jax.tree.leaves(s_sp.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s_ref.d_params), jax.tree.leaves(s_sp.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_spatial_train_batch_spec_non_image_arrays(eight_cpu_devices):
+    """On a ('data','sp') mesh only NHWC arrays shard H; 1-D arrays (val
+    masks) stay batch-sharded — the val step's mask contract holds."""
+    from ircolor_tpu.parallel.mesh import make_train_mesh
+
+    mesh = make_train_mesh(2, 4)
+    out = shard_batch(
+        {"ir": np.zeros((4, 32, 32, 1), np.float32),
+         "mask": np.ones((4,), np.float32)},
+        mesh,
+    )
+    assert out["ir"].sharding.spec == P("data", "sp")
+    assert out["mask"].sharding.spec == P("data")
+
+
 def test_batchloader_host_shards_reassemble_global_batch(tmp_path):
     """Per-host BatchLoader shards (shard_index/shard_count) concatenate to
     exactly the unsharded loader's global batches — order, shuffle, flips and

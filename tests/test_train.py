@@ -229,6 +229,31 @@ def test_train_kaist_shard_map_mode(kaist_tree, tmp_path):
     assert losses["loss_G_L1"] <= 2.0 * cfg.lambda_L1
 
 
+def test_train_kaist_spatial_mode(kaist_tree, tmp_path):
+    """Spatially-sharded training end to end: --sp-devices 2 in TRAIN mode
+    builds the ('data','sp') mesh (H halo-exchanged by GSPMD in fwd+bwd),
+    trains a truncated epoch with sane losses, and validates through the
+    same mesh."""
+    root, _ = kaist_tree
+    cfg = tiny_cfg(root, tmp_path / "sp_ckpt", epochs=1, sp_devices=2)
+    summary = train_kaist(cfg, max_steps_per_epoch=2)
+    assert np.isfinite(summary["best_val_l1"])
+    losses = summary["final_epoch_losses"]
+    assert np.isfinite(losses["loss_G"]) and np.isfinite(losses["loss_D"])
+    assert losses["loss_G_L1"] <= 2.0 * cfg.lambda_L1
+
+
+def test_train_spatial_requires_gspmd(kaist_tree, tmp_path):
+    """sp_devices > 1 with dp_mode='shard_map' is rejected loudly (the
+    shard_map step partitions the batch axis only)."""
+    root, _ = kaist_tree
+    cfg = tiny_cfg(
+        root, tmp_path / "sp_bad", sp_devices=2, dp_mode="shard_map"
+    )
+    with pytest.raises(ValueError, match="gspmd"):
+        train_kaist(cfg)
+
+
 @pytest.mark.parametrize("dp_mode", ["gspmd", "shard_map"])
 @pytest.mark.parametrize("transport", ["float", "int"])
 @pytest.mark.parametrize("norm", ["instance", "none"])
