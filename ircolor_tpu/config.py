@@ -202,6 +202,27 @@ class Config:
     # (train/state.py; equivalence tested on the fake 8-device mesh).
     pallas_block_train: bool = True
 
+    # Backward implementation for the fused block's custom_vjp (only
+    # meaningful when pallas_block_train keeps the fused blocks on for
+    # training).
+    # * "xla": closed-form IN backward + the 4 dgrad/wgrad convs XLA
+    #   autodiff emits.
+    # * "fused": the dgrad side runs as two fused Pallas launches
+    #   (ops/pallas_resblock.py:conv3x3_dgrad_fused — IN backward on load,
+    #   zero halos in the input DMA, the reflect-pad VJP fold computed
+    #   tile-locally in-kernel, ReLU mask + next-IN stats as a free
+    #   epilogue, residual add fused); the 2 wgrads stay XLA. No padded dy
+    #   tensor and none of the f32 elementwise intermediates reach HBM.
+    # * "fused_wg": additionally runs both wgrads as fused launches
+    #   (conv3x3_wgrad_fused — z and dy recomputed on load from the saved
+    #   raws, reflect halos in-DMA, 3 MXU contractions into a VMEM-resident
+    #   (3,3C,C) accumulator); the dgrad launches stop emitting dy, so the
+    #   backward's HBM traffic is just the saved tensors read + dn1/dx
+    #   written. Exact same math as "xla" (equivalence-tested).
+    # Default "xla" until the hardware A/B ships one of the fused forms
+    # (tools/trainbench.py --variants full,pb_train,pb_bwd,pb_bwd_wg).
+    pallas_block_bwd: str = "xla"
+
     # Fuse the down-stage IN-normalize+ReLU+reflect-blur-pool tails into one
     # normalize-on-load Pallas pass each (ops/pallas_blur.py). Differentiable
     # (custom_vjp), identical params. Default ON for INFERENCE — in-context

@@ -157,6 +157,12 @@ class ResnetBlock(nn.Module):
     precision: Any = None
     use_pallas: bool = False
     pallas_block: bool = False  # fused reflect-conv-IN kernel (inference)
+    # Backward implementation for the fused block's custom_vjp: "xla"
+    # (closed-form IN backward + 4 XLA convs), "fused" (the dgrad side as
+    # two fused Pallas launches — ops/pallas_resblock.py:
+    # conv3x3_dgrad_fused; wgrads stay XLA), or "fused_wg" (wgrads fused
+    # too — conv3x3_wgrad_fused). Training-path knob only.
+    pallas_block_bwd: str = "xla"
     pallas_block_min_area: int = _FUSED_MIN_AREA
     pallas_block_min_launch: int = _FUSED_MIN_LAUNCH
     quant_int8: bool = False  # int8 MXU convs (inference serving mode)
@@ -277,7 +283,8 @@ class ResnetBlock(nn.Module):
                     x, k1.astype(self.dtype), k2.astype(self.dtype), tile_h=th
                 )
             return resnet_block_pallas(
-                x, k1.astype(self.dtype), k2.astype(self.dtype), tile_h=th
+                x, k1.astype(self.dtype), k2.astype(self.dtype), tile_h=th,
+                bwd=self.pallas_block_bwd,
             )
 
         # Instance norm (the default) routes through the fused Pallas kernel
@@ -320,6 +327,7 @@ class ResnetUNetGenerator(nn.Module):
     precision: Any = None
     use_pallas: bool = False
     pallas_block: bool = False  # fused ResnetBlock kernel (inference-only)
+    pallas_block_bwd: str = "xla"  # custom_vjp bwd: xla | fused | fused_wg
     pallas_block_min_area: int = _FUSED_MIN_AREA
     pallas_block_min_launch: int = _FUSED_MIN_LAUNCH
     # Fuse each down-stage IN-normalize+ReLU+reflect-blur-pool tail into one
@@ -499,6 +507,7 @@ class ResnetUNetGenerator(nn.Module):
                 precision=self.precision,
                 use_pallas=self.use_pallas,
                 pallas_block=self.pallas_block,
+                pallas_block_bwd=self.pallas_block_bwd,
                 pallas_block_min_area=self.pallas_block_min_area,
                 pallas_block_min_launch=self.pallas_block_min_launch,
                 quant_int8=self.quant_int8,

@@ -385,23 +385,41 @@ def resnet_block_pallas(
     k2: jnp.ndarray,
     *,
     tile_h: int = 16,
+    bwd: str = "xla",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One full ResnetBlock (ref :362-418) via two fused kernel launches +
     one XLA elementwise pass (final IN normalize + residual add).
 
     Differentiable (``jax.custom_vjp``): the manual-DMA kernel has no
-    autodiff rule, so the backward is hand-derived XLA math over residuals
-    the forward already produced (raw conv outputs + IN stats) — the same
-    4 convs (2 dgrad + 2 wgrad) XLA autodiff would emit, with the IN
-    backward in closed form. Training therefore pays the fused-forward
-    price (4.07 ms/block) instead of the XLA chain's 5.64 ms/block.
+    autodiff rule, so the backward is hand-derived math over residuals
+    the forward already produced (raw conv outputs + IN stats).
+
+    ``bwd`` selects the backward implementation:
+
+    * ``"xla"`` — XLA ops: 2 elementwise recomputes, closed-form IN
+      backward, and the same 4 convs (2 dgrad + 2 wgrad) XLA autodiff
+      would emit. Training pays the fused-forward price (4.07 ms/block
+      vs the XLA chain's 5.64) with a stock backward.
+    * ``"fused"`` — the dgrad side runs as two fused Pallas launches
+      (``conv3x3_dgrad_fused``): IN-backward applied on load, zero halos
+      in the input DMA, the reflect-pad VJP fold computed tile-locally
+      in-kernel, ReLU mask + next-IN-backward stats as epilogue, and the
+      residual add fused into the second launch. Only the 2 wgrads stay
+      XLA. No padded dy tensor and none of the f32 elementwise
+      intermediates ever reach HBM.
+    * ``"fused_wg"`` — additionally runs both wgrads as fused launches
+      (``conv3x3_wgrad_fused``: z and dy recomputed on load from the
+      saved raws, reflect halos in-DMA, per-tap MXU contractions into a
+      VMEM-resident accumulator); the dgrad launches stop emitting dy.
+
     Conv *bias* params are mathematically inert through instance norm
     (IN(x + b) ≡ IN(x)); the XLA path autodiffs them to ~0 (rounding-level)
     grads while this path never sees them (exact-0 grads via flax's
     unused-param rule) — both train the same function.
     """
-    return _resblock_vjp(tile_h, interpret, x, k1, k2)
+    assert bwd in ("xla", "fused", "fused_wg"), bwd
+    return _resblock_vjp(tile_h, interpret, bwd, x, k1, k2)
 
 
 def _resblock_primal(tile_h, interpret, x, k1, k2):
@@ -414,12 +432,12 @@ def _resblock_primal(tile_h, interpret, x, k1, k2):
     return out, (raw1, m1, i1, raw2, m2, i2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _resblock_vjp(tile_h, interpret, x, k1, k2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _resblock_vjp(tile_h, interpret, bwd, x, k1, k2):
     return _resblock_primal(tile_h, interpret, x, k1, k2)[0]
 
 
-def _resblock_fwd(tile_h, interpret, x, k1, k2):
+def _resblock_fwd(tile_h, interpret, bwd, x, k1, k2):
     out, (raw1, m1, i1, raw2, m2, i2) = _resblock_primal(tile_h, interpret, x, k1, k2)
     return out, (x, k1, k2, raw1, m1, i1, raw2, m2, i2)
 
@@ -433,7 +451,11 @@ def _in_bwd(g, yhat, inv):
     return inv[:, None, None, :] * (g - gm - yhat * gy)
 
 
-def _resblock_bwd(tile_h, interpret, res, g):
+def _resblock_bwd(tile_h, interpret, bwd, res, g):
+    if bwd in ("fused", "fused_wg"):
+        return _resblock_bwd_fused(
+            tile_h, interpret, res, g, wgrad_fused=bwd == "fused_wg"
+        )
     x, k1, k2, raw1, m1, i1, raw2, m2, i2 = res
     gf = g.astype(jnp.float32)
 
@@ -463,6 +485,581 @@ def _resblock_bwd(tile_h, interpret, res, g):
 
 
 _resblock_vjp.defvjp(_resblock_fwd, _resblock_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused BACKWARD (dgrad side): the two dgrad convs of the block's custom_vjp
+# as fused Pallas launches, mirroring the forward's one-read/one-write
+# schedule. Per launch:
+#
+# * **IN backward on load**: the conv input is dy = inv·(p − E[p] − n̂·E[p·n̂])
+#   (the closed-form IN VJP), computed on the VMEM-resident tiles of the
+#   primary cotangent ``p`` and its companion raw tensor (whose normalized
+#   form n̂ the IN saw) — neither dy nor any f32 intermediate reaches HBM.
+# * **Zero halos in the input DMA**: dgrad of a VALID conv over a padded
+#   input is a zero-SAME conv of dy with the rotated/transposed kernel;
+#   tile-boundary halo rows are DMA'd neighbor rows, image-edge rows are
+#   zero-selected after the transform.
+# * **In-kernel reflect-pad VJP fold**: the pad's transpose folds the
+#   would-be halo gradients back into rows/cols 1 and H−2/W−2. All fold
+#   terms are tile-local (F[−1,x] needs only dy row 0, F[p,−1] only dy
+#   col 0, …), so they are tiny extra matmuls against slices of the packed
+#   kernel — ~2% of the main contraction, no XLA strip scatters.
+# * **Epilogue**: launch 1 masks by the saved ReLU sign (raw1 > m1 ⇔
+#   n1 > 0) and emits Σdn1 / Σ(dn1·n̂1) so the NEXT IN backward's reduce is
+#   free; launch 2 adds the residual cotangent ``g`` in-register. Each
+#   launch also stores dy itself (bf16) for the XLA wgrads.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_dgrad(
+    p_hbm, c_hbm, a_hbm, k_ref, m_ref, i_ref, gm_ref, gy_ref, *rest,
+    th: int, w: int, h: int, nh: int, mask_stats: bool, emit_dy: bool,
+):
+    dy_ref = None
+    if mask_stats:
+        mm_ref, mi_ref = rest[0], rest[1]
+        rest = rest[2:]
+    o_ref = rest[0]
+    rest = rest[1:]
+    if emit_dy:
+        dy_ref = rest[0]
+        rest = rest[1:]
+    if mask_stats:
+        s_ref = rest[0]
+        rest = rest[1:]
+    p_vmem, c_vmem, a_vmem, xcat, sems = rest
+
+    b = pl.program_id(0)
+    hh = pl.program_id(1)
+    lin = b * nh + hh
+    total = pl.num_programs(0) * nh
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def all_copies(linear, slot_idx):
+        bb = jax.lax.div(linear, nh)
+        jj = jax.lax.rem(linear, nh)
+        out = []
+        for leg, (hbm, vmem) in enumerate(((p_hbm, p_vmem), (c_hbm, c_vmem))):
+            # Reflect-mode DESCRIPTORS only (clamped ranges): the stale
+            # image-edge halo rows are zero-SELECTED after the transform,
+            # so no fixup copies are needed.
+            for pred, cp in _halo_copy(hbm, vmem, sems.at[leg], bb, jj,
+                                       slot_idx, th=th, h=h, nh=nh):
+                out.append((pred, cp))
+        out.append((None, pltpu.make_async_copy(
+            a_hbm.at[bb, pl.ds(jj * th, th)],
+            a_vmem.at[slot_idx],
+            sems.at[2, slot_idx],
+        )))
+        return out
+
+    def run(linear, slot_idx, action):
+        for pred, cp in all_copies(linear, slot_idx):
+            if pred is None:
+                getattr(cp, action)()
+            else:
+                @pl.when(pred)
+                def _(cp=cp):
+                    getattr(cp, action)()
+
+    @pl.when(lin == 0)
+    def _():
+        run(lin, slot, "start")
+
+    @pl.when(lin + 1 < total)
+    def _():
+        run(lin + 1, nslot, "start")
+
+    run(lin, slot, "wait")
+
+    m = m_ref[b]
+    iv = i_ref[b]
+    gm = gm_ref[b]
+    gy = gy_ref[b]
+    pm = p_vmem[slot].astype(jnp.float32)   # (th+2, w, c)
+    cmv = c_vmem[slot].astype(jnp.float32)
+    nhat = (cmv - m[None, None, :]) * iv[None, None, :]
+    t = iv[None, None, :] * (pm - gm[None, None, :] - nhat * gy[None, None, :])
+    # Zero the image-edge halo rows (zero-SAME dgrad semantics) — a SELECT,
+    # so stale VMEM garbage (including NaNs) in the unfilled boundary rows
+    # is killed, not multiplied.
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    bad = jnp.logical_or(
+        jnp.logical_and(hh == 0, rows3 == 0),
+        jnp.logical_and(hh == nh - 1, rows3 == th + 1),
+    )
+    t = jnp.where(bad, 0.0, t)
+    tb = t.astype(p_vmem.dtype)
+    if emit_dy:
+        dy_ref[...] = tb[1 : th + 1][None]
+
+    c = tb.shape[-1]
+    xcat[:, :, c : 2 * c] = tb
+    xcat[:, 1:, 0:c] = tb[:, : w - 1]
+    xcat[:, 0:1, 0:c] = jnp.zeros_like(tb[:, 0:1])
+    xcat[:, : w - 1, 2 * c :] = tb[:, 1:]
+    xcat[:, w - 1 : w, 2 * c :] = jnp.zeros_like(tb[:, 0:1])
+
+    cout = o_ref.shape[-1]
+    acc = jnp.zeros((th, w, cout), jnp.float32)
+    for dyt in range(3):
+        acc = acc + jax.lax.dot_general(
+            xcat[dyt : dyt + th],
+            k_ref[dyt],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # Reflect-pad VJP fold, tile-local. With F = zero-ext conv_full(dy, kdg):
+    #   dz[1]   += F[-1] = xcat[1]  @ kdg[2]      (rows -2, -1 are zero)
+    #   dz[H-2] += F[H]  = xcat[th] @ kdg[0]
+    #   dz[:,1]   += F1[:,-1],  F1[p,-1] = Σ_a dy[p+a-1, 0]   @ kdg[a, 2]
+    #   dz[:,W-2] += F1[:, W],  F1[p, W] = Σ_a dy[p+a-1, W-1] @ kdg[a, 0]
+    # with the H-fold's own col values (corners) folded into F1 at rows
+    # 1 / th-2 of the edge tiles. All adds are VPU selects on iota masks
+    # (dynamic_update_slice on tiled dims is a Mosaic lowering risk).
+    topm = hh == 0
+    botm = hh == nh - 1
+    dot2 = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rowtop = dot2(xcat[1], k_ref[2])    # (w, cout)
+    rowbot = dot2(xcat[th], k_ref[0])
+    ri = jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0)
+    acc = acc + jnp.where(
+        jnp.logical_and(ri == 1, topm), rowtop[None], 0.0
+    )
+    acc = acc + jnp.where(
+        jnp.logical_and(ri == th - 2, botm), rowbot[None], 0.0
+    )
+
+    tl = tb[:, 0, :]        # (th+2, c) — dy col 0
+    tr = tb[:, w - 1, :]
+    colv = jnp.zeros((th, cout), jnp.float32)
+    colw = jnp.zeros((th, cout), jnp.float32)
+    for a in range(3):
+        colv = colv + dot2(tl[a : a + th], k_ref[a, 2 * c : 3 * c])
+        colw = colw + dot2(tr[a : a + th], k_ref[a, 0:c])
+    # Corner terms: F[-1,∓] / F[H,∓] land at fold rows 1 / th-2 of the
+    # edge tiles (dy rows 0 / H-1 are tile rows 1 / th there).
+    ctl = dot2(tl[1:2], k_ref[2, 2 * c : 3 * c])    # (1, cout)
+    cbl = dot2(tl[th : th + 1], k_ref[0, 2 * c : 3 * c])
+    ctr = dot2(tr[1:2], k_ref[2, 0:c])
+    cbr = dot2(tr[th : th + 1], k_ref[0, 0:c])
+    ri2 = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+    colv = colv + jnp.where(jnp.logical_and(ri2 == 1, topm), ctl, 0.0)
+    colv = colv + jnp.where(jnp.logical_and(ri2 == th - 2, botm), cbl, 0.0)
+    colw = colw + jnp.where(jnp.logical_and(ri2 == 1, topm), ctr, 0.0)
+    colw = colw + jnp.where(jnp.logical_and(ri2 == th - 2, botm), cbr, 0.0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    acc = acc + jnp.where(ci == 1, colv[:, None, :], 0.0)
+    acc = acc + jnp.where(ci == w - 2, colw[:, None, :], 0.0)
+
+    if mask_stats:
+        av = a_vmem[slot].astype(jnp.float32)   # raw1 tile (th, w, cout)
+        mmv = mm_ref[b][None, None, :]
+        miv = mi_ref[b][None, None, :]
+        # ReLU sign of n1 = (raw1 − m1)·i1: i1 > 0, so n1 > 0 ⇔ raw1 > m1.
+        accm = jnp.where(av > mmv, acc, 0.0)
+        o_ref[...] = accm.astype(o_ref.dtype)[None]
+        nh1 = (av - mmv) * miv
+        tile = jnp.stack(
+            [jnp.sum(accm, axis=(0, 1)), jnp.sum(accm * nh1, axis=(0, 1))]
+        )[None]
+
+        @pl.when(hh == 0)
+        def _():
+            s_ref[...] = tile
+
+        @pl.when(hh != 0)
+        def _():
+            s_ref[...] = s_ref[...] + tile
+    else:
+        o_ref[...] = (
+            acc + a_vmem[slot].astype(jnp.float32)
+        ).astype(o_ref.dtype)[None]
+
+
+def conv3x3_dgrad_fused(
+    p: jnp.ndarray,
+    comp: jnp.ndarray,
+    aux: jnp.ndarray,
+    kernel_fwd: jnp.ndarray,
+    m: jnp.ndarray,
+    inv: jnp.ndarray,
+    gm: jnp.ndarray,
+    gy: jnp.ndarray,
+    mask_stats: tuple | None = None,
+    *,
+    emit_dy: bool = True,
+    tile_h: int = 16,
+    vmem_limit_mb: int = 100,
+    interpret: bool = False,
+):
+    """Fused dgrad of ``conv2d(reflect_pad2d(·, 1), kernel_fwd, VALID)``
+    preceded by an instance norm, for the block backward (ref ResnetBlock,
+    `/root/reference/Code/ir_colorization.py:362-418`).
+
+    Computes, in one HBM read per input and one write per output::
+
+        dy  = inv·(p − gm − n̂·gy),  n̂ = (comp − m)·inv     # IN backward
+        dz  = reflect_pad_vjp(conv_full(dy, rot180(k)ᵀ))     # dgrad + fold
+
+    With ``mask_stats=(mm, mi)`` (launch 1): returns ``(dz·(aux > mm),
+    dy, stats)`` where stats[:, 0] = Σ dn1 and stats[:, 1] = Σ dn1·n̂1 —
+    the NEXT IN backward's moments, reduced for free. Without it
+    (launch 2): returns ``(dz + aux, dy)`` — the residual cotangent add
+    fused in. ``dy`` is stored (in ``p.dtype``) for the XLA wgrads;
+    ``emit_dy=False`` drops that output (its slot in the return tuple
+    becomes None) when the fused wgrads recompute dy themselves.
+    """
+    b, h, w, c = p.shape
+    assert comp.shape == p.shape, (comp.shape, p.shape)
+    cin = kernel_fwd.shape[2]
+    assert kernel_fwd.shape == (3, 3, cin, c), (kernel_fwd.shape, c)
+    assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
+    assert tile_h >= 4, tile_h
+    assert w % 8 == 0 and w >= 8, f"W={w} must be 8-aligned"
+    assert interpret or (c % 128 == 0 and aux.shape[-1] % 128 == 0), (
+        f"conv3x3_dgrad_fused: C={c}/{aux.shape[-1]} not 128-aligned — "
+        "Mosaic cannot DMA-slice sub-lane-tile channel extents"
+    )
+    nh = h // tile_h
+    # dgrad kernel: rot180 in space, transposed in channels; packed like
+    # the forward ([dy, dx·C+ci, co]) so the fold slices k_ref[a, dx·C:...]
+    # recover kdg[a, dx].
+    kdg = jnp.transpose(kernel_fwd[::-1, ::-1], (0, 1, 3, 2))
+    cout = kdg.shape[-1]
+    assert aux.shape == (b, h, w, cout), (aux.shape, (b, h, w, cout))
+    kpacked = kdg.reshape(3, 3 * c, cout)
+
+    vmem = pltpu.VMEM if not interpret else None
+    anym = pltpu.ANY if not interpret else None
+    in_specs = [pl.BlockSpec(memory_space=anym)] * 3 + [
+        pl.BlockSpec(memory_space=vmem)
+    ] * 5
+    operands = [p, comp, aux, kpacked,
+                m.astype(jnp.float32), inv.astype(jnp.float32),
+                gm.astype(jnp.float32), gy.astype(jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((b, h, w, cout), p.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, tile_h, w, cout), lambda i, j: (i, j, 0, 0),
+                     memory_space=vmem),
+    ]
+    if emit_dy:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, w, c), p.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, tile_h, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=vmem)
+        )
+    if mask_stats is not None:
+        mm, mi = mask_stats
+        in_specs += [pl.BlockSpec(memory_space=vmem)] * 2
+        operands += [mm.astype(jnp.float32), mi.astype(jnp.float32)]
+        out_shape.append(jax.ShapeDtypeStruct((b, 2, cout), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 2, cout), lambda i, j: (i, 0, 0),
+                         memory_space=vmem)
+        )
+
+    kernel_fn = functools.partial(
+        _kernel_dgrad, th=tile_h, w=w, h=h, nh=nh,
+        mask_stats=mask_stats is not None, emit_dy=emit_dy,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * b * h * w * 9 * c * cout,
+            bytes_accessed=(p.size + comp.size + aux.size
+                            + b * h * w * (cout + c * emit_dy))
+            * p.dtype.itemsize,
+            transcendentals=0,
+        )
+    outs = pl.pallas_call(
+        kernel_fn,
+        out_shape=tuple(out_shape),
+        grid=(b, nh),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, w, c), p.dtype),
+            pltpu.VMEM((2, tile_h + 2, w, c), comp.dtype),
+            pltpu.VMEM((2, tile_h, w, aux.shape[-1]), aux.dtype),
+            pltpu.VMEM((tile_h + 2, w, 3 * c), p.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*operands)
+    outs = list(outs)
+    o = outs.pop(0)
+    dy = outs.pop(0) if emit_dy else None
+    if mask_stats is not None:
+        return o, dy, outs[0]
+    return o, dy
+
+
+def _kernel_wgrad(
+    z_hbm, p_hbm, c_hbm, m_ref, i_ref, gm_ref, gy_ref, *rest,
+    th: int, w: int, h: int, nh: int, norm_z: bool,
+):
+    if norm_z:
+        zm_ref, zi_ref = rest[0], rest[1]
+        rest = rest[2:]
+    o_ref, z_vmem, p_vmem, c_vmem, xcat, sems = rest
+
+    b = pl.program_id(0)
+    hh = pl.program_id(1)
+    lin = b * nh + hh
+    total = pl.num_programs(0) * nh
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def all_copies(linear, slot_idx):
+        bb = jax.lax.div(linear, nh)
+        jj = jax.lax.rem(linear, nh)
+        out = []
+        for pred, cp in _halo_copy(z_hbm, z_vmem, sems.at[0], bb, jj,
+                                   slot_idx, th=th, h=h, nh=nh):
+            out.append((pred, cp))
+        for leg, (hbm, vmem) in enumerate(((p_hbm, p_vmem), (c_hbm, c_vmem))):
+            out.append((None, pltpu.make_async_copy(
+                hbm.at[bb, pl.ds(jj * th, th)],
+                vmem.at[slot_idx],
+                sems.at[leg + 1, slot_idx],
+            )))
+        return out
+
+    def run(linear, slot_idx, action):
+        for pred, cp in all_copies(linear, slot_idx):
+            if pred is None:
+                getattr(cp, action)()
+            else:
+                @pl.when(pred)
+                def _(cp=cp):
+                    getattr(cp, action)()
+
+    @pl.when(lin == 0)
+    def _():
+        run(lin, slot, "start")
+
+    @pl.when(lin + 1 < total)
+    def _():
+        run(lin + 1, nslot, "start")
+
+    run(lin, slot, "wait")
+
+    # H-axis reflect fixups on the activation leg (the wgrad sees the
+    # reflect-PADDED activation — same halo semantics as the forward).
+    if nh == 1:
+        z_vmem[slot, 0] = z_vmem[slot, 2]
+        z_vmem[slot, th + 1] = z_vmem[slot, th - 1]
+    else:
+        @pl.when(hh == 0)
+        def _():
+            z_vmem[slot, 0] = z_vmem[slot, 2]
+
+        @pl.when(hh == nh - 1)
+        def _():
+            z_vmem[slot, th + 1] = z_vmem[slot, th - 1]
+
+    zin = z_vmem[slot]
+    cz = zin.shape[-1]
+    if norm_z:
+        zm = zm_ref[b]
+        zi = zi_ref[b]
+        zin = (zin.astype(jnp.float32) - zm[None, None, :]) * zi[None, None, :]
+        zin = jnp.maximum(zin, 0.0).astype(z_vmem.dtype)
+
+    # The cotangent tile: dy = inv·(p − gm − n̂·gy), n̂ = (comp − m)·inv.
+    m = m_ref[b]
+    iv = i_ref[b]
+    gm = gm_ref[b]
+    gy = gy_ref[b]
+    pm = p_vmem[slot].astype(jnp.float32)
+    cmv = c_vmem[slot].astype(jnp.float32)
+    nhat = (cmv - m[None, None, :]) * iv[None, None, :]
+    dyt = (
+        iv[None, None, :] * (pm - gm[None, None, :] - nhat * gy[None, None, :])
+    ).astype(p_vmem.dtype)
+
+    # dx-concat operand with W-axis reflect (forward layout): xcat[r, q,
+    # dx·C+ci] = zin[r, reflect(q+dx−1), ci].
+    xcat[:, :, cz : 2 * cz] = zin
+    xcat[:, 1:, 0:cz] = zin[:, : w - 1]
+    xcat[:, 0:1, 0:cz] = zin[:, 1:2]
+    xcat[:, : w - 1, 2 * cz :] = zin[:, 1:]
+    xcat[:, w - 1 : w, 2 * cz :] = zin[:, w - 2 : w - 1]
+
+    # dk[dy] = Σ_{p,q} zpad[p+dy, q+dx, ci]·dy[p, q, co] — one (th·w)-
+    # contraction matmul per dy tap, accumulated over the whole grid in
+    # the VMEM-resident revisited output block (one HBM write total).
+    tile = jnp.stack([
+        jax.lax.dot_general(
+            xcat[dyt_i : dyt_i + th],
+            dyt,
+            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for dyt_i in range(3)
+    ])
+
+    @pl.when(lin == 0)
+    def _():
+        o_ref[...] = tile
+
+    @pl.when(lin != 0)
+    def _():
+        o_ref[...] = o_ref[...] + tile
+
+
+def conv3x3_wgrad_fused(
+    z: jnp.ndarray,
+    p: jnp.ndarray,
+    comp: jnp.ndarray,
+    m: jnp.ndarray,
+    inv: jnp.ndarray,
+    gm: jnp.ndarray,
+    gy: jnp.ndarray,
+    znorm: tuple | None = None,
+    *,
+    tile_h: int = 16,
+    vmem_limit_mb: int = 100,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused wgrad of ``conv2d(reflect_pad2d(Z, 1), k, VALID)`` for the
+    block backward: returns ``dk`` (3, 3, Cz, Co) in f32, where::
+
+        Z  = z                          if znorm is None
+           = relu((z − zm)·zi)          if znorm = (zm, zi)   # z = saved raw
+        dy = inv·(p − gm − n̂·gy),  n̂ = (comp − m)·inv         # IN backward
+
+    Both operands are recomputed on load from the tensors the forward
+    already saved — no z/dy materialization, no padded activation in HBM.
+    Reflect halos ride the activation DMA exactly as in the forward
+    kernel; the 3 dy-tap contractions accumulate into a VMEM-resident
+    (3, 3Cz, Co) block flushed once.
+    """
+    b, h, w, cz = z.shape
+    cout = p.shape[-1]
+    assert p.shape == (b, h, w, cout) and comp.shape == p.shape
+    assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
+    assert w % 8 == 0, f"W={w} must be 8-aligned"
+    assert interpret or (cz % 128 == 0 and cout % 128 == 0), (
+        f"conv3x3_wgrad_fused: C={cz}/{cout} not 128-aligned — Mosaic "
+        "cannot DMA-slice sub-lane-tile channel extents"
+    )
+    nh = h // tile_h
+
+    vmem = pltpu.VMEM if not interpret else None
+    anym = pltpu.ANY if not interpret else None
+    in_specs = [pl.BlockSpec(memory_space=anym)] * 3 + [
+        pl.BlockSpec(memory_space=vmem)
+    ] * 4
+    operands = [z, p, comp,
+                m.astype(jnp.float32), inv.astype(jnp.float32),
+                gm.astype(jnp.float32), gy.astype(jnp.float32)]
+    if znorm is not None:
+        zm, zi = znorm
+        in_specs += [pl.BlockSpec(memory_space=vmem)] * 2
+        operands += [zm.astype(jnp.float32), zi.astype(jnp.float32)]
+
+    kernel_fn = functools.partial(
+        _kernel_wgrad, th=tile_h, w=w, h=h, nh=nh, norm_z=znorm is not None,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * b * h * w * 9 * cz * cout,
+            bytes_accessed=(z.size + p.size + comp.size) * z.dtype.itemsize
+            + 9 * cz * cout * 4,
+            transcendentals=0,
+        )
+    dk = pl.pallas_call(
+        kernel_fn,
+        out_shape=jax.ShapeDtypeStruct((3, 3 * cz, cout), jnp.float32),
+        grid=(b, nh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, 3 * cz, cout), lambda i, j: (0, 0, 0),
+                               memory_space=vmem),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, w, cz), z.dtype),
+            pltpu.VMEM((2, tile_h, w, cout), p.dtype),
+            pltpu.VMEM((2, tile_h, w, cout), comp.dtype),
+            pltpu.VMEM((tile_h + 2, w, 3 * cz), z.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*operands)
+    return dk.reshape(3, 3, cz, cout)
+
+
+def _resblock_bwd_fused(tile_h, interpret, res, g, wgrad_fused: bool = False):
+    """Fused-dgrad block backward: 2 Pallas dgrad launches + either 2 XLA
+    wgrads (``wgrad_fused=False``) or 2 fused wgrad launches.
+
+    Exactly the math of the XLA ``_resblock_bwd`` (same closed-form IN
+    backward, same reflect-pad VJP), with the dgrad side's intermediates
+    kept in VMEM. The XLA wgrads reuse ``jax.vjp`` of the pad+conv with
+    the input-cotangent discarded — XLA dead-code-eliminates the dgrad
+    conv it would otherwise emit, leaving only the weight contraction.
+    With ``wgrad_fused`` the dgrad launches stop emitting dy entirely:
+    the wgrad launches recompute z and dy on load from the saved raws.
+    """
+    x, k1, k2, raw1, m1, i1, raw2, m2, i2 = res
+    _, h, w, _ = x.shape
+    n = h * w
+    gf = g.astype(jnp.float32)
+    r2 = raw2.astype(jnp.float32)
+    # E[g·ŷ2] from raw moments: (E[g·raw2] − m2·E[g])·i2 — one fused
+    # reduction pass over (g, raw2) instead of materializing ŷ2.
+    gm2 = jnp.mean(gf, axis=(1, 2))
+    gy2 = (jnp.mean(gf * r2, axis=(1, 2)) - m2 * gm2) * i2
+    dn1, dy2, s = conv3x3_dgrad_fused(
+        g, raw2, raw1, k2, m2, i2, gm2, gy2, mask_stats=(m1, i1),
+        emit_dy=not wgrad_fused, tile_h=tile_h, interpret=interpret,
+    )
+    gm1 = s[:, 0] / n
+    gy1 = s[:, 1] / n
+    dx, dy1 = conv3x3_dgrad_fused(
+        dn1, raw1, g, k1, m1, i1, gm1, gy1,
+        emit_dy=not wgrad_fused, tile_h=tile_h, interpret=interpret,
+    )
+
+    if wgrad_fused:
+        dk2 = conv3x3_wgrad_fused(
+            raw1, g, raw2, m2, i2, gm2, gy2, znorm=(m1, i1),
+            tile_h=tile_h, interpret=interpret,
+        )
+        dk1 = conv3x3_wgrad_fused(
+            x, dn1, raw1, m1, i1, gm1, gy1,
+            tile_h=tile_h, interpret=interpret,
+        )
+        return dx, dk1.astype(k1.dtype), dk2.astype(k2.dtype)
+
+    def pad_conv(z, k):
+        return conv2d(reflect_pad2d(z, 1), k, padding="VALID")
+
+    z1 = jnp.maximum(
+        (raw1.astype(jnp.float32) - m1[:, None, None, :])
+        * i1[:, None, None, :], 0.0
+    ).astype(x.dtype)
+    _, vjp2 = jax.vjp(pad_conv, z1, k2)
+    dk2 = vjp2(dy2)[1]
+    _, vjp1 = jax.vjp(pad_conv, x, k1)
+    dk1 = vjp1(dy1)[1]
+    return dx, dk1.astype(k1.dtype), dk2.astype(k2.dtype)
 
 
 def _kernel_multi(*refs, th: int, w: int, h: int, nh: int, n_in: int, pad: str):

@@ -50,6 +50,26 @@ def test_resnet_block_pallas_lowers(rng):
     )
 
 
+@pytest.mark.parametrize("bwd", ["fused", "fused_wg"])
+def test_resnet_block_pallas_fused_bwd_lowers(rng, bwd):
+    """The fused training paths: custom_vjp forward (fused kernels) +
+    fused Pallas backward — 'fused' = conv3x3_dgrad_fused ×2 + XLA wgrads;
+    'fused_wg' = + conv3x3_wgrad_fused ×2 (no dy emission)."""
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+
+    x = _bf16(rng.rand(1, 32, 64, 256) * 2 - 1)
+    k1 = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
+    k2 = _bf16(rng.randn(3, 3, 256, 256) * 0.05)
+    _lower_tpu(
+        jax.grad(
+            lambda v: resnet_block_pallas(v, k1, k2, tile_h=16, bwd=bwd)
+            .astype(jnp.float32)
+            .sum()
+        ),
+        x,
+    )
+
+
 def test_conv3x3_sum_fused_lowers(rng):
     from ircolor_tpu.ops.pallas_resblock import conv3x3_sum_fused
 

@@ -90,6 +90,98 @@ def test_resnet_block_pallas_grad_matches_xla_block():
         )
 
 
+@pytest.mark.parametrize("tile_h", [4, 8, 16])
+@pytest.mark.parametrize("bwd", ["fused", "fused_wg"])
+def test_resnet_block_fused_bwd_matches_xla_bwd(tile_h, bwd):
+    """bwd='fused' (conv3x3_dgrad_fused ×2: IN-backward on load, zero-halo
+    dgrad, in-kernel reflect-pad VJP fold, ReLU-mask + stats epilogue,
+    fused residual add) and bwd='fused_wg' (+ conv3x3_wgrad_fused ×2:
+    z/dy recomputed on load, reflect halos in-DMA, per-tap contractions)
+    must match the bwd='xla' custom_vjp backward.
+    H=16 sweeps nh ∈ {4, 2, 1} — every fold/halo branch (interior tile,
+    edge tiles, single tile with both folds) is exercised."""
+    rng = np.random.RandomState(7)
+    B, H, W, C = 2, 16, 24, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+
+    def loss(bwd):
+        def f(x, k1, k2):
+            return jnp.sum(
+                resnet_block_pallas(
+                    x, k1, k2, tile_h=tile_h, bwd=bwd, interpret=True
+                ) * w
+            )
+        return f
+
+    want = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, k1, k2)
+    got = jax.grad(loss(bwd), argnums=(0, 1, 2))(x, k1, k2)
+    for g, ref, name in zip(got, want, ("dx", "dk1", "dk2")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(ref), atol=2e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_conv3x3_dgrad_fused_stages_match_reference():
+    """Each fused-dgrad launch against hand-built XLA reference math:
+    launch 1 (mask_stats) → dn1/dy2/Σ-stats; launch 2 (residual) →
+    dx/dy1. Covers the IN-backward transform, the zero-halo dgrad conv,
+    the tile-local reflect-fold (incl. corners), the ReLU mask, the
+    stats epilogue, and the fused residual add in isolation."""
+    from ircolor_tpu.ops.pallas_resblock import conv3x3_dgrad_fused, _in_bwd
+
+    rng = np.random.RandomState(8)
+    B, H, W, C = 2, 12, 16, 8
+    g = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    raw1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    raw2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    k2 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    m1, i1 = _stats(raw1)
+    m2, i2 = _stats(raw2)
+
+    # Reference: IN backward → reflect-pad-conv VJP (fold included by
+    # jax.vjp of the pad+conv) → ReLU mask → stats.
+    yhat2 = (raw2 - m2[:, None, None]) * i2[:, None, None]
+    dy2_ref = _in_bwd(g, yhat2, i2)
+    z1 = jax.nn.relu((raw1 - m1[:, None, None]) * i1[:, None, None])
+    _, vjp = jax.vjp(
+        lambda z: conv2d(reflect_pad2d(z, 1), k2, padding="VALID"), z1
+    )
+    dz1_ref = vjp(dy2_ref)[0]
+    dn1_ref = dz1_ref * (raw1 > m1[:, None, None])
+    nh1 = (raw1 - m1[:, None, None]) * i1[:, None, None]
+    s_ref = jnp.stack(
+        [jnp.sum(dn1_ref, axis=(1, 2)), jnp.sum(dn1_ref * nh1, axis=(1, 2))],
+        axis=1,
+    )
+
+    gm2 = jnp.mean(g, axis=(1, 2))
+    gy2 = (jnp.mean(g * raw2, axis=(1, 2)) - m2 * gm2) * i2
+    dn1, dy2, s = conv3x3_dgrad_fused(
+        g, raw2, raw1, k2, m2, i2, gm2, gy2, mask_stats=(m1, i1),
+        tile_h=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(dy2), np.asarray(dy2_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dn1), np.asarray(dn1_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-3)
+
+    # Launch-2 form: residual add, no mask/stats.
+    gm1 = s[:, 0] / (H * W)
+    gy1 = s[:, 1] / (H * W)
+    dy1_ref = _in_bwd(dn1, nh1, i1)
+    _, vjp1 = jax.vjp(
+        lambda z: conv2d(reflect_pad2d(z, 1), k2, padding="VALID"), raw1
+    )
+    dx_ref = g + vjp1(dy1_ref)[0]
+    dx, dy1 = conv3x3_dgrad_fused(
+        dn1, raw1, g, k2, m1, i1, gm1, gy1, tile_h=4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(dy1), np.asarray(dy1_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-4)
+
+
 def test_sum_fused_zero_single_matches_xla():
     """n_in=1 zero-SAME: the down-conv form (conv + free IN stats)."""
     from ircolor_tpu.ops.pallas_resblock import conv3x3_sum_fused

@@ -71,6 +71,18 @@ def test_pallas_block_train_gating():
     assert not g_off.pallas_block
 
 
+def test_pallas_block_bwd_flag_reaches_module():
+    """Config.pallas_block_bwd ('xla'|'fused'|'fused_wg') is threaded
+    through create_train_state to the generator module, which passes it
+    to resnet_block_pallas (the custom_vjp backward selector)."""
+    for mode in ("xla", "fused", "fused_wg"):
+        cfg = Config(img_size=32, batch_size=8, n_blocks=1, ngf=8,
+                     dp_devices=1, pallas_block=True,
+                     pallas_block_train=True, pallas_block_bwd=mode)
+        _, g_mod, _, _ = create_train_state(cfg, steps_per_epoch=2)
+        assert g_mod.pallas_block_bwd == mode
+
+
 def test_train_step_runs_and_updates(step_setup):
     cfg, state, step, batch, _ = step_setup
     new_state, metrics = step(state, batch, init_vgg16_params())

@@ -92,6 +92,44 @@ def main() -> None:
     )(x, xb)
     ok &= check("sum_fused zero n=2", got2, want2, atol=0.5)
 
+    # Fused BACKWARD (conv3x3_dgrad_fused ×2 inside the block custom_vjp):
+    # grads of the bwd="fused" block vs the bwd="xla" block on the same
+    # cotangent. Exercises remote compile of the dgrad kernel (3 DMA legs,
+    # in-kernel fold matmuls, stats epilogue) end-to-end.
+    gct = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
+
+    def _blk_loss(bwd):
+        def f(v):
+            return jnp.sum(
+                (resnet_block_pallas(v, k1, k2, tile_h=16, bwd=bwd)
+                 * gct).astype(jnp.float32)
+            )
+        return f
+
+    try:
+        dx_x = jax.jit(jax.grad(_blk_loss("xla")))(x)
+        for bwd in ("fused", "fused_wg"):
+            dx_f = jax.jit(jax.grad(_blk_loss(bwd)))(x)
+            ok &= check(f"block bwd {bwd} dx", dx_f, dx_x, atol=0.5)
+        # wgrad parity (the dk side of fused_wg) vs the XLA backward:
+        def _k_loss(bwd):
+            def f(k):
+                return jnp.sum(
+                    (resnet_block_pallas(x, k, k2, tile_h=16, bwd=bwd)
+                     * gct).astype(jnp.float32)
+                )
+            return f
+
+        dk_x = jax.jit(jax.grad(_k_loss("xla")))(k1)
+        dk_f = jax.jit(jax.grad(_k_loss("fused_wg")))(k1)
+        ok &= check("block bwd fused_wg dk1", dk_f, dk_x, atol=1.0)
+    except Exception as exc:
+        print(
+            f"FAIL block bwd fused: {type(exc).__name__}: {str(exc)[:200]}",
+            flush=True,
+        )
+        ok = False
+
     # norm_relu_blur_down: IN-normalize+ReLU on load + reflect blur-pool
     # (the generator down-stage chain). C=128 is the d1 output width.
     from ircolor_tpu.ops.norm import instance_norm_stats

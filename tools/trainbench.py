@@ -44,6 +44,14 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     "full": ({"pallas_block_train": False}, True),
     "ship": ({}, True),  # shipped defaults (fused blocks via custom_vjp)
     "pb_train": ({"pallas_block_train": True}, True),  # fused blocks via custom_vjp
+    # fused blocks + fused Pallas BACKWARD (dgrad launches, wgrads XLA):
+    "pb_bwd": (
+        {"pallas_block_train": True, "pallas_block_bwd": "fused"}, True,
+    ),
+    # ... + fused wgrad launches too (the fully fused block backward):
+    "pb_bwd_wg": (
+        {"pallas_block_train": True, "pallas_block_bwd": "fused_wg"}, True,
+    ),
     "nb_train": ({"pallas_norm_blur": True}, True),    # + fused down-stage tails
     "head_train": ({"pallas_head": True}, True),       # + fused 7×7 output head
     "all_fused": (
