@@ -219,9 +219,13 @@ class Config:
     #   (3,3C,C) accumulator); the dgrad launches stop emitting dy, so the
     #   backward's HBM traffic is just the saved tensors read + dn1/dx
     #   written. Exact same math as "xla" (equivalence-tested).
-    # Default "xla" until the hardware A/B ships one of the fused forms
-    # (tools/trainbench.py --variants full,pb_train,pb_bwd,pb_bwd_wg).
-    pallas_block_bwd: str = "xla"
+    # Shipped default: "fused_wg" — same-process A/B at b8 512×640 bf16
+    # (tools/trainbench.py --variants full,pb_bwd,pb_bwd_wg, docs/PERF.md
+    # round-3 session 2): full 268.9 ms/step, pb_bwd 256.3 (−12.6), pb_bwd_wg
+    # 247.6 (−21.3, 32.31 f/s) — reproduced across two processes. Only
+    # takes effect where the fused blocks engage (pallas_block_train gates,
+    # bf16, single-device or shard_map DP).
+    pallas_block_bwd: str = "fused_wg"
 
     # Fuse the down-stage IN-normalize+ReLU+reflect-blur-pool tails into one
     # normalize-on-load Pallas pass each (ops/pallas_blur.py). Differentiable

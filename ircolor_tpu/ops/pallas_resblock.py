@@ -901,11 +901,16 @@ def _kernel_wgrad(
     # dk[dy] = Σ_{p,q} zpad[p+dy, q+dx, ci]·dy[p, q, co] — one (th·w)-
     # contraction matmul per dy tap, accumulated over the whole grid in
     # the VMEM-resident revisited output block (one HBM write total).
+    # Operands are flattened to 2-D and contracted over dim 0 (lhsᵀ·rhs —
+    # the MXU's native wgrad form): Mosaic's tpu.matmul rejects multi-dim
+    # contractions ("lhs contracting dims must be of size 1", found on
+    # hardware — the CPU-side lowering gate does not run that verifier).
+    dyf = dyt.reshape(th * w, dyt.shape[-1])
     tile = jnp.stack([
         jax.lax.dot_general(
-            xcat[dyt_i : dyt_i + th],
-            dyt,
-            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            xcat[dyt_i : dyt_i + th].reshape(th * w, 3 * cz),
+            dyf,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         for dyt_i in range(3)
