@@ -39,11 +39,14 @@ A full ResnetBlock is then::
 
 ≈6 HBM tensor passes per block instead of ~13.
 
-Status: correctness-tested in interpret mode (`tests/test_pallas_resblock.py`)
-against the XLA reflect-pad/conv/IN chain; TPU benchmark in docs/PERF.md.
-Wired into the model behind a flag only if it beats the XLA block in-graph
-(the round-2 fused block lost 39.6 vs 28.2 ms on the misaligned-tap
-schedule; this one exists to retest with the aligned schedule).
+Status: SHIPPED default-on (Config.pallas_block, area/launch gates in
+models/generator.py) — 4.07 vs 5.64 ms/block in-graph, −6.8 ms full
+forward at 512×640 b16 (docs/PERF.md round 3). The custom_vjp BACKWARD is
+also shipped fused (Config.pallas_block_bwd="fused_wg":
+conv3x3_dgrad_fused + conv3x3_wgrad_fused below) — 268.9 → 247.6 ms/step
+at b8 512×640. Correctness-tested in interpret mode
+(`tests/test_pallas_resblock.py`) against the XLA reflect-pad/conv/IN
+chain and its autodiff; on-hardware parity via tools/pallassmoke.py.
 """
 
 from __future__ import annotations
