@@ -71,6 +71,57 @@ def test_pallas_block_train_gating():
     assert not g_off.pallas_block
 
 
+def test_fused_bwd_training_trajectory_matches_xla_bwd(monkeypatch):
+    """5 full train steps with the fused block backward (interpret mode on
+    CPU) track the XLA-backward trajectory: the custom_vjp backwards are
+    the same math, so param divergence stays at accumulation-noise level
+    even compounded across optimizer steps."""
+    import functools
+
+    from ircolor_tpu.models import generator as gen_mod
+    from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
+
+    monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    monkeypatch.setattr(
+        gen_mod, "resnet_block_pallas",
+        functools.partial(resnet_block_pallas, interpret=True),
+    )
+    rng = np.random.RandomState(3)
+    batches = [
+        {
+            "ir": jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32) * 2 - 1),
+            "rgb": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
+        }
+        for _ in range(5)
+    ]
+    vgg_mod = VGG16Features()
+    vgg_params = init_vgg16_params()
+
+    def run(bwd):
+        cfg = Config(img_size=32, batch_size=2, n_blocks=1, ngf=8,
+                     dp_devices=1, pallas_block=True, pallas_block_train=True,
+                     pallas_block_bwd=bwd)
+        state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(
+            cfg, steps_per_epoch=10
+        )
+        g_mod = g_mod.clone(pallas_block_min_area=0, pallas_block_min_launch=0)
+        step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d,
+                               donate=False)
+        metrics = None
+        for b in batches:
+            state, metrics = step(state, b, vgg_params)
+        return state, metrics
+
+    s_x, m_x = run("xla")
+    s_f, m_f = run("fused_wg")
+    np.testing.assert_allclose(
+        float(m_x["loss_G"]), float(m_f["loss_G"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(s_x.g_params), jax.tree.leaves(s_f.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
 def test_pallas_block_bwd_flag_reaches_module():
     """Config.pallas_block_bwd ('xla'|'fused'|'fused_wg') is threaded
     through create_train_state to the generator module, which passes it
