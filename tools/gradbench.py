@@ -137,11 +137,12 @@ def main() -> None:
     results: dict[str, float] = {}
     for name in args.variants.split(","):
         try:
-            if name in ("g_full", "g_noblocks"):
+            if name.startswith("g_"):
                 cfg = Config(
                     img_height=h, img_width=w, batch_size=b,
                     compute_dtype="bf16",
-                    n_blocks=0 if name == "g_noblocks" else 9,
+                    n_blocks=0 if "noblocks" in name else 9,
+                    lanepack=not name.endswith("_nolp"),
                 )
                 mod = generator_from_config(cfg)
                 params = mod.init(jax.random.PRNGKey(0), x[:1])["params"]

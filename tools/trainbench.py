@@ -57,6 +57,10 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     "all_fused": (
         {"pallas_norm_blur": True, "pallas_head": True}, True,
     ),  # fused blocks + down tails + head
+    # Lane-packing was A/B'd for the INFERENCE forward only; its VJP
+    # (pack/unpack reshape transposes at full res) was never costed in
+    # training. Identical param tree either way.
+    "no_lanepack": ({"lanepack": False}, True),
     "vgg_lp2": ({}, True),  # lane-packed VGG conv1_1/conv1_2 (p=2)
     "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
     "d_concat": ({"d_concat": True}, True),  # one double-batch D fwd/bwd (= ship)
