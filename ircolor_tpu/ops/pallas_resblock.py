@@ -157,6 +157,43 @@ def _halo_copy(
             (jnp.logical_and(hh != 0, hh != nh - 1), mid)]
 
 
+def _grid_slots(nh: int):
+    """(b, hh, lin, total, slot, nslot) for the (B, nh) grid's
+    double-buffered DMA bookkeeping — shared by every kernel here."""
+    b = pl.program_id(0)
+    hh = pl.program_id(1)
+    lin = b * nh + hh
+    total = pl.num_programs(0) * nh
+    return b, hh, lin, total, jax.lax.rem(lin, 2), jax.lax.rem(lin + 1, 2)
+
+
+def _run_dma(all_copies, linear, slot_idx, action: str):
+    for pred, cp in all_copies(linear, slot_idx):
+        if pred is None:
+            getattr(cp, action)()
+        else:
+            @pl.when(pred)
+            def _(cp=cp):
+                getattr(cp, action)()
+
+
+def _dma_prologue(all_copies, lin, total, slot, nslot):
+    """Double-buffered prefetch discipline: on the first grid step start
+    tile ``lin``'s copies; always start tile ``lin+1``'s into the other
+    slot; wait for ``lin``'s. ``all_copies(linear, slot_idx)`` returns the
+    (predicate | None, copy) descriptor list for one tile."""
+
+    @pl.when(lin == 0)
+    def _():
+        _run_dma(all_copies, lin, slot, "start")
+
+    @pl.when(lin + 1 < total)
+    def _():
+        _run_dma(all_copies, lin + 1, nslot, "start")
+
+    _run_dma(all_copies, lin, slot, "wait")
+
+
 def _kernel(
     x_hbm, k_ref, *rest, th: int, w: int, h: int, nh: int,
     norm_in: bool, halo: str = "reflect",
@@ -171,48 +208,16 @@ def _kernel(
         i += 2
     o_ref, s_ref, x_vmem, xcat, sems = rest[i:]
 
-    b = pl.program_id(0)
-    hh = pl.program_id(1)
-    lin = b * nh + hh
-    total = pl.num_programs(0) * nh
-    slot = jax.lax.rem(lin, 2)
-    nslot = jax.lax.rem(lin + 1, 2)
+    b, hh, lin, total, slot, nslot = _grid_slots(nh)
 
-    def start_for(linear, slot_idx):
+    def all_copies(linear, slot_idx):
         bb = jax.lax.div(linear, nh)
         jj = jax.lax.rem(linear, nh)
-        for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
-                                   th=th, h=h, nh=nh, halo=halo,
-                                   top_hbm=top_hbm, bot_hbm=bot_hbm):
-            if pred is None:
-                cp.start()
-            else:
-                @pl.when(pred)
-                def _(cp=cp):
-                    cp.start()
+        return _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
+                          th=th, h=h, nh=nh, halo=halo,
+                          top_hbm=top_hbm, bot_hbm=bot_hbm)
 
-    def wait_for(linear, slot_idx):
-        bb = jax.lax.div(linear, nh)
-        jj = jax.lax.rem(linear, nh)
-        for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
-                                   th=th, h=h, nh=nh, halo=halo,
-                                   top_hbm=top_hbm, bot_hbm=bot_hbm):
-            if pred is None:
-                cp.wait()
-            else:
-                @pl.when(pred)
-                def _(cp=cp):
-                    cp.wait()
-
-    @pl.when(lin == 0)
-    def _():
-        start_for(lin, slot)
-
-    @pl.when(lin + 1 < total)
-    def _():
-        start_for(lin + 1, nslot)
-
-    wait_for(lin, slot)
+    _dma_prologue(all_copies, lin, total, slot, nslot)
 
     # H-axis reflect fixups (1-row VMEM copies, boundary tiles only). With
     # provided/separate halos the tile's edge rows already hold the right
@@ -533,12 +538,7 @@ def _kernel_dgrad(
         rest = rest[1:]
     p_vmem, c_vmem, a_vmem, xcat, sems = rest
 
-    b = pl.program_id(0)
-    hh = pl.program_id(1)
-    lin = b * nh + hh
-    total = pl.num_programs(0) * nh
-    slot = jax.lax.rem(lin, 2)
-    nslot = jax.lax.rem(lin + 1, 2)
+    b, hh, lin, total, slot, nslot = _grid_slots(nh)
 
     def all_copies(linear, slot_idx):
         bb = jax.lax.div(linear, nh)
@@ -558,24 +558,7 @@ def _kernel_dgrad(
         )))
         return out
 
-    def run(linear, slot_idx, action):
-        for pred, cp in all_copies(linear, slot_idx):
-            if pred is None:
-                getattr(cp, action)()
-            else:
-                @pl.when(pred)
-                def _(cp=cp):
-                    getattr(cp, action)()
-
-    @pl.when(lin == 0)
-    def _():
-        run(lin, slot, "start")
-
-    @pl.when(lin + 1 < total)
-    def _():
-        run(lin + 1, nslot, "start")
-
-    run(lin, slot, "wait")
+    _dma_prologue(all_copies, lin, total, slot, nslot)
 
     m = m_ref[b]
     iv = i_ref[b]
@@ -818,12 +801,7 @@ def _kernel_wgrad(
         rest = rest[2:]
     o_ref, z_vmem, p_vmem, c_vmem, xcat, sems = rest
 
-    b = pl.program_id(0)
-    hh = pl.program_id(1)
-    lin = b * nh + hh
-    total = pl.num_programs(0) * nh
-    slot = jax.lax.rem(lin, 2)
-    nslot = jax.lax.rem(lin + 1, 2)
+    b, hh, lin, total, slot, nslot = _grid_slots(nh)
 
     def all_copies(linear, slot_idx):
         bb = jax.lax.div(linear, nh)
@@ -840,24 +818,7 @@ def _kernel_wgrad(
             )))
         return out
 
-    def run(linear, slot_idx, action):
-        for pred, cp in all_copies(linear, slot_idx):
-            if pred is None:
-                getattr(cp, action)()
-            else:
-                @pl.when(pred)
-                def _(cp=cp):
-                    getattr(cp, action)()
-
-    @pl.when(lin == 0)
-    def _():
-        run(lin, slot, "start")
-
-    @pl.when(lin + 1 < total)
-    def _():
-        run(lin + 1, nslot, "start")
-
-    run(lin, slot, "wait")
+    _dma_prologue(all_copies, lin, total, slot, nslot)
 
     # H-axis reflect fixups on the activation leg (the wgrad sees the
     # reflect-PADDED activation — same halo semantics as the forward).
@@ -1083,12 +1044,7 @@ def _kernel_multi(*refs, th: int, w: int, h: int, nh: int, n_in: int, pad: str):
     xcats = refs[3 * n_in + 2 : 4 * n_in + 2]
     sems = refs[4 * n_in + 2]
 
-    b = pl.program_id(0)
-    hh = pl.program_id(1)
-    lin = b * nh + hh
-    total = pl.num_programs(0) * nh
-    slot = jax.lax.rem(lin, 2)
-    nslot = jax.lax.rem(lin + 1, 2)
+    b, hh, lin, total, slot, nslot = _grid_slots(nh)
 
     def all_copies(linear, slot_idx):
         bb = jax.lax.div(linear, nh)
@@ -1101,24 +1057,7 @@ def _kernel_multi(*refs, th: int, w: int, h: int, nh: int, n_in: int, pad: str):
                 out.append((pred, cp))
         return out
 
-    def run(linear, slot_idx, action):
-        for pred, cp in all_copies(linear, slot_idx):
-            if pred is None:
-                getattr(cp, action)()
-            else:
-                @pl.when(pred)
-                def _(cp=cp):
-                    getattr(cp, action)()
-
-    @pl.when(lin == 0)
-    def _():
-        run(lin, slot, "start")
-
-    @pl.when(lin + 1 < total)
-    def _():
-        run(lin + 1, nslot, "start")
-
-    run(lin, slot, "wait")
+    _dma_prologue(all_copies, lin, total, slot, nslot)
 
     cout = o_ref.shape[-1]
     acc = jnp.zeros((th, w, cout), jnp.float32)
@@ -1306,35 +1245,16 @@ def _kernel_q(
         i += 2
     o_ref, s_ref, x_vmem, xcat, sems = rest[i:]
 
-    b = pl.program_id(0)
-    hh = pl.program_id(1)
-    lin = b * nh + hh
-    total = pl.num_programs(0) * nh
-    slot = jax.lax.rem(lin, 2)
-    nslot = jax.lax.rem(lin + 1, 2)
+    b, hh, lin, total, slot, nslot = _grid_slots(nh)
 
-    def run(linear, slot_idx, action):
+    def all_copies(linear, slot_idx):
         bb = jax.lax.div(linear, nh)
         jj = jax.lax.rem(linear, nh)
-        for pred, cp in _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
-                                   th=th, h=h, nh=nh, halo=halo,
-                                   top_hbm=top_hbm, bot_hbm=bot_hbm):
-            if pred is None:
-                getattr(cp, action)()
-            else:
-                @pl.when(pred)
-                def _(cp=cp):
-                    getattr(cp, action)()
+        return _halo_copy(x_hbm, x_vmem, sems, bb, jj, slot_idx,
+                          th=th, h=h, nh=nh, halo=halo,
+                          top_hbm=top_hbm, bot_hbm=bot_hbm)
 
-    @pl.when(lin == 0)
-    def _():
-        run(lin, slot, "start")
-
-    @pl.when(lin + 1 < total)
-    def _():
-        run(lin + 1, nslot, "start")
-
-    run(lin, slot, "wait")
+    _dma_prologue(all_copies, lin, total, slot, nslot)
 
     if halo in ("provided", "separate"):
         pass

@@ -83,9 +83,14 @@ def test_fused_bwd_training_trajectory_matches_xla_bwd(monkeypatch):
 
     monkeypatch.setattr(gen_mod, "_pallas_available", lambda: True)
     monkeypatch.setattr(gen_mod, "_fused_dtype_ok", lambda d: True)
+    calls = []
     monkeypatch.setattr(
         gen_mod, "resnet_block_pallas",
-        functools.partial(resnet_block_pallas, interpret=True),
+        functools.partial(
+            lambda *a, **kw: calls.append(kw.get("bwd")) or
+            resnet_block_pallas(*a, **kw),
+            interpret=True,
+        ),
     )
     rng = np.random.RandomState(3)
     batches = [
@@ -99,7 +104,10 @@ def test_fused_bwd_training_trajectory_matches_xla_bwd(monkeypatch):
     vgg_params = init_vgg16_params()
 
     def run(bwd):
-        cfg = Config(img_size=32, batch_size=2, n_blocks=1, ngf=8,
+        # ngf=32 → block dim 128: the generator's Mosaic 128-lane alignment
+        # gate passes, so the fused path (and the bwd under test) actually
+        # engages — at ngf=8 this test would compare XLA to itself.
+        cfg = Config(img_size=32, batch_size=2, n_blocks=1, ngf=32,
                      dp_devices=1, pallas_block=True, pallas_block_train=True,
                      pallas_block_bwd=bwd)
         state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(
@@ -115,11 +123,21 @@ def test_fused_bwd_training_trajectory_matches_xla_bwd(monkeypatch):
 
     s_x, m_x = run("xla")
     s_f, m_f = run("fused_wg")
+    # The fused path must have ENGAGED in both runs (5 steps × 1 block each,
+    # through jit tracing at least once per bwd mode).
+    assert "xla" in calls and "fused_wg" in calls, calls
     np.testing.assert_allclose(
         float(m_x["loss_G"]), float(m_f["loss_G"]), rtol=1e-4
     )
+    # Param tolerance: Adam normalizes gradient MAGNITUDE away, so entries
+    # whose true gradient is ~0 (e.g. IN-inert conv biases: exact-0 grads on
+    # the fused path vs rounding-level ~0 on the XLA path) can flip update
+    # sign and drift by up to steps·lr = 5·2e-4 = 1e-3 while training the
+    # identical function — the documented inert-bias effect
+    # (ops/pallas_resblock.py resnet_block_pallas docstring). Bound at
+    # 2.5·steps·lr; meaningful-gradient entries agree far tighter.
     for a, b in zip(jax.tree.leaves(s_x.g_params), jax.tree.leaves(s_f.g_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-3)
 
 
 def test_pallas_block_bwd_flag_reaches_module():

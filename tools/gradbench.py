@@ -91,7 +91,7 @@ def grad_fn_of(module, params, ct):
     return fn
 
 
-def blocks_chain_fn(ks, ct, bwd):
+def blocks_chain_fn(ks, ct, bwd, tile_h=32):
     def loss(x, ks):
         h = x
         for k1, k2 in ks:
@@ -102,7 +102,7 @@ def blocks_chain_fn(ks, ct, bwd):
                     conv2d(reflect_pad2d(h1, 1), k2, padding="VALID")
                 ).astype(h.dtype)
             else:
-                h = resnet_block_pallas(h, k1, k2, tile_h=32, bwd=bwd)
+                h = resnet_block_pallas(h, k1, k2, tile_h=tile_h, bwd=bwd)
         return jnp.sum((h * ct).astype(jnp.float32))
 
     gfn = jax.jit(jax.grad(loss, argnums=(0, 1)))
@@ -121,6 +121,9 @@ def main() -> None:
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--tile-h", type=int, default=32,
+                   help="fused-kernel tile for blocks_* variants "
+                        "(fwd ships th=32; the bwd kernels were never swept)")
     p.add_argument(
         "--variants",
         default="g_full,g_noblocks,blocks_xla_chain,blocks_fused,blocks_fused_wg",
@@ -164,7 +167,7 @@ def main() -> None:
                     )
                     for _ in range(9)
                 )
-                fn = blocks_chain_fn(ks, ctb, bwd)
+                fn = blocks_chain_fn(ks, ctb, bwd, tile_h=args.tile_h)
             dt = time_fn(fn, x0, iters=args.iters)
             results[name] = dt * 1e3
             print(f"{name:18s} {dt * 1e3:8.2f} ms", flush=True)

@@ -43,7 +43,11 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     # to True; without the pin full == ship and the A/B is a no-op).
     "full": ({"pallas_block_train": False}, True),
     "ship": ({}, True),  # shipped defaults (fused blocks via custom_vjp)
-    "pb_train": ({"pallas_block_train": True}, True),  # fused blocks via custom_vjp
+    # fused-forward blocks with the XLA custom_vjp backward (pinned: the
+    # Config default bwd is now fused_wg, which would make this == ship):
+    "pb_train": (
+        {"pallas_block_train": True, "pallas_block_bwd": "xla"}, True,
+    ),
     # fused blocks + fused Pallas BACKWARD (dgrad launches, wgrads XLA):
     "pb_bwd": (
         {"pallas_block_train": True, "pallas_block_bwd": "fused"}, True,
