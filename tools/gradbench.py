@@ -153,6 +153,10 @@ def main() -> None:
                 x0 = x
             else:
                 bwd = name.removeprefix("blocks_")
+                tile_h = args.tile_h
+                if ":" in bwd:  # blocks_fused_wg:16 → same-process tile sweep
+                    bwd, ts = bwd.split(":")
+                    tile_h = int(ts)
                 hb, wb, cb = h // 4, w // 4, 256
                 x0 = jnp.asarray(
                     rng.rand(b, hb, wb, cb).astype(np.float32) * 2 - 1
@@ -167,7 +171,7 @@ def main() -> None:
                     )
                     for _ in range(9)
                 )
-                fn = blocks_chain_fn(ks, ctb, bwd, tile_h=args.tile_h)
+                fn = blocks_chain_fn(ks, ctb, bwd, tile_h=tile_h)
             dt = time_fn(fn, x0, iters=args.iters)
             results[name] = dt * 1e3
             print(f"{name:18s} {dt * 1e3:8.2f} ms", flush=True)
