@@ -162,6 +162,17 @@ def main() -> None:
                                        quant=True)
         except Exception as exc:
             print(f"# int8 aux bench failed: {exc!r}", flush=True)
+    # Train rate at the reference's own published training regime
+    # (img_size 256, batch 4 — ref Config :57/:92). Batch 4 sits in the
+    # XLA small-batch band where the fused kernels engage: 80 f/s vs the
+    # XLA blocks' 67 (docs/PERF.md round 3).
+    aux_train_ref = None
+    if args.with_aux and args.with_train:
+        try:
+            aux_train_ref = bench_train_step(256, 256, 4, args.dtype,
+                                             max(10, args.iters // 2), 2)
+        except Exception as exc:
+            print(f"# ref-config train bench failed: {exc!r}", flush=True)
     # Single-frame serving latency (batch 1, full test-mode step) — the
     # other serving axis; 13.0 ms round 3 (launch-size gates route b1 to
     # the XLA path, docs/PERF.md).
@@ -181,6 +192,9 @@ def main() -> None:
         "vs_baseline": round(infer_fps / 2000.0, 4),
         "train_frames_per_sec_per_chip": round(train_fps, 2) if train_fps else None,
         "infer_fps_256x256": round(aux_256, 2) if aux_256 else None,
+        "train_fps_ref_config_256x256_b4": (
+            round(aux_train_ref, 2) if aux_train_ref else None
+        ),
         "infer_fps_int8": round(aux_int8, 2) if aux_int8 else None,
         "latency_b1_ms": round(1000.0 / aux_b1, 2) if aux_b1 else None,
         "batch": args.batch,

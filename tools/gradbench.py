@@ -141,11 +141,21 @@ def main() -> None:
     for name in args.variants.split(","):
         try:
             if name.startswith("g_"):
+                # Attribution suffixes (semantics KNOCKOUTS — the resulting
+                # model is NOT the reference; deltas attribute the backward):
+                #   _nonorm → all instance norms off (their backward is two
+                #             full-plane reductions + elementwise each)
+                #   _noaa   → strided convs replace blur-pool down / AA up
+                #             (kills the blur + align-corners resize VJPs)
+                #   _nolp   → lanepack off (pack/unpack reshape VJPs)
                 cfg = Config(
                     img_height=h, img_width=w, batch_size=b,
                     compute_dtype="bf16",
                     n_blocks=0 if "noblocks" in name else 9,
-                    lanepack=not name.endswith("_nolp"),
+                    lanepack="_nolp" not in name,
+                    norm="none" if "_nonorm" in name else "instance",
+                    no_antialias="_noaa" in name,
+                    no_antialias_up="_noaa" in name,
                 )
                 mod = generator_from_config(cfg)
                 params = mod.init(jax.random.PRNGKey(0), x[:1])["params"]
