@@ -254,6 +254,19 @@ class Config:
     # training uses the XLA tails unless this is set (identical params).
     pallas_norm_blur_train: bool = False
 
+    # Replace the down-blurs' autodiff backward (an lhs_dilation=2 depthwise
+    # gradient conv + pad-VJP fold — VPU-bound: 8.1 ms down1 + 4.1 ms down2
+    # at b8 512×640) with the exact transposed banded matmuls of the matmul
+    # blur form (2.8 + 1.1 ms; tools/blurgrad.py). Forward unchanged (honest
+    # depthwise — the in-context winner). Training-path knob; cleared for
+    # spatially-sharded training (train/state.py) where a banded matmul over
+    # the sharded image axis would make GSPMD gather instead of
+    # halo-exchange. Shipped ON: same-process step A/B 248.2 → 243.6 ms
+    # (−4.6, 32.84 f/s) at b8 512×640 (tools/trainbench.py blur_bwd;
+    # isolated VJP deltas were −4.6/−2.9 ms — the usual in-context
+    # shrinkage applies).
+    blur_matmul_bwd: bool = True
+
     # Fuse the whole output head (up2's IN-normalize+ReLU, the 3-px reflect
     # pad, and the 7×7 conv) into one Pallas read + lane-packed write
     # (ops/pallas_head.py). Differentiable (custom_vjp), identical params.

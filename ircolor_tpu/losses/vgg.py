@@ -68,16 +68,30 @@ class VGG16Features(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     lanepack_p: int = 1
+    # Scatter-free max-pool backward (ops/pooling.py): exact in fwd AND bwd
+    # (first-max tie routing matches XLA SelectAndScatter and torch), the
+    # VJP is elementwise compares instead of a window-serial
+    # SelectAndScatter. MEASURED NULL in-context: +11.7 ms/step at b8
+    # 512×640 (tools/trainbench.py ship 255.1 vs vgg_xla_pool 243.4 same-
+    # process) — XLA's fused SelectAndScatter beats the comparison
+    # cascade's extra full-plane reads inside the step graph. Kept
+    # parity-tested + opt-in for A/Bs (docs/PERF.md round-3 session 3).
+    fast_pool: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ircolor_tpu.ops.pooling import max_pool_2x2
+
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(IMAGENET_STD, x.dtype)
         h = (x + 1.0) / 2.0                 # [-1,1] → [0,1] (ref :679)
         h = (h - mean) / std                # ImageNet normalize (ref :681-682)
         for name, ch in VGG16_PLAN:
             if ch is None:
-                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                if self.fast_pool:
+                    h = max_pool_2x2(h)
+                else:
+                    h = nn.max_pool(h, (2, 2), strides=(2, 2))
             else:
                 p = self.lanepack_p
                 if p > 1 and ch * p <= 128 and h.shape[2] % p == 0:

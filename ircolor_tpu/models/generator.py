@@ -343,6 +343,13 @@ class ResnetUNetGenerator(nn.Module):
     pallas_head: bool = False
     pallas_head_min_area: int = 0    # plane (H·W px) gate
     pallas_head_min_launch: int = 0  # launch (batch·H·W px) gate
+    # Swap the down-blurs' autodiff backward (dilated depthwise gradient
+    # conv, VPU-bound: 8.1+4.1 ms at b8 512×640) for the exact transposed
+    # banded matmuls (2.8+1.1 ms, tools/blurgrad.py). Forward unchanged
+    # (the in-context-winning honest depthwise). Off under spatially-
+    # sharded training: GSPMD gathers a banded matmul's sharded image axis
+    # instead of halo-exchanging it (train/state.py clears the flag).
+    blur_matmul_bwd: bool = False
     # Lane-packing of the outc head (exact math, single-chip layout win).
     # Disable for 2-D spatial sharding — GSPMD mispartitions the packed-
     # stride conv's unpack reshape when both image axes are sharded.
@@ -481,7 +488,10 @@ class ResnetUNetGenerator(nn.Module):
         else:
             x1 = norm_relu("down1_norm", x1)
             if not self.no_antialias:
-                x1 = blur_downsample(x1, precision=self.precision)   # (B, H/2, W/2, 128)
+                x1 = blur_downsample(
+                    x1, precision=self.precision,
+                    matmul_bwd=self.blur_matmul_bwd,
+                )  # (B, H/2, W/2, 128)
 
         x2 = conv("down2_conv", ngf * 4, 3, stride_d, ((1, 1), (1, 1)))(x1)
         if norm_blur_ok(x2):
@@ -489,7 +499,10 @@ class ResnetUNetGenerator(nn.Module):
         else:
             x2 = norm_relu("down2_norm", x2)
             if not self.no_antialias:
-                x2 = blur_downsample(x2, precision=self.precision)   # (B, H/4, W/4, 256)
+                x2 = blur_downsample(
+                    x2, precision=self.precision,
+                    matmul_bwd=self.blur_matmul_bwd,
+                )  # (B, H/4, W/4, 256)
 
         # --- bottleneck ---
         h = x2

@@ -18,9 +18,11 @@ they are pure functions here — no Flax params involved.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ircolor_tpu.ops.conv import depthwise_conv2d
@@ -74,12 +76,23 @@ def blur_downsample(
     pad_off: int = 0,
     precision=None,
     use_matmul: bool = False,
+    matmul_bwd: bool = False,
 ) -> jnp.ndarray:
     """Pad + depthwise binomial blur at stride (ref Downsample.forward :307-310).
 
     Shipped as the honest pad + depthwise conv: in full-forward context this
     beats the matmul-pair formulation by 13.9 ms at 16×512×640 (see module
     note). ``use_matmul=True`` keeps the matmul path available for A/Bs.
+
+    ``matmul_bwd=True`` keeps the depthwise FORWARD but swaps the autodiff
+    backward (a depthwise gradient conv with lhs_dilation=stride over the
+    cotangent plus a pad-VJP fold — VPU-bound, measured 8.1/4.1 ms at the
+    b8 512×640 down1/down2 planes) for the transposed banded matmuls of the
+    matmul form (2.8/1.1 ms, tools/blurgrad.py). Exact: the op is linear,
+    so its VJP IS the transposed operator; max|Δgrad| vs autodiff is f32
+    rounding (tests/test_ops.py). Kept off by default for spatially-sharded
+    training — a banded matmul over a sharded image axis makes GSPMD gather
+    the axis instead of halo-exchanging it.
     """
     if use_matmul and x.shape[-1] >= _MATMUL_MIN_CHANNELS:
         from ircolor_tpu.ops.linops import apply_axis_ops, blur_matrix
@@ -88,8 +101,36 @@ def blur_downsample(
         m_h = blur_matrix(h, filt_size, stride, pad_type, pad_off)
         m_w = blur_matrix(w, filt_size, stride, pad_type, pad_off)
         return apply_axis_ops(x, m_h, m_w)
+    if matmul_bwd:
+        return _blur_down_mmbwd(
+            x, x.shape[1], x.shape[2], filt_size, stride, pad_type, pad_off,
+            precision,
+        )
     y = pad2d(x, _blur_pad_sizes(filt_size, pad_off), pad_type)
     return _blur(y, filt_size, stride, precision)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _blur_down_mmbwd(x, h, w, filt_size, stride, pad_type, pad_off, precision):
+    y = pad2d(x, _blur_pad_sizes(filt_size, pad_off), pad_type)
+    return _blur(y, filt_size, stride, precision)
+
+
+def _blur_down_mmbwd_fwd(x, h, w, filt_size, stride, pad_type, pad_off, precision):
+    out = _blur_down_mmbwd(x, h, w, filt_size, stride, pad_type, pad_off, precision)
+    return out, None
+
+
+def _blur_down_mmbwd_bwd(h, w, filt_size, stride, pad_type, pad_off, precision, res, dy):
+    from ircolor_tpu.ops.linops import apply_axis_ops, blur_matrix
+
+    # (in × out) transposes, materialized row-major at trace time.
+    mt_h = np.ascontiguousarray(blur_matrix(h, filt_size, stride, pad_type, pad_off).T)
+    mt_w = np.ascontiguousarray(blur_matrix(w, filt_size, stride, pad_type, pad_off).T)
+    return (apply_axis_ops(dy, mt_h, mt_w).astype(dy.dtype),)
+
+
+_blur_down_mmbwd.defvjp(_blur_down_mmbwd_fwd, _blur_down_mmbwd_bwd)
 
 
 def blur_upsample_aa(

@@ -113,6 +113,11 @@ def create_train_state(
                 pallas_block_train=False, pallas_norm_blur=False,
                 pallas_head=False,
             )
+    if cfg.sp_devices > 1 and cfg.blur_matmul_bwd:
+        # The matmul blur-backward contracts over the image axes; under
+        # spatial sharding GSPMD would gather the sharded axis instead of
+        # halo-exchanging (the depthwise backward's conv form shards fine).
+        cfg = cfg.replace(blur_matmul_bwd=False)
     if cfg.pallas_block and not cfg.pallas_block_train:
         # The fused-block kernel trains through a custom_vjp (see
         # ops/pallas_resblock.py:resnet_block_pallas); without the train

@@ -97,6 +97,64 @@ def test_vgg_lanepack_tower_matches_plain():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
 
 
+def test_max_pool_2x2_matches_nn_and_torch():
+    """Scatter-free pool (ops/pooling.py): fwd and grad EXACTLY equal to
+    nn.max_pool's autodiff and torch's MaxPool2d backward — including on
+    tied inputs (ReLU zero plateaus), where first-max routing decides."""
+    import flax.linen as nn
+    import torch
+
+    from ircolor_tpu.ops.pooling import max_pool_2x2
+
+    rng = np.random.RandomState(0)
+    ct = jnp.asarray(rng.randn(2, 4, 6, 5).astype(np.float32))
+    ref_f = lambda x: nn.max_pool(x, (2, 2), strides=(2, 2))
+    for tied in (False, True):
+        x = rng.randn(2, 8, 12, 5).astype(np.float32)
+        if tied:
+            x = np.maximum(x, 0) * (rng.rand(2, 8, 12, 5) > 0.6)
+        xj = jnp.asarray(x)
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_2x2(xj)), np.asarray(ref_f(xj))
+        )
+        g_ref = jax.grad(lambda x: jnp.sum(ref_f(x) * ct))(xj)
+        g_fast = jax.grad(lambda x: jnp.sum(max_pool_2x2(x) * ct))(xj)
+        np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
+        t = torch.tensor(np.transpose(x, (0, 3, 1, 2)), requires_grad=True)
+        torch.nn.functional.max_pool2d(t, 2).backward(
+            torch.tensor(np.transpose(np.asarray(ct), (0, 3, 1, 2)))
+        )
+        np.testing.assert_array_equal(
+            np.transpose(t.grad.numpy(), (0, 2, 3, 1)), np.asarray(g_fast)
+        )
+    # Odd tails drop like torch's floor mode.
+    xo = jnp.asarray(rng.randn(1, 7, 9, 3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_2x2(xo)), np.asarray(ref_f(xo))
+    )
+
+
+def test_vgg_fast_pool_tower_equivalence():
+    """fast_pool towers produce identical features and input-gradients."""
+    params = init_vgg16_params()
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(2, 32, 40, 3).astype(np.float32) * 2 - 1
+    )
+    outs, grads = [], []
+    for fast in (False, True):
+        mod = VGG16Features(fast_pool=fast)
+        outs.append(np.asarray(mod.apply({"params": params}, x)))
+        grads.append(
+            np.asarray(
+                jax.grad(
+                    lambda x: jnp.sum(mod.apply({"params": params}, x) ** 2)
+                )(x)
+            )
+        )
+    np.testing.assert_array_equal(outs[1], outs[0])
+    np.testing.assert_array_equal(grads[1], grads[0])
+
+
 def test_vgg_import_from_torch_state_dict(tmp_path):
     """A torchvision-layout features state_dict imports with value parity."""
     from ircolor_tpu.compat.torch_import import load_vgg16_pth

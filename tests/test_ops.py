@@ -10,6 +10,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from ircolor_tpu.ops import (
@@ -95,6 +96,64 @@ def test_blur_upsample_aa_matches_torch(filt_size):
     theirs = nhwc(gold(nchw(x)))
     assert ours.shape == theirs.shape
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("filt_size", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
+def test_blur_downsample_matmul_bwd_matches_autodiff(filt_size, pad_type):
+    """The matmul_bwd custom_vjp (transposed banded matmuls) equals the
+    depthwise autodiff backward to f32 rounding — the blur is linear, so
+    its VJP is exactly the transposed operator."""
+    x = jnp.asarray(rand(2, 12, 16, 4, seed=6))
+    ct = None
+
+    def loss(x, bwd):
+        y = blur_downsample(
+            x, filt_size=filt_size, pad_type=pad_type, matmul_bwd=bwd
+        )
+        nonlocal ct
+        if ct is None:
+            ct = jnp.asarray(rand(*y.shape, seed=7))
+        return jnp.sum(y * ct)
+
+    g_ref = jax.grad(lambda x: loss(x, False))(x)
+    g_mm = jax.grad(lambda x: loss(x, True))(x)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref), atol=2e-6)
+    # Forward is byte-identical (same primal code path).
+    np.testing.assert_array_equal(
+        np.asarray(blur_downsample(x, filt_size=filt_size, pad_type=pad_type)),
+        np.asarray(
+            blur_downsample(
+                x, filt_size=filt_size, pad_type=pad_type, matmul_bwd=True
+            )
+        ),
+    )
+
+
+def test_generator_grads_match_with_blur_matmul_bwd():
+    """Generator-level: blur_matmul_bwd=True changes no gradient beyond f32
+    rounding (n_blocks=0 keeps the test fast; both down-blurs engage)."""
+    from ircolor_tpu.config import Config
+    from ircolor_tpu.models.wrapper import generator_from_config
+
+    x = jnp.asarray(rand(1, 16, 20, 1, seed=8) * 2 - 1)
+    grads = {}
+    for flag in (False, True):
+        cfg = Config(
+            img_height=16, img_width=20, batch_size=1, compute_dtype="f32",
+            n_blocks=0, blur_matmul_bwd=flag,
+        )
+        mod = generator_from_config(cfg)
+        params = mod.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(p):
+            return jnp.sum(mod.apply({"params": p}, x) ** 2)
+
+        grads[flag] = jax.grad(loss)(params)
+    flat_f = jax.tree_util.tree_leaves(grads[False])
+    flat_t = jax.tree_util.tree_leaves(grads[True])
+    for a, b in zip(flat_f, flat_t):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
 
 
 @pytest.mark.parametrize("out_hw", [(16, 20), (15, 9), (7, 7), (31, 33)])

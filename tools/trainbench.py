@@ -65,7 +65,13 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     # (pack/unpack reshape transposes at full res) was never costed in
     # training. Identical param tree either way.
     "no_lanepack": ({"lanepack": False}, True),
+    # Down-blur backward as transposed banded matmuls (fwd unchanged):
+    "blur_bwd": ({"blur_matmul_bwd": True}, True),
     "vgg_lp2": ({}, True),  # lane-packed VGG conv1_1/conv1_2 (p=2)
+    # Scatter-free first-max pool VJP (ops/pooling.py) — measured +11.7 ms
+    # in context (ship 255.1 → 243.4 with nn.max_pool, same process), so
+    # the default is nn.max_pool and this variant opts the fast pool IN:
+    "vgg_fast_pool": ({}, True),
     "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
     "d_concat": ({"d_concat": True}, True),  # one double-batch D fwd/bwd (= ship)
     "d_two": ({"d_concat": False}, True),    # the two-forward D phase
@@ -99,6 +105,7 @@ def bench_variant(
     vgg_mod = VGG16Features(
         dtype=g_mod.dtype, precision=g_mod.precision,
         lanepack_p=2 if name == "vgg_lp2" else 1,
+        fast_pool=name == "vgg_fast_pool",
     )
     vgg_params = init_vgg16_params()
     step = make_train_step(cfg, g_mod, d_mod, vgg_mod, opt_g, opt_d, update_d=update_d)
