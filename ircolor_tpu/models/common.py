@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 from jax.nn import initializers
 
-from ircolor_tpu.ops.norm import instance_norm, instance_norm_onepass
+from ircolor_tpu.ops.norm import (
+    instance_norm,
+    instance_norm_cvjp,
+    instance_norm_onepass,
+)
 
 # Reference init: N(0, 0.02) kernels, zero bias (ref :180-181, :190-191).
 kernel_init = initializers.normal(stddev=0.02)
@@ -90,6 +94,10 @@ class Norm(nn.Module):
     """Dispatching norm layer: instance (param-free) / batch / none."""
 
     norm: str = "instance"
+    # Closed-form analytic IN backward (ops/norm.py:instance_norm_cvjp)
+    # instead of autodiff through the stats chain. Same primal; exactness
+    # tested. A/B knob (trainbench in_vjp / gradbench _invjp suffix).
+    closed_vjp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -99,6 +107,8 @@ class Norm(nn.Module):
             # forward, tools/fwdvariants.py best vs best_in1p); the
             # difference vs two-pass stats is far below bf16 quantization.
             # f32 (the parity/validation path) keeps two-pass stats.
+            if self.closed_vjp:
+                return instance_norm_cvjp(x)
             if x.dtype == jnp.bfloat16:
                 return instance_norm_onepass(x)
             return instance_norm(x)

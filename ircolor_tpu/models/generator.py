@@ -354,6 +354,10 @@ class ResnetUNetGenerator(nn.Module):
     # Disable for 2-D spatial sharding — GSPMD mispartitions the packed-
     # stride conv's unpack reshape when both image axes are sharded.
     lanepack: bool = True
+    # Closed-form analytic backward for the encoder/decoder instance norms
+    # (ops/norm.py:instance_norm_cvjp; same primal, exactness-tested).
+    # A/B knob for the training path (trainbench in_vjp).
+    in_closed_vjp: bool = False
     # int8 MXU serving mode (ops/quant.py): the heavy convs (down1/down2,
     # all resblock convs, both decoder skip convs) run int8×int8→int32 on
     # the MXU's 2× path with dequantize-exact scales; every quantized site
@@ -440,7 +444,7 @@ class ResnetUNetGenerator(nn.Module):
         def norm_relu(name, y):
             if self.norm == "instance" and self.use_pallas and _pallas_available():
                 return instance_norm_auto(y, relu=True, use_pallas=True)
-            y = Norm(self.norm, name=name)(y, train)
+            y = Norm(self.norm, closed_vjp=self.in_closed_vjp, name=name)(y, train)
             return nn.relu(y)
 
         # --- encoder ---

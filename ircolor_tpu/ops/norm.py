@@ -16,6 +16,9 @@ catastrophic-cancellation-free.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -46,6 +49,44 @@ def instance_norm_onepass(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     mean, inv = instance_norm_stats(x, eps)
     y = (x.astype(jnp.float32) - mean[:, None, None, :]) * inv[:, None, None, :]
     return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def instance_norm_cvjp(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """One-pass instance norm with a CLOSED-FORM backward.
+
+    Primal math is identical to ``instance_norm_onepass``. The backward is
+    the analytic result for biased-variance normalization,
+
+        dx = r · (dy − mean_s(dy) − ŷ · mean_s(dy ⊙ ŷ)),    ŷ = (x − μ)·r,
+
+    (means over the spatial axes per (batch, channel)): two fused spatial
+    reductions over (dy, x) plus one elementwise pass, instead of whatever
+    chain autodiff traces through mean/square/rsqrt. Exactness vs the
+    autodiff backward is tested in f32 (tests/test_ops.py); on the bf16
+    path both round through the same f32 compute. A/B knob only — see
+    docs/PERF.md for the in-context verdict.
+    """
+    return instance_norm_onepass(x, eps)
+
+
+def _in_cvjp_fwd(x, eps):
+    mean, inv = instance_norm_stats(x, eps)
+    y = (x.astype(jnp.float32) - mean[:, None, None, :]) * inv[:, None, None, :]
+    return y.astype(x.dtype), (x, mean, inv)
+
+
+def _in_cvjp_bwd(eps, res, dy):
+    x, mean, inv = res
+    dy32 = dy.astype(jnp.float32)
+    yhat = (x.astype(jnp.float32) - mean[:, None, None, :]) * inv[:, None, None, :]
+    m_dy = jnp.mean(dy32, axis=(1, 2), keepdims=True)
+    m_dyy = jnp.mean(dy32 * yhat, axis=(1, 2), keepdims=True)
+    dx = inv[:, None, None, :] * (dy32 - m_dy - yhat * m_dyy)
+    return (dx.astype(x.dtype),)
+
+
+instance_norm_cvjp.defvjp(_in_cvjp_fwd, _in_cvjp_bwd)
 
 
 def instance_norm_stats(

@@ -77,6 +77,37 @@ def test_instance_norm_onepass_matches_torch():
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
 
 
+def test_instance_norm_cvjp_matches_autodiff():
+    """Closed-form IN backward (ops/norm.py:instance_norm_cvjp): primal
+    identical to the one-pass form; grad matches autodiff through the
+    stats chain to f32 rounding, including composed with a ReLU + reduce
+    downstream (the generator's norm_relu shape of use)."""
+    from ircolor_tpu.ops.norm import instance_norm_cvjp, instance_norm_onepass
+
+    x = jnp.asarray(rand(2, 8, 10, 5, seed=3) * 3 + 5)
+    ct = jnp.asarray(rand(2, 8, 10, 5, seed=4))
+    np.testing.assert_array_equal(
+        np.asarray(instance_norm_cvjp(x)), np.asarray(instance_norm_onepass(x))
+    )
+    loss = lambda f, x: jnp.sum(jax.nn.relu(f(x)) * ct)
+    g_ref = jax.grad(lambda x: loss(instance_norm_onepass, x))(x)
+    g_cf = jax.grad(lambda x: loss(instance_norm_cvjp, x))(x)
+    np.testing.assert_allclose(np.asarray(g_cf), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-5)
+    # bf16 path: both round through the same f32 compute.
+    xb = x.astype(jnp.bfloat16)
+    gb_ref = jax.grad(
+        lambda x: loss(instance_norm_onepass, x).astype(jnp.float32)
+    )(xb)
+    gb_cf = jax.grad(
+        lambda x: loss(instance_norm_cvjp, x).astype(jnp.float32)
+    )(xb)
+    np.testing.assert_allclose(
+        np.asarray(gb_cf, np.float32), np.asarray(gb_ref, np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+
+
 @pytest.mark.parametrize("filt_size", [1, 2, 3, 4, 5])
 @pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
 def test_blur_downsample_matches_torch(filt_size, pad_type):

@@ -158,6 +158,8 @@ def main() -> None:
                     no_antialias_up="_noaa" in name,
                 )
                 mod = generator_from_config(cfg)
+                if "_invjp" in name:  # closed-form IN backward (same primal)
+                    mod = mod.clone(in_closed_vjp=True)
                 params = mod.init(jax.random.PRNGKey(0), x[:1])["params"]
                 fn = grad_fn_of(mod, params, ct)
                 x0 = x

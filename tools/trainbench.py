@@ -73,6 +73,8 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     # the default is nn.max_pool and this variant opts the fast pool IN:
     "vgg_fast_pool": ({}, True),
     "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
+    # Closed-form analytic backward for the 5 enc/dec instance norms:
+    "in_vjp": ({}, True),
     "d_concat": ({"d_concat": True}, True),  # one double-batch D fwd/bwd (= ship)
     "d_two": ({"d_concat": False}, True),    # the two-forward D phase
     "no_perc": ({"lambda_perc": 0.0}, True),
@@ -102,6 +104,8 @@ def bench_variant(
     state, g_mod, d_mod, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch=100)
     if name == "d_lp2":
         d_mod = d_mod.clone(lanepack=True)  # same param layout, packed convs
+    if name == "in_vjp":
+        g_mod = g_mod.clone(in_closed_vjp=True)  # param-free, same primal
     vgg_mod = VGG16Features(
         dtype=g_mod.dtype, precision=g_mod.precision,
         lanepack_p=2 if name == "vgg_lp2" else 1,
