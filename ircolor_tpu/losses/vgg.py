@@ -71,11 +71,12 @@ class VGG16Features(nn.Module):
     # Scatter-free max-pool backward (ops/pooling.py): exact in fwd AND bwd
     # (first-max tie routing matches XLA SelectAndScatter and torch), the
     # VJP is elementwise compares instead of a window-serial
-    # SelectAndScatter. MEASURED NULL in-context: +11.7 ms/step at b8
-    # 512×640 (tools/trainbench.py ship 255.1 vs vgg_xla_pool 243.4 same-
-    # process) — XLA's fused SelectAndScatter beats the comparison
+    # SelectAndScatter. MEASURED NULL in-context: the fast pool costs
+    # +11.7 ms/step at b8 512×640 (255.1 with it vs 243.4 with nn.max_pool,
+    # same process) — XLA's fused SelectAndScatter beats the comparison
     # cascade's extra full-plane reads inside the step graph. Kept
-    # parity-tested + opt-in for A/Bs (docs/PERF.md round-3 session 3).
+    # parity-tested + opt-in for A/Bs (`tools/trainbench.py --variants
+    # ship,vgg_fast_pool`; docs/PERF.md round-3 session 3).
     fast_pool: bool = False
 
     @nn.compact

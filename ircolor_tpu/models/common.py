@@ -107,9 +107,13 @@ class Norm(nn.Module):
             # forward, tools/fwdvariants.py best vs best_in1p); the
             # difference vs two-pass stats is far below bf16 quantization.
             # f32 (the parity/validation path) keeps two-pass stats.
-            if self.closed_vjp:
-                return instance_norm_cvjp(x)
             if x.dtype == jnp.bfloat16:
+                # closed_vjp swaps ONLY the backward: instance_norm_cvjp's
+                # primal is the same one-pass form the bf16 path ships. The
+                # f32 parity path keeps two-pass stats AND autodiff, so the
+                # knob cannot silently change f32 primal numerics.
+                if self.closed_vjp:
+                    return instance_norm_cvjp(x)
                 return instance_norm_onepass(x)
             return instance_norm(x)
         if self.norm == "none" or self.norm is None:

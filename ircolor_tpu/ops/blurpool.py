@@ -106,14 +106,18 @@ def blur_downsample(
             x, x.shape[1], x.shape[2], filt_size, stride, pad_type, pad_off,
             precision,
         )
+    return _blur_down_primal(x, filt_size, stride, pad_type, pad_off, precision)
+
+
+def _blur_down_primal(x, filt_size, stride, pad_type, pad_off, precision):
+    """The ONE depthwise blur-down forward both VJP choices share."""
     y = pad2d(x, _blur_pad_sizes(filt_size, pad_off), pad_type)
     return _blur(y, filt_size, stride, precision)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
 def _blur_down_mmbwd(x, h, w, filt_size, stride, pad_type, pad_off, precision):
-    y = pad2d(x, _blur_pad_sizes(filt_size, pad_off), pad_type)
-    return _blur(y, filt_size, stride, precision)
+    return _blur_down_primal(x, filt_size, stride, pad_type, pad_off, precision)
 
 
 def _blur_down_mmbwd_fwd(x, h, w, filt_size, stride, pad_type, pad_off, precision):

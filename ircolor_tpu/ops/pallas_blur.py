@@ -311,9 +311,12 @@ def _nrbd_bwd(interpret, res, g):
     x, mean, inv = res
     yhat = (x.astype(jnp.float32) - mean[:, None, None, :]) * inv[:, None, None, :]
     z = jnp.maximum(yhat, 0.0).astype(x.dtype)
-    # blur_downsample is linear: its vjp is one transposed depthwise conv
-    # (+ reflect-pad adjoint scatter), all XLA; primal output is DCE'd.
-    _, blur_vjp = jax.vjp(blur_downsample, z)
+    # blur_downsample is linear: its vjp IS the transposed operator. Take it
+    # through the matmul_bwd form (transposed banded matmuls — the shipped
+    # blur backward, −4.6 ms/step vs the dilated-depthwise autodiff conv;
+    # ops/blurpool.py) so the fused tail honors the same backward choice.
+    # Safe here: the nb kernels never run on multi-device GSPMD meshes.
+    _, blur_vjp = jax.vjp(lambda t: blur_downsample(t, matmul_bwd=True), z)
     (dz,) = blur_vjp(g)
     dn = dz.astype(jnp.float32) * (yhat > 0)
     return (_in_bwd(dn, yhat, inv).astype(x.dtype),)

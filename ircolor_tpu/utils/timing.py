@@ -105,3 +105,49 @@ def start_transfer_warmup() -> "threading.Thread":
     t = threading.Thread(target=_warm, name="d2h-warmup", daemon=True)
     t.start()
     return t
+
+
+def time_chained_fn(fn, x0, iters: int = 8, reps: int = 3) -> float:
+    """Seconds per call of ``fn`` (x → y, same-shape-agnostic) measured with
+    the in-graph chained methodology every perf number in docs/PERF.md uses:
+
+    * iterations chain through a REAL data dependency (a scalar derived from
+      each output is folded into the carry at 1e-12 scale) so dispatches
+      cannot overlap and XLA cannot DCE or reorder them;
+    * completion is forced by a host fetch of a reduction of the final
+      carry (through the axon relay, ``block_until_ready`` on independent
+      dispatches can return early);
+    * the per-iteration time is the DIFFERENCE between a 2N-iteration and an
+      N-iteration executable (best of ``reps``), cancelling the ~35 ms fixed
+      RPC dispatch latency and any per-call overhead.
+
+    This is THE shared implementation (single source of truth) for the
+    tools/*bench.py probes; fixes to the methodology belong here.
+    """
+    import time as _time
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    def _chained(it):
+        @_jax.jit
+        def run(x):
+            def body(i, carry):
+                y = fn(carry)
+                s = (_jnp.sum(y.astype(_jnp.float32)) * 1e-12).astype(carry.dtype)
+                return carry.at[(0,) * carry.ndim].add(s)
+
+            x = _jax.lax.fori_loop(0, it, body, x)
+            return _jnp.sum(x.astype(_jnp.float32))
+
+        return run
+
+    r1, r2 = _chained(iters), _chained(2 * iters)
+    float(r1(x0)); float(r2(x0))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = _time.perf_counter(); float(r1(x0))
+        t1 = _time.perf_counter(); float(r2(x0))
+        t2 = _time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / iters)
+    return best

@@ -38,10 +38,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 VARIANTS: dict[str, tuple[dict, bool]] = {
     # name: (config overrides, update_d)
-    # "full" pins the fused-block training path OFF so it stays the XLA-block
-    # baseline the PERF.md tables reference (pallas_block_train now defaults
-    # to True; without the pin full == ship and the A/B is a no-op).
-    "full": ({"pallas_block_train": False}, True),
+    # "full" pins the fused-block training path OFF and the blur matmul-VJP
+    # OFF so it stays the XLA baseline the PERF.md tables reference (both
+    # now default ON; without the pins full == ship and the A/B is a no-op).
+    "full": ({"pallas_block_train": False, "blur_matmul_bwd": False}, True),
     "ship": ({}, True),  # shipped defaults (fused blocks via custom_vjp)
     # fused-forward blocks with the XLA custom_vjp backward (pinned: the
     # Config default bwd is now fused_wg, which would make this == ship):
@@ -65,8 +65,10 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     # (pack/unpack reshape transposes at full res) was never costed in
     # training. Identical param tree either way.
     "no_lanepack": ({"lanepack": False}, True),
-    # Down-blur backward as transposed banded matmuls (fwd unchanged):
-    "blur_bwd": ({"blur_matmul_bwd": True}, True),
+    # Down-blur backward: matmul-VJP is now the default (== ship); the A/B
+    # direction is pinning it OFF (the dilated-depthwise autodiff backward):
+    "blur_bwd": ({"blur_matmul_bwd": True}, True),   # kept: == ship
+    "blur_bwd_xla": ({"blur_matmul_bwd": False}, True),
     "vgg_lp2": ({}, True),  # lane-packed VGG conv1_1/conv1_2 (p=2)
     # Scatter-free first-max pool VJP (ops/pooling.py) — measured +11.7 ms
     # in context (ship 255.1 → 243.4 with nn.max_pool, same process), so

@@ -19,7 +19,6 @@ import sys as _sys
 _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 
 import argparse
-import time
 
 import numpy as np
 
@@ -32,35 +31,15 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ircolor_tpu.losses.vgg import VGG16Features, init_vgg16_params
-from ircolor_tpu.utils.timing import start_transfer_warmup
+from ircolor_tpu.utils.timing import start_transfer_warmup, time_chained_fn
 
 DT = jnp.bfloat16
 
 
-def _chained(fn, x0, iters):
-    @jax.jit
-    def run(x):
-        def body(i, carry):
-            y = fn(carry)
-            s = (jnp.sum(y.astype(jnp.float32)) * 1e-12).astype(carry.dtype)
-            return carry.at[(0,) * carry.ndim].add(s)
-
-        x = jax.lax.fori_loop(0, iters, body, x)
-        return jnp.sum(x.astype(jnp.float32))
-
-    return run
-
-
+# Shared chained-timing harness (single source of truth):
+# ircolor_tpu/utils/timing.py:time_chained_fn.
 def time_fn(fn, x0, iters=8, reps=3):
-    r1, r2 = _chained(fn, x0, iters), _chained(fn, x0, 2 * iters)
-    float(r1(x0)); float(r2(x0))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter(); float(r1(x0))
-        t1 = time.perf_counter(); float(r2(x0))
-        t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / iters)
-    return best
+    return time_chained_fn(fn, x0, iters=iters, reps=reps)
 
 
 def main() -> None:
