@@ -386,12 +386,18 @@ def test_single_forward_step_matches_two_forward_reference(step_setup):
     # gradient of zero, and an adaptive optimizer (Adam) amplifies their
     # float-noise-level grads to ±lr with compilation-dependent sign.
     opt_g = opt_d = optax.sgd(1.0)
-    # Pin the two-forward D phase: this test isolates the single-G-forward
-    # restructure at tight (2e-6) tolerance, and the d_concat double-batch
-    # wgrad reassociates sums beyond it (its own equivalence test below
-    # compares loss + grads at reassociation tolerance).
+    # Pin the two-forward D phase AND the depthwise blur backward: this test
+    # isolates the single-G-forward restructure at tight (2e-6) tolerance,
+    # and both the d_concat double-batch wgrad and the banded-matmul blur
+    # VJP reassociate f32 sums beyond it when the two formulations compile
+    # as separate graphs (each has its own exact equivalence test:
+    # test_d_concat_step_matches_two_forward below;
+    # test_ops.py::test_blur_downsample_matmul_bwd_matches_autodiff +
+    # ::test_generator_grads_match_with_blur_matmul_bwd).
+    pinned = cfg.replace(d_concat=False, blur_matmul_bwd=False)
+    g_mod = g_mod.clone(blur_matmul_bwd=False)
     step = make_train_step(
-        cfg.replace(d_concat=False), g_mod, d_mod, vgg_mod, opt_g, opt_d,
+        pinned, g_mod, d_mod, vgg_mod, opt_g, opt_d,
         donate=False,
     )
 
