@@ -100,6 +100,20 @@ def make_infer_fn(module: Any, dp_mesh: Any = None):
     return jax.jit(sharded)
 
 
+def _rebuild_generator(cfg: Config, reason: str, **flag_overrides):
+    """Rebuild the inference generator from ``cfg`` with incompatible
+    kernel/layout flags overridden (params are flag-independent — identical
+    trees either way). ONE home for the rebuild pattern so compat policy
+    changes land in one place. Returns (new_cfg, new_module)."""
+    import dataclasses
+
+    from ircolor_tpu.models.wrapper import generator_from_config
+
+    log.info("[TEST] %s (params unchanged)", reason)
+    new_cfg = dataclasses.replace(cfg, **flag_overrides)
+    return new_cfg, generator_from_config(new_cfg)
+
+
 def _decode_one(entry: tuple[str, str, str], size_hw: tuple[int, int]):
     """Host decode of one frame: IR + (GT RGB | None), plus the integer
     transport encodings (computed HERE, in the decode pool, so the per-frame
@@ -189,28 +203,23 @@ def run_test(cfg: Config) -> dict[str, Any]:
             # psum'd IN stats (ops/pallas_resblock.
             # resnet_block_pallas_spatial) — wired below after the mesh is
             # built; 2-D (W-tiled) meshes still disable it.
-            import dataclasses as _dc
-
-            from ircolor_tpu.models.wrapper import generator_from_config
-
             keep_block = (
                 getattr(infer_module, "pallas_block", False)
                 and cfg.sp_w_devices <= 1
             )
-            log.info(
-                "[TEST] spatial sharding: rebuilding generator with "
+            cfg, infer_module = _rebuild_generator(
+                cfg,
+                "spatial sharding: rebuilding generator with "
                 "pallas_norm_blur=False / pallas_head=False%s (in-kernel "
-                "reflect halos are incompatible with image-axis sharding; "
-                "params unchanged)",
-                "; fused resblocks available via shard_map halo exchange "
-                "(engage when the PER-SHARD bottleneck clears the area gate)"
-                if keep_block else " / pallas_block=False",
-            )
-            cfg = _dc.replace(
-                cfg, pallas_block=keep_block, pallas_norm_blur=False,
+                "reflect halos are incompatible with image-axis sharding"
+                % (
+                    "; fused resblocks available via shard_map halo exchange "
+                    "(engage when the PER-SHARD bottleneck clears the area "
+                    "gate)" if keep_block else " / pallas_block=False"
+                ),
+                pallas_block=keep_block, pallas_norm_blur=False,
                 pallas_head=False,
             )
-            infer_module = generator_from_config(cfg)
 
         # With 2-D tiling, H is sharded over sp_devices // sp_w_devices
         # ('sp' axis) and W over sp_w_devices ('spw'), so each axis needs
@@ -230,20 +239,17 @@ def run_test(cfg: Config) -> dict[str, Any]:
             import warnings
 
             with warnings.catch_warnings():
-                warnings.simplefilter("ignore")  # we handle the lanepack hazard here
+                # Suppress ONLY the lanepack-hazard advisory (handled by the
+                # rebuild below) — unrelated warnings must stay visible.
+                warnings.filterwarnings("ignore", message=".*lanepack.*")
                 sp_mesh = make_spatial_mesh(cfg.sp_devices, w_devices=cfg.sp_w_devices)
             if getattr(infer_module, "lanepack", False):
-                import dataclasses
-
-                from ircolor_tpu.models.wrapper import generator_from_config
-
-                log.info(
-                    "[TEST] 2-D spatial tiling: rebuilding generator with "
+                cfg, infer_module = _rebuild_generator(
+                    cfg,
+                    "2-D spatial tiling: rebuilding generator with "
                     "lanepack=False (lane-packed output head is incompatible "
-                    "with W-axis sharding; params unchanged)"
-                )
-                infer_module = generator_from_config(
-                    dataclasses.replace(cfg, lanepack=False)
+                    "with W-axis sharding",
+                    lanepack=False,
                 )
         else:
             sp_mesh = make_spatial_mesh(cfg.sp_devices)
@@ -388,6 +394,10 @@ def run_test(cfg: Config) -> dict[str, Any]:
                 )
                 sums["mae"] += mae
                 sums["mse"] += mse
+                # Reference-exact accumulation (ref :1425-1431): an inf PSNR
+                # (exact uint8 match) is EXCLUDED from the sum but still
+                # counted in the denominator — mean_psnr is deliberately
+                # biased the same way the reference's is.
                 if np.isfinite(psnr_val):
                     sums["psnr"] += psnr_val
                 sums["ssim"] += ssim_val

@@ -29,9 +29,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_multihost(**kwargs: Any) -> None:
-    """``jax.distributed.initialize`` for multi-host runs (no-op if single)."""
-    if jax.process_count() > 1 or kwargs:
+    """``jax.distributed.initialize`` for multi-host runs.
+
+    Call BEFORE any other JAX use: ``jax.distributed.initialize`` must run
+    pre-backend-init, so this wrapper must not query the backend (e.g.
+    ``jax.process_count()``) to decide — pre-init that always reads 1 and
+    initializes the backend as a side effect, making the subsequent
+    ``initialize()`` raise. With kwargs (coordinator address etc.) it
+    initializes with them; with none it attempts the auto-detected
+    environment (TPU pod metadata) and no-ops where there is none —
+    single-process CPU/single-chip runs land in the except branch."""
+    try:
         jax.distributed.initialize(**kwargs)
+    except Exception:
+        if kwargs:
+            raise  # explicit coordinator args failing is a real error
+        # Auto-detection found no multi-host environment (or a backend was
+        # already initialized in-process): single-host, nothing to do.
 
 
 def make_data_mesh(
@@ -43,6 +57,11 @@ def make_data_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices and n_devices > 0:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} data-parallel devices but only "
+                f"{len(devices)} are visible"
+            )
         devices = devices[:n_devices]
     elif batch_size is not None:
         n = len(devices)

@@ -141,12 +141,18 @@ def train_kaist(
         state = state.replace(g_params=merge_params(state.g_params, loaded))
 
     vgg_module = VGG16Features(dtype=g_module.dtype, precision=g_module.precision)
-    vgg_params = load_vgg16_params(cfg.vgg16_weights, cfg.seed)
-    if cfg.vgg16_weights is None:
-        log.warning(
-            "WARNING: no pretrained VGG-16 weights supplied (cfg.vgg16_weights); "
-            "perceptual loss uses a deterministic random tower."
-        )
+    if cfg.lambda_perc != 0.0:
+        vgg_params = load_vgg16_params(cfg.vgg16_weights, cfg.seed)
+        if cfg.vgg16_weights is None:
+            log.warning(
+                "WARNING: no pretrained VGG-16 weights supplied (cfg.vgg16_weights); "
+                "perceptual loss uses a deterministic random tower."
+            )
+    else:
+        # λ_perc == 0 skips the perceptual subgraph structurally (both DP
+        # steps); don't decode ~59 MB of tower weights, push them through
+        # the host→device link, or hold them in HBM for a dropped argument.
+        vgg_params = None
 
     # ---- mesh placement: params replicated, batches sharded on 'data'
     # (and image H on 'sp' when cfg.sp_devices > 1 — spatially-sharded
@@ -164,7 +170,8 @@ def train_kaist(
     )
     repl = replicated_sharding(mesh)
     state = jax.device_put(state, repl)
-    vgg_params = jax.device_put(vgg_params, repl)
+    if vgg_params is not None:
+        vgg_params = jax.device_put(vgg_params, repl)
 
     if cfg.dp_mode == "shard_map":
         from ircolor_tpu.train.step_shardmap import (
@@ -197,6 +204,12 @@ def train_kaist(
             start_epoch = int(extra["epoch"]) + 1
             best_val_l1 = float(extra["best_val_l1"])
             log.info("Resumed from epoch %d (best val L1 %.4f)", last, best_val_l1)
+            if start_epoch > cfg.epochs:
+                log.warning(
+                    "Resume checkpoint is at epoch %d but cfg.epochs=%d — "
+                    "nothing left to train (raise --epochs to continue).",
+                    last, cfg.epochs,
+                )
 
     os.makedirs(cfg.save_dir, exist_ok=True)
     best_stem = os.path.join(cfg.save_dir, "netG_best")
@@ -226,8 +239,12 @@ def train_kaist(
                 state.g_params, {k: sharded[k] for k in ("ir", "rgb")},
                 sharded["mask"], state.g_stats,
             )
-            total += float(s)
-            count += float(c)
+            # ONE packed D2H fetch per batch (each scalar fetch is a ~35 ms
+            # RPC on the relay transport; same rule as the train loop's
+            # packed loss fetch).
+            sc = np.asarray(jnp.stack([s, c]))
+            total += float(sc[0])
+            count += float(sc[1])
         return total / max(count, 1.0)
 
     summary: dict[str, Any] = {}
@@ -245,29 +262,38 @@ def train_kaist(
         profiling = cfg.profile_dir is not None and epoch == start_epoch
         if profiling:
             jax.profiler.start_trace(cfg.profile_dir)
-        for i, batch in enumerate(train_loader, start=1):
-            if i > steps_per_epoch:
-                break
-            state, metrics = train_step(state, shard_batch(batch, mesh), vgg_params)
-            if profiling and i >= min(5, steps_per_epoch):
-                jax.block_until_ready(state.step)
+        try:
+            for i, batch in enumerate(train_loader, start=1):
+                if i > steps_per_epoch:
+                    break
+                state, metrics = train_step(state, shard_batch(batch, mesh), vgg_params)
+                if profiling and i >= min(5, steps_per_epoch):
+                    jax.block_until_ready(state.step)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log.info("Profiler trace (first %d steps) written to %s", i, cfg.profile_dir)
+                if metric_keys is None:
+                    metric_keys = tuple(metrics)
+                epoch_metrics.append(jnp.stack([metrics[k] for k in metric_keys]))
+                if i % cfg.log_every == 0 or i == 1:
+                    vals = np.asarray(epoch_metrics[-1])  # one packed D2H fetch
+                    m = dict(zip(metric_keys, (float(v) for v in vals)))
+                    _check_loss_sanity(m, cfg, epoch, i)
+                    log.info(
+                        "Epoch [%d/%d] Step [%d/%d] D: %.4f | G: %.4f "
+                        "(GAN %.4f + L1 %.4f + Perc %.4f + TV %.6f + SSIM %.4f)",
+                        epoch, cfg.epochs, i, steps_per_epoch,
+                        m["loss_D"], m["loss_G"], m["loss_G_GAN"], m["loss_G_L1"],
+                        m["loss_G_perc"], m["loss_G_TV"], m["loss_G_SSIM"],
+                    )
+        finally:
+            if profiling:
+                # An exception (e.g. the loss-sanity guard) or an epoch
+                # shorter than the 5-step window must not leave the trace
+                # running — a still-active profiler poisons any later
+                # start_trace in the same process and drops the trace file.
                 jax.profiler.stop_trace()
                 profiling = False
-                log.info("Profiler trace (first %d steps) written to %s", i, cfg.profile_dir)
-            if metric_keys is None:
-                metric_keys = tuple(metrics)
-            epoch_metrics.append(jnp.stack([metrics[k] for k in metric_keys]))
-            if i % cfg.log_every == 0 or i == 1:
-                vals = np.asarray(epoch_metrics[-1])  # one packed D2H fetch
-                m = dict(zip(metric_keys, (float(v) for v in vals)))
-                _check_loss_sanity(m, cfg, epoch, i)
-                log.info(
-                    "Epoch [%d/%d] Step [%d/%d] D: %.4f | G: %.4f "
-                    "(GAN %.4f + L1 %.4f + Perc %.4f + TV %.6f + SSIM %.4f)",
-                    epoch, cfg.epochs, i, steps_per_epoch,
-                    m["loss_D"], m["loss_G"], m["loss_G_GAN"], m["loss_G_L1"],
-                    m["loss_G_perc"], m["loss_G_TV"], m["loss_G_SSIM"],
-                )
         jax.block_until_ready(state.step)
         dt = time.perf_counter() - t0
         steps_done = len(epoch_metrics)
@@ -325,9 +351,10 @@ def train_kaist(
 
     wall = time.perf_counter() - t_train0
     log.info("Training finished. Best val L1: %.4f, best model: %s", best_val_l1, best_stem)
+    summary.setdefault("final_epoch_losses", {})  # resume-past-end runs 0 epochs
     summary.update(
         best_val_l1=best_val_l1,
-        epochs_run=cfg.epochs - start_epoch + 1,
+        epochs_run=max(0, cfg.epochs - start_epoch + 1),
         steps_total=steps_total,
         wall_s=wall,
         steps_per_sec=steps_total / wall if wall > 0 else 0.0,

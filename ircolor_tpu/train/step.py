@@ -55,6 +55,63 @@ def _decode_transport(ir: jnp.ndarray, rgb: jnp.ndarray) -> tuple[jnp.ndarray, j
     return ir, rgb
 
 
+def composite_g_losses(
+    cfg: Config,
+    vgg_module: Any,
+    vgg_params: Any,
+    fake: jnp.ndarray,
+    rgb: jnp.ndarray,
+    loss_gan: jnp.ndarray,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """The reference's composite G objective (ref :1650-1676) minus the GAN
+    forward, which callers compute (its D-stats threading differs between
+    the GSPMD and shard_map steps): 30·L1 + 30·Perc + 1e-4·TV + 1·SSIM +
+    λ_gan·loss_gan. ONE implementation for both DP steps so the structural
+    λ==0 skips cannot desynchronize again.
+
+    Loss terms whose λ is exactly 0 are skipped STRUCTURALLY — XLA cannot
+    fold ``x * 0.0`` away (NaN/inf poisoning), so a zeroed λ must not build
+    the term's subgraph at all (the VGG towers are the expensive case).
+
+    Loss terms compute in float32 even under a bf16 compute path: the SSIM
+    covariance terms cancel catastrophically in bf16 (observed SSIM map
+    means > 1.7, i.e. negative "1−SSIM" loss) and the L1 reductions lose
+    precision. Networks stay bf16; losses don't.
+    """
+    fake32 = fake.astype(jnp.float32)
+    rgb32 = rgb.astype(jnp.float32)
+    loss_l1 = (
+        jnp.mean(jnp.abs(fake32 - rgb32)) * cfg.lambda_L1
+        if cfg.lambda_L1 != 0.0
+        else jnp.float32(0.0)
+    )
+    if cfg.lambda_perc != 0.0:
+        feat_fake = vgg_module.apply({"params": vgg_params}, fake)
+        feat_real = vgg_module.apply({"params": vgg_params}, rgb)
+        loss_perc = (
+            jnp.mean(jnp.abs(feat_fake.astype(jnp.float32) - feat_real.astype(jnp.float32)))
+            * cfg.lambda_perc
+        )
+    else:
+        loss_perc = jnp.float32(0.0)
+    loss_tv = tv_loss(fake32) * cfg.lambda_tv if cfg.lambda_tv != 0.0 else jnp.float32(0.0)
+    loss_ssim = (
+        ssim_loss((fake32 + 1.0) / 2.0, (rgb32 + 1.0) / 2.0) * cfg.lambda_ssim
+        if cfg.lambda_ssim != 0.0
+        else jnp.float32(0.0)
+    )
+    total = cfg.lambda_gan * loss_gan + loss_l1 + loss_perc + loss_tv + loss_ssim
+    metrics = {
+        "loss_G": total,
+        "loss_G_GAN": loss_gan,
+        "loss_G_L1": loss_l1,
+        "loss_G_perc": loss_perc,
+        "loss_G_TV": loss_tv,
+        "loss_G_SSIM": loss_ssim,
+    }
+    return total, metrics
+
+
 def make_train_step(
     cfg: Config,
     g_module: Any,
@@ -165,46 +222,10 @@ def make_train_step(
                 loss_gan = hinge_g_loss(pred_fake)
             else:
                 loss_gan = jnp.float32(0.0)
-            # Loss terms in float32 even under a bf16 compute path: the SSIM
-            # covariance terms cancel catastrophically in bf16 (observed
-            # SSIM map means > 1.7, i.e. negative "1−SSIM" loss) and the L1
-            # reductions lose precision. Networks stay bf16; losses don't.
-            fake32 = fake.astype(jnp.float32)
-            rgb32 = rgb.astype(jnp.float32)
-            loss_l1 = (
-                jnp.mean(jnp.abs(fake32 - rgb32)) * cfg.lambda_L1
-                if cfg.lambda_L1 != 0.0
-                else jnp.float32(0.0)
+            total, metrics = composite_g_losses(
+                cfg, vgg_module, vgg_params, fake, rgb, loss_gan
             )
-            if cfg.lambda_perc != 0.0:
-                feat_fake = vgg_module.apply({"params": vgg_params}, fake)
-                feat_real = vgg_module.apply({"params": vgg_params}, rgb)
-                loss_perc = (
-                    jnp.mean(jnp.abs(feat_fake.astype(jnp.float32) - feat_real.astype(jnp.float32)))
-                    * cfg.lambda_perc
-                )
-            else:
-                loss_perc = jnp.float32(0.0)
-            loss_tv = tv_loss(fake32) * cfg.lambda_tv if cfg.lambda_tv != 0.0 else jnp.float32(0.0)
-            loss_ssim = (
-                ssim_loss((fake32 + 1.0) / 2.0, (rgb32 + 1.0) / 2.0) * cfg.lambda_ssim
-                if cfg.lambda_ssim != 0.0
-                else jnp.float32(0.0)
-            )
-            total = cfg.lambda_gan * loss_gan + loss_l1 + loss_perc + loss_tv + loss_ssim
-            aux = {
-                "metrics": {
-                    "loss_G": total,
-                    "loss_G_GAN": loss_gan,
-                    "loss_G_L1": loss_l1,
-                    "loss_G_perc": loss_perc,
-                    "loss_G_TV": loss_tv,
-                    "loss_G_SSIM": loss_ssim,
-                },
-                "g_stats": gs,
-                "d_stats": ds,
-            }
-            return total, aux
+            return total, {"metrics": metrics, "g_stats": gs, "d_stats": ds}
 
         if single_forward:
             (_, aux), dl_dfake = jax.value_and_grad(

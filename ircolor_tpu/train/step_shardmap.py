@@ -30,10 +30,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ircolor_tpu.config import Config
 from ircolor_tpu.losses.gan import hinge_d_loss, hinge_g_loss
-from ircolor_tpu.losses.ssim import ssim_loss
-from ircolor_tpu.losses.tv import tv_loss
 from ircolor_tpu.train.state import TrainState
-from ircolor_tpu.train.step import _decode_transport
+from ircolor_tpu.train.step import _decode_transport, composite_g_losses
 
 
 def make_train_step_shardmap(
@@ -75,6 +73,9 @@ def make_train_step_shardmap(
         fake_detached = jax.lax.stop_gradient(fake_primal)
 
         # ---- D phase: local grads, explicit all-reduce, identical update ----
+        # D trains unconditionally (reference semantics, ref :1629-1646 —
+        # λ_gan scales only G's GAN TERM, never D's own update), matching
+        # the GSPMD step.
         def d_loss_fn(d_params):
             if cfg.d_concat:
                 # One double-batch D pass over [real ‖ fake] — exact for the
@@ -98,29 +99,19 @@ def make_train_step_shardmap(
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---- G phase (losses against the updated D, grads via the vjp) ----
+        # Composite loss assembly is SHARED with the GSPMD step
+        # (train.step.composite_g_losses) so the structural λ==0 skips and
+        # f32 loss-accumulation policy cannot desynchronize between the two
+        # DP implementations.
         def g_loss_fn(fake):
-            pred_fake = d_apply(d_params, jnp.concatenate([ir, fake], axis=-1))
-            fake32 = fake.astype(jnp.float32)
-            rgb32 = rgb.astype(jnp.float32)
-            loss_gan = hinge_g_loss(pred_fake)
-            loss_l1 = jnp.mean(jnp.abs(fake32 - rgb32)) * cfg.lambda_L1
-            feat_fake = vgg_module.apply({"params": vgg_params}, fake)
-            feat_real = vgg_module.apply({"params": vgg_params}, rgb)
-            loss_perc = (
-                jnp.mean(jnp.abs(feat_fake.astype(jnp.float32) - feat_real.astype(jnp.float32)))
-                * cfg.lambda_perc
+            if cfg.lambda_gan != 0.0:
+                pred_fake = d_apply(d_params, jnp.concatenate([ir, fake], axis=-1))
+                loss_gan = hinge_g_loss(pred_fake)
+            else:
+                loss_gan = jnp.float32(0.0)
+            return composite_g_losses(
+                cfg, vgg_module, vgg_params, fake, rgb, loss_gan
             )
-            loss_tv = tv_loss(fake32) * cfg.lambda_tv
-            loss_ssim = ssim_loss((fake32 + 1.0) / 2.0, (rgb32 + 1.0) / 2.0) * cfg.lambda_ssim
-            total = cfg.lambda_gan * loss_gan + loss_l1 + loss_perc + loss_tv + loss_ssim
-            return total, {
-                "loss_G": total,
-                "loss_G_GAN": loss_gan,
-                "loss_G_L1": loss_l1,
-                "loss_G_perc": loss_perc,
-                "loss_G_TV": loss_tv,
-                "loss_G_SSIM": loss_ssim,
-            }
 
         (_, aux), dl_dfake = jax.value_and_grad(g_loss_fn, has_aux=True)(fake_primal)
         (g_grads,) = g_vjp(dl_dfake)

@@ -355,6 +355,45 @@ def test_train_mode_matrix_smoke(kaist_tree, tmp_path, dp_mode, transport, norm)
     assert losses["loss_G_L1"] <= 2.0 * cfg.lambda_L1
 
 
+@pytest.mark.parametrize("dp_mode", ["gspmd", "shard_map"])
+def test_train_lambda_zero_skips_structurally(kaist_tree, tmp_path, dp_mode):
+    """λ_perc == 0 / λ_gan == 0 must skip the VGG towers and the G-side GAN
+    forward STRUCTURALLY in BOTH DP step implementations — the shard_map
+    step used to build them unconditionally (paying two VGG forwards for a
+    0-weighted term, with 0·inf NaN-poisoning exposure the GSPMD step
+    didn't have). train_kaist now passes vgg_params=None when λ_perc == 0,
+    so this fails loudly if either step still traces the tower. D itself
+    still trains (reference semantics: λ_gan scales only G's GAN term)."""
+    root, _ = kaist_tree
+    cfg = tiny_cfg(
+        root, tmp_path / f"lz_{dp_mode}", epochs=1, dp_mode=dp_mode,
+        lambda_perc=0.0, lambda_gan=0.0,
+    )
+    summary = train_kaist(cfg, max_steps_per_epoch=2)
+    losses = summary["final_epoch_losses"]
+    assert losses["loss_G_perc"] == 0.0 and losses["loss_G_GAN"] == 0.0
+    assert np.isfinite(losses["loss_D"]) and losses["loss_D"] > 0.0
+    assert np.isfinite(losses["loss_G"]) and losses["loss_G"] > 0.0
+
+
+@pytest.mark.parametrize("dp_mode", ["gspmd", "shard_map"])
+def test_train_mode_matrix_bf16_smoke(kaist_tree, tmp_path, dp_mode):
+    """bf16 rows of the combination matrix (the TPU training dtype): the
+    one-pass-IN bf16 compute path + f32 loss reductions + integer batch
+    transport train sanely through both DP step implementations. (On CPU
+    the fused Pallas kernels stay off; this covers the XLA bf16 path the
+    GSPMD multi-device fallback also uses.)"""
+    root, _ = kaist_tree
+    cfg = tiny_cfg(
+        root, tmp_path / f"mxb_{dp_mode}", epochs=1, dp_mode=dp_mode,
+        batch_transport="int", compute_dtype="bf16",
+    )
+    summary = train_kaist(cfg, max_steps_per_epoch=2)
+    losses = summary["final_epoch_losses"]
+    assert np.isfinite(losses["loss_G"]) and np.isfinite(losses["loss_D"])
+    assert losses["loss_G_L1"] <= 2.0 * cfg.lambda_L1
+
+
 def test_loss_sanity_guard():
     """_check_loss_sanity raises on NaN and on an L1 past the [-1,1] bound."""
     from ircolor_tpu.train.loop import _check_loss_sanity
