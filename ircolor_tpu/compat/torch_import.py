@@ -143,9 +143,21 @@ def load_vgg16_pth(path: str) -> dict[str, Any]:
 
 
 def export_generator_pth(
-    params: Mapping[str, Any], path: str, *, no_antialias: bool = False
+    params: Mapping[str, Any],
+    path: str,
+    *,
+    no_antialias: bool = False,
+    pad_type: str = "reflect",
+    use_dropout: bool = False,
 ) -> None:
     """Export our generator params as a reference-compatible netG .pth.
+
+    ``pad_type``/``use_dropout`` select the resblock ``conv_block`` indices
+    the reference's Sequential layout puts the two convs at (ref
+    build_conv_block :375-414: pad modules only exist for reflect/replicate,
+    dropout inserts one module after the first ReLU). The reference loads
+    with ``strict=False`` (ref :781-789), so WRONG indices would be silently
+    dropped there — the variant must be declared, not guessed.
 
     Produces the flat state_dict layout the reference saves/loads
     (ref :1708, :781-789) including the fixed blur-filter buffers so
@@ -179,9 +191,15 @@ def export_generator_pth(
             if "bias" in params[src]:
                 sd[f"{dst}.bias"] = torch.from_numpy(np.asarray(params[src]["bias"]).copy())
 
+    # conv_block Sequential indices (ref :375-414): a pad module precedes
+    # each conv for reflect/replicate (zero pads inside the conv), dropout
+    # adds one module after the first ReLU.
+    padded = pad_type in ("reflect", "replicate")
+    conv1_idx = 1 if padded else 0
+    conv2_idx = conv1_idx + 3 + int(bool(use_dropout)) + int(padded)
     for key in sorted(k for k in params if k.startswith("resblock_")):
         i = int(key.split("_")[1])
-        for name, idx in (("conv1", 1), ("conv2", 5)):  # reflect/no-dropout layout
+        for name, idx in (("conv1", conv1_idx), ("conv2", conv2_idx)):
             entry = params[key][name]
             sd[f"resblocks.{i}.conv_block.{idx}.weight"] = t(entry["kernel"])
             if "bias" in entry:

@@ -43,7 +43,15 @@ def load_ir_image(
     """Grayscale IR image → H×W float32 in [0,1] (ref :803-830).
 
     With ``return_depth=True`` also returns the source bit depth (8 or 16),
-    so callers can pick the narrowest exact integer transport encoding."""
+    so callers can pick the narrowest exact integer transport encoding.
+
+    NOTE on the 16-bit branch: ``IMREAD_GRAYSCALE`` (the reference's flag,
+    ref :812) downconverts 16-bit sources to uint8 at decode, so
+    ``orig_dtype`` is uint8 and the /65535 branch never fires — in the
+    reference EITHER (its ref :823-828 branch reads the dtype of the same
+    already-converted result). The branch is kept as defensive parity with
+    the reference's code, and the int-transport/raw paths treat every
+    decoded frame as the 8-bit data it actually is."""
     img_u = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img_u is None:
         raise RuntimeError(f"Could not read image: {path}")
@@ -97,8 +105,11 @@ def save_rgb(path: str, img_rgb_u8: np.ndarray) -> None:
     zlib level 6 dominated end-to-end wall time at 512×640; the artifact is
     the same lossless PNG (or JPEG etc. by extension).
     """
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     bgr = cv2.cvtColor(np.ascontiguousarray(img_rgb_u8), cv2.COLOR_RGB2BGR)
-    if not cv2.imwrite(path, bgr, [cv2.IMWRITE_PNG_COMPRESSION, 1]):
-        # cv2 refuses unknown extensions; PIL fallback keeps behavior.
-        Image.fromarray(img_rgb_u8).save(path)
+    try:
+        ok = cv2.imwrite(path, bgr, [cv2.IMWRITE_PNG_COMPRESSION, 1])
+    except cv2.error:
+        ok = False  # cv2 RAISES on unknown extensions (it does not return False)
+    if not ok:
+        Image.fromarray(img_rgb_u8).save(path)  # PIL fallback keeps behavior

@@ -158,7 +158,9 @@ class KAISTPairDataset:
             size_hw = (size_hw, size_hw)
         all_ir, all_rgb = scan_kaist_pairs(roots)
         if not all_ir:
-            raise RuntimeError(f"No IR-RGB pairs found under roots: {list(roots)}")
+            # A bare-string root must print as the path, not a char list.
+            shown = [roots] if isinstance(roots, str) else list(roots)
+            raise RuntimeError(f"No IR-RGB pairs found under roots: {shown}")
         if indices is not None:
             all_ir = [all_ir[i] for i in indices]
             all_rgb = [all_rgb[i] for i in indices]
@@ -187,11 +189,14 @@ class KAISTPairDataset:
     def raw_item(self, idx: int):
         """Fast path for the native batch assembler: resized uint8 images +
         a deferred flip flag (normalize/flip/stack happen in C++,
-        ``ircolor_tpu.data.native``). Returns None for non-8-bit sources
-        (16-bit TIFF IR goes through the float path, ref :822-827).
+        ``ircolor_tpu.data.native``). Returns None — falling back to the
+        exact float path — for non-8-bit sources AND for frames hit by the
+        reference's max≤1 no-normalize quirk (ref :822-827: an IR image
+        whose values are all 0/1 skips the ÷255, mapping 1 → +1.0; the C++
+        kernel always divides, which would map it to −0.992).
         """
         ir_u, rgb_u = self._read_pair(idx)
-        if ir_u.dtype != np.uint8:
+        if ir_u.dtype != np.uint8 or ir_u.max() <= 1:
             return None
         return ir_u[:, :, None], rgb_u, self._flip(idx)
 

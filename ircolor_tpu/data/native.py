@@ -40,11 +40,21 @@ def _build_and_load() -> ctypes.CDLL | None:
         return None
     out = os.path.join(os.path.dirname(src), "libbatchops.so")
     if not os.path.isfile(out) or os.path.getmtime(out) < os.path.getmtime(src):
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out, src, "-lpthread"]
+        # Build to a per-PID temp name and rename atomically: two processes
+        # hitting a missing/stale .so concurrently (parallel pytest, train +
+        # eval) must never dlopen a half-written file. os.replace is atomic
+        # on POSIX; the loser's rename simply wins last with identical bits.
+        tmp = f"{out}.{os.getpid()}.tmp"
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, src, "-lpthread"]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+            os.replace(tmp, out)
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError) as exc:
             log.warning("native batchops build failed (%s); using numpy path", exc)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             return None
     lib = ctypes.CDLL(out)
     lib.assemble_batch_u8.argtypes = [
@@ -108,11 +118,31 @@ def assemble_batch(
 
     if out is None:
         out = np.empty((b, h, w, c), np.float32)
+    elif (
+        out.shape != (b, h, w, c)
+        or out.dtype != np.float32
+        or not out.flags["C_CONTIGUOUS"]
+    ):
+        # The C++ kernel writes through a raw pointer — a wrong-shape/dtype
+        # or strided `out` would be silent memory corruption, not an error.
+        raise ValueError(
+            f"assemble_batch out must be C-contiguous float32 {(b, h, w, c)}, "
+            f"got {out.dtype} {out.shape}"
+        )
+    expect = first.shape
     ptrs = (ctypes.c_void_p * b)()
     keepalive = []
     for i, img in enumerate(images_u8):
         if img.dtype != np.uint8:
             raise TypeError("assemble_batch requires uint8 images")
+        if img.shape != expect:
+            # The kernel strides every source by h·w·c — a mismatched image
+            # would be read out of bounds (the numpy path raises on reshape;
+            # keep both paths failing loudly and identically).
+            raise ValueError(
+                f"assemble_batch image {i} has shape {img.shape}, expected "
+                f"{expect} (all images must match the first)"
+            )
         img = np.ascontiguousarray(img)
         keepalive.append(img)
         ptrs[i] = img.ctypes.data

@@ -14,10 +14,9 @@ import os
 
 import cv2
 import numpy as np
-from PIL import Image
 
 from ircolor_tpu.config import Config
-from ircolor_tpu.data.io import float01_to_uint8_rgb
+from ircolor_tpu.data.io import float01_to_uint8_rgb, save_rgb
 
 
 def make_comparison_collage(
@@ -68,8 +67,5 @@ def save_comparison_image(cfg: Config, out_rel: str, collage_u8_hwc: np.ndarray)
     cmp_dir = os.path.join(cfg.output_dir, cfg.comparison_dirname, subdir)
     os.makedirs(cmp_dir, exist_ok=True)
     cmp_path = os.path.join(cmp_dir, f"{stem}_cmp.png")
-    # Fast PNG write (see data.io.save_rgb).
-    bgr = cv2.cvtColor(np.ascontiguousarray(collage_u8_hwc), cv2.COLOR_RGB2BGR)
-    if not cv2.imwrite(cmp_path, bgr, [cv2.IMWRITE_PNG_COMPRESSION, 1]):
-        Image.fromarray(collage_u8_hwc).save(cmp_path)
+    save_rgb(cmp_path, collage_u8_hwc)  # fast PNG write, ONE implementation
     return cmp_path

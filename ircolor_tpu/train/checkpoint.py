@@ -30,8 +30,20 @@ log = get_logger(__name__)
 # ---------------- netG-only exports (reference-compatible naming) ----------
 
 
-def save_netg_export(params: Any, path_stem: str, also_pth: bool = True) -> list[str]:
-    """Write ``<stem>.msgpack`` (+ ``<stem>.pth`` when torch available)."""
+def save_netg_export(
+    params: Any,
+    path_stem: str,
+    also_pth: bool = True,
+    *,
+    no_antialias: bool = False,
+    pad_type: str = "reflect",
+    use_dropout: bool = False,
+) -> list[str]:
+    """Write ``<stem>.msgpack`` (+ ``<stem>.pth`` when torch available).
+
+    The variant kwargs mirror ``export_generator_pth``: the .pth resblock
+    indices depend on pad type / dropout (the reference loads strict=False,
+    so wrong indices would be silently dropped there)."""
     written = []
     host_params = jax.tree.map(np.asarray, params)
     os.makedirs(os.path.dirname(path_stem) or ".", exist_ok=True)
@@ -44,7 +56,10 @@ def save_netg_export(params: Any, path_stem: str, also_pth: bool = True) -> list
             from ircolor_tpu.compat.torch_import import export_generator_pth
 
             pth = path_stem + ".pth"
-            export_generator_pth(host_params, pth)
+            export_generator_pth(
+                host_params, pth, no_antialias=no_antialias,
+                pad_type=pad_type, use_dropout=use_dropout,
+            )
             written.append(pth)
         except ImportError:
             log.warning("torch unavailable; skipped .pth export for %s", path_stem)

@@ -331,14 +331,23 @@ def train_kaist(
         if jax.process_index() == 0:
             if epoch % cfg.save_every == 0 or epoch == cfg.epochs:
                 stem = os.path.join(cfg.save_dir, f"netG_epoch_{epoch:03d}")
-                written = save_netg_export(jax.device_get(state.g_params), stem)
+                # The CLI generator is always the reference's reflect/no-dropout
+                # instantiation (models/wrapper.py hardcodes it, like ref :771);
+                # the .pth export's variant kwargs stay at those defaults.
+                written = save_netg_export(
+                    jax.device_get(state.g_params), stem,
+                    no_antialias=cfg.no_antialias,
+                )
                 log.info("Saved generator checkpoint to %s", written[0])
                 save_full_state(
                     orbax_dir, epoch, jax.device_get(state),
                     {"epoch": epoch, "best_val_l1": best_val_l1, "val_l1": val_l1},
                 )
             if is_best:
-                save_netg_export(jax.device_get(state.g_params), best_stem)
+                save_netg_export(
+                    jax.device_get(state.g_params), best_stem,
+                    no_antialias=cfg.no_antialias,
+                )
                 log.info("New best model saved to %s (val L1=%.4f)", best_stem, best_val_l1)
 
         # LR print (factor computed like the schedule; ref :1720-1721).

@@ -237,3 +237,21 @@ def test_batch_loader_int_transport(kaist_tree):
     batch = next(iter(loader))
     assert batch["ir"].dtype == np.uint16 and batch["ir"].shape == (2, 32, 32, 1)
     assert batch["rgb"].dtype == np.uint8 and batch["rgb"].shape == (2, 32, 32, 3)
+
+
+def test_save_rgb_bare_filename_and_fallback(tmp_path, monkeypatch):
+    """save_rgb on a path with no directory component must not crash
+    (os.makedirs('') raises), and an extension cv2 has no writer for must
+    hit the PIL fallback (cv2.imwrite RAISES, it does not return False)."""
+    from PIL import Image
+
+    from ircolor_tpu.data.io import save_rgb
+
+    monkeypatch.chdir(tmp_path)
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    save_rgb("bare.png", img)
+    assert (tmp_path / "bare.png").is_file()
+    save_rgb("anim.gif", img)  # cv2 has no GIF writer (raises) -> PIL fallback
+    assert (tmp_path / "anim.gif").is_file()
+    got = np.asarray(Image.open(tmp_path / "anim.gif").convert("RGB"))
+    assert got.shape == img.shape

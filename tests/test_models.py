@@ -537,3 +537,30 @@ def test_generator_all_fused_kernels_compose(monkeypatch):
     want = plain.apply({"params": params}, x)
     got = fused.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
+def test_pth_export_variant_resblock_indices(gen_small, tmp_path):
+    """The .pth resblock conv indices depend on pad type / dropout (ref
+    build_conv_block :375-414); the reference loads strict=False, so wrong
+    indices would be SILENTLY dropped there. Export must place the convs
+    where each declared variant's Sequential puts them — and the importer
+    (index-order based) must roundtrip every layout."""
+    from ircolor_tpu.compat.torch_import import export_generator_pth
+
+    module, params, _ = gen_small
+    host = jax.device_get(params)
+    for pad_type, use_dropout, want1, want2 in (
+        ("reflect", False, 1, 5),
+        ("reflect", True, 1, 6),
+        ("zero", False, 0, 3),
+        ("zero", True, 0, 4),
+    ):
+        pth = str(tmp_path / f"rt_{pad_type}_{use_dropout}.pth")
+        export_generator_pth(host, pth, pad_type=pad_type, use_dropout=use_dropout)
+        sd = torch.load(pth, map_location="cpu", weights_only=True)
+        assert f"resblocks.0.conv_block.{want1}.weight" in sd, (pad_type, use_dropout)
+        assert f"resblocks.0.conv_block.{want2}.weight" in sd, (pad_type, use_dropout)
+        re_imported = load_generator_pth(pth)
+        merged = merge_params(params, re_imported)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)

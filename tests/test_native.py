@@ -57,3 +57,55 @@ def test_loader_falls_back_for_16bit(tmp_path):
     for b in batches:
         assert b["ir"].dtype == np.float32
         assert np.isfinite(b["ir"]).all()
+
+
+def test_assemble_rejects_mismatched_shapes_and_bad_out():
+    """The C++ kernel strides every source by h*w*c and writes through a raw
+    pointer — mismatched inputs / wrong `out` must raise, not corrupt."""
+    rng = np.random.RandomState(2)
+    ok = [rng.randint(0, 256, (8, 10, 1), np.uint8) for _ in range(2)]
+    bad = [ok[0], rng.randint(0, 256, (8, 12, 1), np.uint8)]
+    with pytest.raises(ValueError, match="expected"):
+        native.assemble_batch(bad, None)
+    with pytest.raises(ValueError, match="C-contiguous float32"):
+        native.assemble_batch(ok, None, out=np.empty((2, 8, 10, 1), np.float64))
+    with pytest.raises(ValueError, match="C-contiguous float32"):
+        native.assemble_batch(ok, None, out=np.empty((3, 8, 10, 1), np.float32))
+
+
+def test_native_path_honors_max_le_1_quirk(tmp_path):
+    """An IR frame whose uint8 values are all 0/1 skips the /255 in the
+    reference (ref :822-827: value 1 maps to +1.0, not -0.992). raw_item
+    must return None for such frames so the native path falls back to the
+    exact float path — the C++ kernel always divides."""
+    import cv2
+
+    from ircolor_tpu.data import BatchLoader, KAISTPairDataset
+
+    root = tmp_path / "kq"
+    seq = root / "set00" / "V000"
+    (seq / "lwir").mkdir(parents=True)
+    (seq / "visible").mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    for i in range(4):
+        ir = (
+            rng.randint(0, 2, (32, 32), np.uint8)        # max <= 1 frames
+            if i % 2 == 0
+            else rng.randint(0, 256, (32, 32), np.uint8)  # normal frames
+        )
+        # Constant blocks survive INTER_AREA exactly at same-size resize.
+        cv2.imwrite(str(seq / "lwir" / f"I{i:05d}.png"), ir)
+        cv2.imwrite(
+            str(seq / "visible" / f"I{i:05d}.png"),
+            rng.randint(0, 256, (32, 32, 3), np.uint8),
+        )
+    ds = KAISTPairDataset.from_roots([str(root / "set00")], size_hw=(32, 32), augment=False)
+    quirky = [i for i in range(4) if ds.raw_item(i) is None]
+    assert quirky, "no max<=1 frame triggered the fallback"
+    nat = list(BatchLoader(ds, 2, drop_last=True, use_native=True))
+    py = list(BatchLoader(ds, 2, drop_last=True, use_native=False))
+    for a, b in zip(nat, py):
+        np.testing.assert_allclose(a["ir"], b["ir"], atol=1e-6)
+        np.testing.assert_allclose(a["rgb"], b["rgb"], atol=1e-6)
+    # The quirky frames' +1.0 mapping is present (value 1 -> +1.0 exactly).
+    assert max(float(b["ir"].max()) for b in py) == 1.0

@@ -1,5 +1,10 @@
 """Chained timing of the test-mode step's METRIC tail (quantize + suite).
 
+(Sibling of the round-1 tools/metricsbench.py, which decomposes generator
+vs metrics vs blur at step level; this probe drills INTO the metric tail —
+SSIM window pipeline, pointwise terms, quantize — and A/Bs the stacked-
+matmul SSIM variant.)
+
 The headline bench (bench.py) times G-forward + uint8 quantize +
 MAE/MSE/PSNR/SSIM; in-context forward alone is ~119.5 ms at b16 512×640 vs
 ~128.4 for the step ⇒ ~8.9 ms of metric tail. This probe splits that tail
