@@ -61,7 +61,7 @@ def bench_inference(h: int, w: int, batch: int, dtype: str, iters: int, warmup: 
         return pred, metrics, new_carry
 
     carry = jnp.zeros((batch, 1, 1, 1), ir0.dtype)
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):  # ≥1: compile before the timed loop
         pred, metrics, carry = chained(params, ir0, carry, gt)
     _ = float(jnp.sum(metrics["mae"]))
 

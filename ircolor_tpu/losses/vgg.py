@@ -11,7 +11,8 @@ ref :672-682).
 torchvision is unavailable in this environment, so pretrained weights must be
 imported from a torchvision ``vgg16`` state_dict ``.pth`` via
 ``ircolor_tpu.compat.torch_import.load_vgg16_pth``. Without one,
-``init_vgg16_params`` provides a deterministic He-normal init — training
+``init_vgg16_params`` provides a deterministic lecun-normal init (flax's
+Conv default, variance 1/fan_in) — training
 still runs, but the perceptual term is then NOT ImageNet-pretrained (random
 VGG features still carry useful structure, but loss parity requires the
 pretrained weights; documented in README).
@@ -114,7 +115,8 @@ class VGG16Features(nn.Module):
 
 
 def init_vgg16_params(seed: int = 0) -> Any:
-    """Deterministic fallback init (He normal) when no .pth is supplied."""
+    """Deterministic fallback init when no .pth is supplied (flax Conv
+    default: lecun_normal, variance 1/fan_in — NOT He/2·fan_in)."""
     module = VGG16Features()
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     return module.init(jax.random.PRNGKey(seed), dummy)["params"]

@@ -488,7 +488,7 @@ class ResnetUNetGenerator(nn.Module):
         stride_d = 2 if self.no_antialias else 1
         x1 = conv("down1_conv", ngf * 2, 3, stride_d, ((1, 1), (1, 1)))(x0)
         if norm_blur_ok(x1):
-            x1 = norm_relu_blur_down(x1)                         # (B, H/2, W/2, 128)
+            x1 = norm_relu_blur_down(x1, matmul_bwd=self.blur_matmul_bwd)  # (B, H/2, W/2, 128)
         else:
             x1 = norm_relu("down1_norm", x1)
             if not self.no_antialias:
@@ -499,7 +499,7 @@ class ResnetUNetGenerator(nn.Module):
 
         x2 = conv("down2_conv", ngf * 4, 3, stride_d, ((1, 1), (1, 1)))(x1)
         if norm_blur_ok(x2):
-            x2 = norm_relu_blur_down(x2)                         # (B, H/4, W/4, 256)
+            x2 = norm_relu_blur_down(x2, matmul_bwd=self.blur_matmul_bwd)  # (B, H/4, W/4, 256)
         else:
             x2 = norm_relu("down2_norm", x2)
             if not self.no_antialias:

@@ -106,7 +106,9 @@ class IRColorizationModel:
         dummy = jnp.zeros((1, h, w, cfg.input_nc), jnp.float32)
         variables = self.module.init(rng, dummy)
         self.params = variables["params"]
-        if cfg.init_type != "normal":  # N(0,0.02) is baked into module init
+        # N(0, 0.02) is baked into module init at the DEFAULT gain only; a
+        # non-default init_gain must reinit even for init_type='normal'.
+        if cfg.init_type != "normal" or cfg.init_gain != 0.02:
             from ircolor_tpu.models.common import reinit_params
 
             self.params = reinit_params(

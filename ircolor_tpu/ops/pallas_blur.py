@@ -271,7 +271,9 @@ def norm_relu_blur_down_pallas(
     )(x, mean.astype(jnp.float32), inv.astype(jnp.float32))
 
 
-def norm_relu_blur_down(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+def norm_relu_blur_down(
+    x: jnp.ndarray, *, matmul_bwd: bool = True, interpret: bool = False
+) -> jnp.ndarray:
     """Differentiable down-stage tail: ``blurpool(relu(IN(x)))`` with the
     fused normalize-on-load Pallas kernel as the forward
     (``norm_relu_blur_down_pallas``; IN stats by XLA reduce).
@@ -282,9 +284,13 @@ def norm_relu_blur_down(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarr
     stats, push the cotangent through the blur-pool adjoint (``jax.vjp`` of
     the linear XLA blur — one transposed conv), mask by ReLU, and apply the
     closed-form instance-norm backward. Training therefore pays the fused
-    one-read/quarter-write forward price.
+    one-read/quarter-write forward price. ``matmul_bwd`` picks the blur-VJP
+    form (transposed banded matmuls, the shipped default, vs the dilated-
+    depthwise autodiff conv) — threaded from the generator's
+    ``blur_matmul_bwd`` so the opt-out knob governs this path too (both
+    forms are exact adjoints; only timing differs).
     """
-    return _nrbd_vjp(interpret, x)
+    return _nrbd_vjp(interpret, matmul_bwd, x)
 
 
 def _nrbd_primal(interpret, x):
@@ -294,29 +300,29 @@ def _nrbd_primal(interpret, x):
     return norm_relu_blur_down_pallas(x, mean, inv, interpret=interpret), (mean, inv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _nrbd_vjp(interpret, x):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _nrbd_vjp(interpret, matmul_bwd, x):
     return _nrbd_primal(interpret, x)[0]
 
 
-def _nrbd_fwd(interpret, x):
+def _nrbd_fwd(interpret, matmul_bwd, x):
     out, (mean, inv) = _nrbd_primal(interpret, x)
     return out, (x, mean, inv)
 
 
-def _nrbd_bwd(interpret, res, g):
+def _nrbd_bwd(interpret, matmul_bwd, res, g):
     from ircolor_tpu.ops.blurpool import blur_downsample
     from ircolor_tpu.ops.pallas_resblock import _in_bwd
 
     x, mean, inv = res
     yhat = (x.astype(jnp.float32) - mean[:, None, None, :]) * inv[:, None, None, :]
     z = jnp.maximum(yhat, 0.0).astype(x.dtype)
-    # blur_downsample is linear: its vjp IS the transposed operator. Take it
-    # through the matmul_bwd form (transposed banded matmuls — the shipped
-    # blur backward, −4.6 ms/step vs the dilated-depthwise autodiff conv;
-    # ops/blurpool.py) so the fused tail honors the same backward choice.
-    # Safe here: the nb kernels never run on multi-device GSPMD meshes.
-    _, blur_vjp = jax.vjp(lambda t: blur_downsample(t, matmul_bwd=True), z)
+    # blur_downsample is linear: its vjp IS the transposed operator; the
+    # matmul_bwd flag picks the transposed-banded-matmul form (the shipped
+    # default, −4.6 ms/step vs the dilated-depthwise autodiff conv) or the
+    # depthwise autodiff form, honoring the generator-level knob. Safe
+    # here: the nb kernels never run on multi-device GSPMD meshes.
+    _, blur_vjp = jax.vjp(lambda t: blur_downsample(t, matmul_bwd=matmul_bwd), z)
     (dz,) = blur_vjp(g)
     dn = dz.astype(jnp.float32) * (yhat > 0)
     return (_in_bwd(dn, yhat, inv).astype(x.dtype),)

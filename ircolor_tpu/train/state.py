@@ -132,7 +132,10 @@ def create_train_state(
         rng_d, jnp.zeros((1, h, w, cfg.input_nc + cfg.output_nc), jnp.float32)
     )
     g_params, d_params = g_vars["params"], d_vars["params"]
-    if cfg.init_type != "normal":  # N(0,0.02) is already baked into init
+    # N(0, 0.02) is baked into module init — but only at the DEFAULT gain;
+    # a non-default init_gain must reinit even for init_type='normal'
+    # (the reference's init_weights always applies the configured gain).
+    if cfg.init_type != "normal" or cfg.init_gain != 0.02:
         from ircolor_tpu.models.common import reinit_params
 
         ri_g, ri_d = jax.random.split(jax.random.fold_in(rng, 1))

@@ -564,3 +564,21 @@ def test_pth_export_variant_resblock_indices(gen_small, tmp_path):
         merged = merge_params(params, re_imported)
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_init_gain_honored_for_normal_init():
+    """--init-gain with the default init_type='normal' must actually apply
+    (it was silently ignored: N(0, 0.02) is baked into module init, so the
+    reinit pass has to fire whenever the gain differs from 0.02)."""
+    from ircolor_tpu.config import Config
+    from ircolor_tpu.models.wrapper import IRColorizationModel
+
+    cfg = Config(img_size=32, n_blocks=1, ngf=16, init_gain=0.08)
+    model = IRColorizationModel(cfg)
+    k = np.asarray(next(
+        p["kernel"] for n, p in model.params.items()
+        if "conv" in n and "kernel" in p
+    ))
+    # kernel ~ N(0, 0.08): sample std of thousands of entries is far from
+    # the baked-in 0.02.
+    assert 0.06 < float(k.std()) < 0.10, float(k.std())
