@@ -342,6 +342,13 @@ class Config:
 
     # ------------------------------------------------------------------
     @property
+    def kaist_root(self) -> str:
+        """Legacy alias for the first train root (ref :89: the reference
+        keeps ``kaist_root = train_roots[0]`` for old code paths and prints
+        it in the train banner, ref :1552)."""
+        return self.train_roots[0] if self.train_roots else ""
+
+    @property
     def resolved_hw(self) -> tuple[int, int]:
         """(H, W) the model runs at — square img_size unless overridden."""
         h = self.img_height if self.img_height is not None else self.img_size

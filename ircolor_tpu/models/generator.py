@@ -380,7 +380,16 @@ class ResnetUNetGenerator(nn.Module):
     spatial_axis: str = "sp"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        layers: Any = None,
+        encode_only: bool = False,
+    ) -> jnp.ndarray:
+        # ``layers``/``encode_only`` are accepted-and-ignored for signature
+        # parity with the reference's CUT-compatible forward (ref :533-539:
+        # "included to keep the call signature compatible ... not used").
         assert self.n_blocks >= 0
         use_bias = use_bias_for_norm(self.norm)
         ngf = self.ngf

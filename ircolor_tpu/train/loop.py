@@ -84,6 +84,7 @@ def train_kaist(
         jax.config.update("jax_debug_nans", True)
     h, w = cfg.resolved_hw
     log.info("[TRAIN] Devices: %s", jax.devices())
+    log.info("KAIST root (V000, V001, ...): %s", cfg.kaist_root)  # ref :1552
     # Overlap the backend's first-D2H handshake with the host-side dataset
     # scan, then JOIN before any other device work — concurrent RPCs during
     # state init/compile can wedge relay-attached transports.
