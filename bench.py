@@ -1,7 +1,24 @@
 """Benchmark: test-mode inference throughput at 512×640 on one chip.
 
-Prints ONE JSON line:
+Prints JSON lines of the form
   {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+The LAST line printed is the record (the driver parses the tail), and it is
+re-printed, progressively richer, after EVERY completed measurement — so a
+timeout/kill at any point after the first stage still leaves a parseable
+headline number. Round 3 lost its number to exactly this failure mode
+(BENCH_r03.json rc=124, parsed:null): the old bench printed once, at the end,
+after six compile-heavy stages on a relay with documented multi-hour outages.
+
+Structure (VERDICT r3 next-step #1):
+  * the headline inference number is measured FIRST and emitted immediately
+    with all aux fields null;
+  * each aux stage then runs under its own wall-clock budget on a worker
+    thread; on completion the updated JSON line is re-emitted;
+  * a global ``--budget-seconds`` is checked between stages — when exceeded,
+    remaining stages are skipped and the current JSON stands;
+  * a stage that HANGS (wedged relay) is abandoned at its budget and the
+    process hard-exits via ``os._exit`` after flushing — device work cannot
+    be trusted after a wedge, and a stuck RPC would otherwise hang teardown.
 
 The BASELINE.json north-star target is ≥2,000 512×640 frames/sec/chip on
 v5e; ``vs_baseline`` is value/2000. (Note: at ~0.69 TFLOP/frame this
@@ -11,8 +28,7 @@ we report honest sustained numbers and optimize toward roofline.)
 Measures the full test-mode device step (generator forward + uint8
 quantization + the MAE/MSE/PSNR/SSIM metric suite) in steady state with
 device-resident inputs, exactly the jitted function ``run_test`` dispatches
-per batch. Extra context (train-step throughput, precision, batch) goes into
-auxiliary fields of the same JSON object.
+per batch.
 """
 
 from __future__ import annotations
@@ -20,7 +36,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
+import threading
 import time
+import traceback
 
 import numpy as np
 
@@ -131,79 +150,167 @@ def main() -> None:
     # int8 serving mode (Config.quant_int8) — measurement flag; the shipped
     # headline stays the float path unless the int8 gates pass (docs/PERF.md).
     p.add_argument("--quant-int8", dest="quant_int8", action="store_true")
+    # Wall-clock budgets. The global budget is checked between stages; each
+    # stage additionally runs on a worker thread with its own cap so a hung
+    # relay RPC cannot eat the whole budget silently. Headline gets the
+    # largest per-stage cap because losing it loses the round's number.
+    p.add_argument("--budget-seconds", type=float, default=1500.0)
+    p.add_argument("--headline-budget", type=float, default=1100.0)
+    p.add_argument("--stage-budget", type=float, default=420.0)
     args = p.parse_args()
 
-    infer_fps = bench_inference(args.height, args.width, args.batch,
-                                args.dtype, args.iters, args.warmup,
-                                quant=args.quant_int8)
-    train_fps = None
-    if args.with_train:
-        try:
-            train_fps = bench_train_step(args.height, args.width, args.train_batch,
-                                         args.dtype, max(5, args.iters // 4), 2)
-        except Exception as exc:  # never lose the headline number to a train hiccup
-            print(f"# train bench failed: {exc!r}", flush=True)
-    aux_256 = None
-    if args.with_aux and (args.height, args.width) != (256, 256):
-        try:
-            aux_256 = bench_inference(256, 256, args.batch, args.dtype,
-                                      args.iters, args.warmup)
-        except Exception as exc:
-            print(f"# 256x256 aux bench failed: {exc!r}", flush=True)
-    # int8 serving mode (--quant-int8 at the CLI; in-kernel int8 fused blocks
-    # + XLA int8 enc/dec convs) — recorded as an auxiliary field since round
-    # 3's in-context win (docs/PERF.md run C: 154.5 fps forward vs the float
-    # path's 136.9). The headline stays the reference-parity float path.
-    aux_int8 = None
-    if args.with_aux and not args.quant_int8:
-        try:
-            aux_int8 = bench_inference(args.height, args.width, args.batch,
-                                       args.dtype, args.iters, args.warmup,
-                                       quant=True)
-        except Exception as exc:
-            print(f"# int8 aux bench failed: {exc!r}", flush=True)
-    # Train rate at the reference's own published training regime
-    # (img_size 256, batch 4 — ref Config :57/:92). Batch 4 sits in the
-    # XLA small-batch band where the fused kernels engage: 80 f/s vs the
-    # XLA blocks' 67 (docs/PERF.md round 3).
-    aux_train_ref = None
-    if args.with_aux and args.with_train:
-        try:
-            aux_train_ref = bench_train_step(256, 256, 4, args.dtype,
-                                             max(10, args.iters // 2), 2)
-        except Exception as exc:
-            print(f"# ref-config train bench failed: {exc!r}", flush=True)
-    # Single-frame serving latency (batch 1, full test-mode step) — the
-    # other serving axis; 13.0 ms round 3 (launch-size gates route b1 to
-    # the XLA path, docs/PERF.md).
-    aux_b1 = None
-    if args.with_aux:
-        try:
-            aux_b1 = bench_inference(args.height, args.width, 1, args.dtype,
-                                     max(20, args.iters), args.warmup,
-                                     quant=args.quant_int8)
-        except Exception as exc:
-            print(f"# batch-1 aux bench failed: {exc!r}", flush=True)
+    t_start = time.perf_counter()
 
     result = {
         "metric": f"test-mode inference frames/sec/chip at {args.height}x{args.width}",
-        "value": round(infer_fps, 2),
+        "value": None,
         "unit": "frames/sec/chip",
-        "vs_baseline": round(infer_fps / 2000.0, 4),
-        "train_frames_per_sec_per_chip": round(train_fps, 2) if train_fps else None,
-        "infer_fps_256x256": round(aux_256, 2) if aux_256 else None,
-        "train_fps_ref_config_256x256_b4": (
-            round(aux_train_ref, 2) if aux_train_ref else None
-        ),
-        "infer_fps_int8": round(aux_int8, 2) if aux_int8 else None,
-        "latency_b1_ms": round(1000.0 / aux_b1, 2) if aux_b1 else None,
+        "vs_baseline": None,
+        "train_frames_per_sec_per_chip": None,
+        "infer_fps_256x256": None,
+        "train_fps_ref_config_256x256_b4": None,
+        "infer_fps_int8": None,
+        "latency_b1_ms": None,
         "batch": args.batch,
         "dtype": args.dtype,
-        "device": str(jax.devices()[0]),
+        "device": None,
     }
     if args.quant_int8:
         result["quant_int8"] = True
-    print(json.dumps(result))
+
+    def emit() -> None:
+        print(json.dumps(result), flush=True)
+
+    wedged = [False]
+
+    def run_stage(name: str, fn, budget: float):
+        """Run ``fn()`` on a worker thread with a wall-clock cap.
+
+        Returns fn's value, or None on failure. A stage that is still
+        running at its budget means a wedged relay: device work after that
+        point cannot be trusted (serial-use rule) and a stuck RPC would hang
+        interpreter teardown — emit what we have and hard-exit.
+        """
+        if wedged[0]:
+            return None
+        box: dict = {}
+
+        def work():
+            try:
+                box["value"] = fn()
+            except BaseException as exc:  # noqa: BLE001 — report, keep benching
+                box["error"] = exc
+                box["tb"] = traceback.format_exc(limit=4)
+
+        th = threading.Thread(target=work, name=f"bench-{name}", daemon=True)
+        t0 = time.perf_counter()
+        th.start()
+        th.join(timeout=max(budget, 30.0))
+        if th.is_alive():
+            wedged[0] = True
+            print(f"# stage {name} HUNG past {budget:.0f}s budget — "
+                  f"abandoning remaining stages", flush=True)
+            return None
+        if "error" in box:
+            print(f"# stage {name} failed after {time.perf_counter()-t0:.0f}s: "
+                  f"{box['error']!r}", flush=True)
+            print("\n".join("# " + l for l in box["tb"].splitlines()), flush=True)
+            return None
+        print(f"# stage {name} done in {time.perf_counter()-t0:.0f}s", flush=True)
+        return box.get("value")
+
+    def remaining() -> float:
+        return args.budget_seconds - (time.perf_counter() - t_start)
+
+    # Overlap the relay's one-time first-D2H handshake (94–158 s measured)
+    # with the headline compile. bench_inference's own host fetches are
+    # ordered after this join via the single worker-thread-at-a-time rule.
+    from ircolor_tpu.utils.timing import start_transfer_warmup
+
+    warm = start_transfer_warmup()
+
+    # ---- headline: full test-mode step at the target resolution ----
+    def headline():
+        warm.join(timeout=300)
+        fps = bench_inference(args.height, args.width, args.batch,
+                              args.dtype, args.iters, args.warmup,
+                              quant=args.quant_int8)
+        return fps, str(jax.devices()[0])
+
+    head = run_stage("headline", headline,
+                     min(args.headline_budget, max(remaining(), 30.0)))
+    if head is not None:
+        result["value"] = round(head[0], 2)
+        result["vs_baseline"] = round(head[0] / 2000.0, 4)
+        result["device"] = head[1]
+    emit()
+    if wedged[0]:
+        os._exit(0)
+
+    # ---- aux stages, most important first; re-emit after each ----
+    stages = []
+    if args.with_train:
+        stages.append((
+            "train_512", "train_frames_per_sec_per_chip",
+            lambda: bench_train_step(args.height, args.width, args.train_batch,
+                                     args.dtype, max(5, args.iters // 4), 2),
+            lambda v: round(v, 2),
+        ))
+    if args.with_aux and not args.quant_int8:
+        # int8 serving mode (--quant-int8 at the CLI; in-kernel int8 fused
+        # blocks) — aux field since round 3's in-context win (docs/PERF.md
+        # run C: 154.5 fps forward vs float 136.9). Headline stays float.
+        stages.append((
+            "int8", "infer_fps_int8",
+            lambda: bench_inference(args.height, args.width, args.batch,
+                                    args.dtype, args.iters, args.warmup,
+                                    quant=True),
+            lambda v: round(v, 2),
+        ))
+    if args.with_aux and (args.height, args.width) != (256, 256):
+        stages.append((
+            "aux_256", "infer_fps_256x256",
+            lambda: bench_inference(256, 256, args.batch, args.dtype,
+                                    args.iters, args.warmup),
+            lambda v: round(v, 2),
+        ))
+    if args.with_aux and args.with_train:
+        # Train rate at the reference's own published regime (img_size 256,
+        # batch 4 — ref Config :57/:92); b4 sits in the XLA small-batch band
+        # where the fused kernels engage (docs/PERF.md round 3).
+        stages.append((
+            "train_ref", "train_fps_ref_config_256x256_b4",
+            lambda: bench_train_step(256, 256, 4, args.dtype,
+                                     max(10, args.iters // 2), 2),
+            lambda v: round(v, 2),
+        ))
+    if args.with_aux:
+        # Single-frame serving latency (batch 1, full test-mode step); the
+        # launch-size gates route b1 to the XLA path (docs/PERF.md).
+        stages.append((
+            "b1", "latency_b1_ms",
+            lambda: bench_inference(args.height, args.width, 1, args.dtype,
+                                    max(20, args.iters), args.warmup,
+                                    quant=args.quant_int8),
+            lambda v: round(1000.0 / v, 2),
+        ))
+
+    for name, key, fn, post in stages:
+        if wedged[0]:
+            break
+        if remaining() < 60.0:
+            print(f"# global budget exhausted ({args.budget_seconds:.0f}s) — "
+                  f"skipping {name} and later stages", flush=True)
+            break
+        value = run_stage(name, fn, min(args.stage_budget, remaining()))
+        if value is not None:
+            result[key] = post(value)
+            emit()
+
+    emit()
+    sys.stdout.flush()
+    if wedged[0]:
+        os._exit(0)
 
 
 if __name__ == "__main__":

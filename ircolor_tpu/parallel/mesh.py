@@ -48,26 +48,65 @@ def initialize_multihost(**kwargs: Any) -> None:
         # already initialized in-process): single-host, nothing to do.
 
 
+def _pick_devices(devices: list, n: int) -> list:
+    """First ``n`` of ``devices`` — but in a MULTI-PROCESS runtime, ``n/P``
+    from EACH process's addressable slice, in process order. A naive prefix
+    would land the whole mesh on the first hosts' chips, leaving the other
+    hosts' ``make_array_from_process_local_data`` contributions with no
+    addressable shard (caught by the real-process multihost test: a 4-host
+    batch-4 run built a 4-device mesh entirely on hosts 0-1 and the batch
+    assembly raised a partition-count mismatch)."""
+    nproc = jax.process_count()
+    if nproc == 1 or n == len(devices):
+        return list(devices)[:n]
+    if n % nproc != 0:
+        raise ValueError(
+            f"a {n}-device data mesh cannot span {nproc} processes evenly"
+        )
+    per = n // nproc
+    by_proc: dict[int, list] = {}
+    for d in devices:
+        by_proc.setdefault(d.process_index, []).append(d)
+    picked: list = []
+    for pi in sorted(by_proc):
+        if len(by_proc[pi]) < per:
+            raise ValueError(
+                f"process {pi} has only {len(by_proc[pi])} of the {per} "
+                f"devices its share of the {n}-device mesh needs"
+            )
+        picked.extend(by_proc[pi][:per])
+    return picked
+
+
 def make_data_mesh(
     n_devices: int = 0, devices: Any = None, batch_size: int | None = None
 ) -> Mesh:
     """1-D data-parallel mesh. ``n_devices=0`` → all visible devices, shrunk
     to the largest count that divides ``batch_size`` when one is given (a
-    batch of 4 on an 8-device host uses a 4-device mesh, etc.)."""
+    batch of 4 on an 8-device host uses a 4-device mesh, etc.). Multi-process
+    runs shrink in multiples of the process count so every host keeps an
+    equal share of the mesh (see ``_pick_devices``)."""
     if devices is None:
         devices = jax.devices()
+    nproc = jax.process_count()
     if n_devices and n_devices > 0:
         if n_devices > len(devices):
             raise ValueError(
                 f"requested {n_devices} data-parallel devices but only "
                 f"{len(devices)} are visible"
             )
-        devices = devices[:n_devices]
+        devices = _pick_devices(devices, n_devices)
     elif batch_size is not None:
         n = len(devices)
-        while n > 1 and batch_size % n != 0:
+        while n > 1 and (batch_size % n != 0 or n % nproc != 0):
             n -= 1
-        devices = devices[:n]
+        if n % nproc != 0:  # n == 1 but nproc > 1: no even split exists
+            raise ValueError(
+                f"global batch {batch_size} cannot be data-sharded over "
+                f"{nproc} processes (needs a mesh size that is a multiple "
+                f"of the process count and divides the batch)"
+            )
+        devices = _pick_devices(devices, n)
     return Mesh(np.asarray(devices), ("data",))
 
 
@@ -102,6 +141,31 @@ def make_train_mesh(
         )
     grid = np.asarray(devs[: dp * sp_devices]).reshape(dp, sp_devices)
     return Mesh(grid, ("data", "sp"))
+
+
+def warmup_mesh_collectives(mesh: Mesh) -> None:
+    """Pre-establish the cross-process communicator for ``mesh``'s device
+    set with one tiny all-reduce, issued while the processes are still in
+    lockstep (right after mesh construction).
+
+    Without this, the first REAL collective fires only after each process
+    finishes its own train-step compile — and compile skew across hosts can
+    exceed the transport's rendezvous window. Observed on the CPU backend:
+    gloo's 30 s GetKeyValue timeout killed the slowest-compiling of 4
+    processes (tests/test_parallel.py::test_multihost_real_processes[4]);
+    the communicator is cached per device set, so establishing it here makes
+    the post-compile first collective skew-tolerant. Single-process: no-op.
+    """
+    nproc = jax.process_count()
+    if nproc == 1 or mesh.size % nproc != 0:
+        return
+    x = np.ones((mesh.size,), np.float32)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(mesh.axis_names)),
+        x[: mesh.size // jax.process_count()],
+    )
+    out = jax.jit(lambda v: v.sum(), out_shardings=NamedSharding(mesh, P()))(arr)
+    jax.block_until_ready(out)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -34,6 +34,7 @@ from ircolor_tpu.parallel.mesh import (
     make_train_mesh,
     replicated_sharding,
     shard_batch,
+    warmup_mesh_collectives,
 )
 from ircolor_tpu.train.checkpoint import (
     latest_checkpoint,
@@ -169,6 +170,10 @@ def train_kaist(
     mesh = make_train_mesh(
         cfg.dp_devices, cfg.sp_devices, batch_size=cfg.batch_size
     )
+    # Multi-process: establish the mesh communicator NOW, while hosts are in
+    # lockstep — the first post-compile collective is skew-sensitive on some
+    # transports (parallel/mesh.py:warmup_mesh_collectives).
+    warmup_mesh_collectives(mesh)
     repl = replicated_sharding(mesh)
     state = jax.device_put(state, repl)
     if vgg_params is not None:
@@ -329,8 +334,9 @@ def train_kaist(
         is_best = val_l1 < best_val_l1
         if is_best:
             best_val_l1 = val_l1
+        do_save = epoch % cfg.save_every == 0 or epoch == cfg.epochs
         if jax.process_index() == 0:
-            if epoch % cfg.save_every == 0 or epoch == cfg.epochs:
+            if do_save:
                 stem = os.path.join(cfg.save_dir, f"netG_epoch_{epoch:03d}")
                 # The CLI generator is always the reference's reflect/no-dropout
                 # instantiation (models/wrapper.py hardcodes it, like ref :771);
@@ -340,16 +346,25 @@ def train_kaist(
                     no_antialias=cfg.no_antialias,
                 )
                 log.info("Saved generator checkpoint to %s", written[0])
-                save_full_state(
-                    orbax_dir, epoch, jax.device_get(state),
-                    {"epoch": epoch, "best_val_l1": best_val_l1, "val_l1": val_l1},
-                )
             if is_best:
                 save_netg_export(
                     jax.device_get(state.g_params), best_stem,
                     no_antialias=cfg.no_antialias,
                 )
                 log.info("New best model saved to %s (val L1=%.4f)", best_stem, best_val_l1)
+        if do_save:
+            # EVERY process calls the orbax save (outside the process-0 gate):
+            # orbax runs cross-process barriers internally, so a process-0-only
+            # call deadlocks a real multihost runtime — process 0 waits in the
+            # barrier, the others wait in the next epoch's collectives (caught
+            # by tests/test_parallel.py::test_multihost_real_processes). The
+            # device-resident (replicated) state is passed so orbax's array
+            # handler picks the writing replica itself; netG exports above are
+            # plain host file writes and stay process-0-only.
+            save_full_state(
+                orbax_dir, epoch, state,
+                {"epoch": epoch, "best_val_l1": best_val_l1, "val_l1": val_l1},
+            )
 
         # LR print (factor computed like the schedule; ref :1720-1721).
         from ircolor_tpu.train.schedule import linear_decay_factor

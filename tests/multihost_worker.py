@@ -1,0 +1,107 @@
+"""Subprocess worker for the REAL multi-process multihost test.
+
+Launched N times by ``tests/test_parallel.py::test_multihost_real_processes``
+(one OS process per simulated host). Each worker:
+
+* forces the CPU platform with ``--xla_force_host_platform_device_count=K``
+  (K fake local devices per host, so the global mesh spans N·K devices),
+* joins the cluster through the REAL ``jax.distributed.initialize`` path via
+  ``ircolor_tpu.parallel.mesh.initialize_multihost`` (gloo CPU collectives),
+* runs ``train_kaist`` for 2 short epochs on a shared synthetic KAIST tree —
+  exercising the per-host ``BatchLoader`` slices, the
+  ``jax.make_array_from_process_local_data`` global-batch assembly, the
+  replicated-scalar validation step, and the process-0-only checkpoint gate
+  with no monkeypatching anywhere,
+* dumps its view of the run (per-epoch val L1, best val L1, losses) to a
+  JSON file the parent test compares across processes.
+
+The reference has no distributed support at all (SURVEY.md §2.2); this is
+the TPU-native framework's multi-host layer (BASELINE config 5) under a
+genuine multi-process runtime.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--tree", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--local-devices", type=int, default=2)
+    args = ap.parse_args()
+
+    # Backend config must precede first backend use (the environment's
+    # sitecustomize force-registers a TPU plugin; pin to CPU like
+    # tests/conftest.py does).
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.local_devices}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from ircolor_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=f"localhost:{args.port}",
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    assert jax.process_count() == args.num_processes
+    assert jax.local_device_count() == args.local_devices
+
+    from ircolor_tpu.config import Config
+    from ircolor_tpu.train.loop import train_kaist
+
+    jsonl_path = os.path.join(args.workdir, f"log_p{args.process_id}.jsonl")
+    cfg = Config(
+        mode="train",
+        img_size=32,
+        ngf=8,
+        n_blocks=1,
+        batch_size=4,
+        epochs=2,
+        save_every=1,
+        lr_decay_start_epoch=1,
+        lambda_perc=0.0,  # structural VGG skip — no tower on the test path
+        num_workers=2,
+        train_roots=(args.tree,),
+        save_dir=os.path.join(args.workdir, "ckpt"),
+        jsonl_log=jsonl_path,
+    )
+    summary = train_kaist(cfg)
+
+    out = {
+        "process_id": args.process_id,
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "device_count": jax.device_count(),
+        "local_device_count": jax.local_device_count(),
+        "best_val_l1": summary["best_val_l1"],
+        "final_epoch_losses": summary["final_epoch_losses"],
+        "steps_total": summary["steps_total"],
+        "epoch_val_l1": [
+            rec["val_l1"]
+            for rec in map(json.loads, open(jsonl_path))
+            if rec.get("event") == "epoch"
+        ],
+    }
+    with open(
+        os.path.join(args.workdir, f"summary_p{args.process_id}.json"), "w"
+    ) as f:
+        json.dump(out, f)
+    print(f"[worker {args.process_id}] OK", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

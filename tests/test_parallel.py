@@ -645,3 +645,100 @@ def test_shardmap_val_step_matches_gspmd(eight_cpu_devices, monkeypatch):
     )
     assert float(got_c) == float(want_c) == 6.0
     np.testing.assert_allclose(float(got_s), float(want_s), atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# REAL multi-process multihost execution (VERDICT r3 next-step #3): spawn N
+# OS processes, each a simulated host with K fake CPU devices, joined through
+# the genuine ``jax.distributed.initialize`` path — no monkeypatched
+# process_index/process_count anywhere. Exercises initialize_multihost, the
+# per-host BatchLoader slices, make_array_from_process_local_data batch
+# assembly, the replicated-scalar validation, and the process-0 checkpoint
+# gate, then asserts every process agreed on val L1 and the best-ckpt
+# decision (BASELINE config 5's last untested layer).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.multihost
+@pytest.mark.parametrize("num_processes", [2, 4])
+def test_multihost_real_processes(tmp_path, num_processes):
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from ircolor_tpu.data.synthetic import make_kaist_tree
+
+    tree = tmp_path / "kaist"
+    make_kaist_tree(
+        str(tree), sets={"set00": {"V000": 8, "V001": 5}}, size_hw=(32, 32)
+    )
+    workdir = tmp_path / f"mh{num_processes}"
+    workdir.mkdir()
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(worker))}
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, worker,
+                "--process-id", str(i),
+                "--num-processes", str(num_processes),
+                "--port", str(port),
+                "--tree", str(tree),
+                "--workdir", str(workdir),
+                "--local-devices", "2",
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(num_processes)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    summaries = []
+    for i in range(num_processes):
+        with open(workdir / f"summary_p{i}.json") as f:
+            summaries.append(json.load(f))
+
+    s0 = summaries[0]
+    assert s0["process_count"] == num_processes
+    assert s0["device_count"] == 2 * num_processes
+    assert s0["local_device_count"] == 2
+    assert len(s0["epoch_val_l1"]) == 2 and np.isfinite(s0["epoch_val_l1"]).all()
+    for s in summaries[1:]:
+        # Every host computed over the SAME global arrays and fetched the
+        # same replicated scalars — val L1, best-val decisions, and loss
+        # means must agree across processes.
+        np.testing.assert_allclose(
+            s["epoch_val_l1"], s0["epoch_val_l1"], rtol=0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            s["best_val_l1"], s0["best_val_l1"], rtol=0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            s["final_epoch_losses"]["loss_G"],
+            s0["final_epoch_losses"]["loss_G"], rtol=0, atol=1e-5,
+        )
+        assert s["steps_total"] == s0["steps_total"]
+
+    # Only process 0 writes artifacts; both checkpoint families must exist.
+    ckpt = workdir / "ckpt"
+    assert (ckpt / "netG_best.pth").exists()
+    assert (ckpt / "netG_epoch_002.pth").exists()
+    assert (ckpt / "orbax").is_dir()
