@@ -227,6 +227,23 @@ class Config:
     # bf16, single-device or shard_map DP).
     pallas_block_bwd: str = "fused_wg"
 
+    # Fused Pallas BACKWARD for the encoder/decoder conv+IN+ReLU segments
+    # (ops/pallas_encdec.py — VERDICT r3 next-step #2: the enc/dec backward
+    # is ~108 ms of the 243.6 ms train step). down1: fused dgrad + XLA
+    # wgrad (its C=64 input leg is below the Mosaic 128-lane DMA
+    # constraint); down2 and up1 (skip-concat split as 256+128): fused
+    # dgrad AND wgrad. The custom_vjp primal is the same XLA
+    # conv+IN+ReLU, so checkpoints/parity are unaffected; training-path
+    # knob with the same single-device/shard_map restriction as the other
+    # fused kernels. MEASURED NULL (default stays OFF): step-level 285.1
+    # vs 243.0/243.3 ms ship sandwich (+41.8); isolated per-segment losses
+    # at every tile (down1 +4.1, down2 +2.0, up1 +0.3 — tools/encdecbench
+    # .py, docs/PERF.md round 4). The zero-SAME segments lack the two
+    # things the blocks' fused backward won on (reflect-pad VJP folds,
+    # chained IN-stats epilogues); kept parity-tested as a documented
+    # retirement (trainbench `encdec_bwd`).
+    pallas_encdec_bwd: bool = False
+
     # Fuse the down-stage IN-normalize+ReLU+reflect-blur-pool tails into one
     # normalize-on-load Pallas pass each (ops/pallas_blur.py). Differentiable
     # (custom_vjp), identical params. Default ON for INFERENCE — in-context

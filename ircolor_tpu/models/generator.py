@@ -47,6 +47,7 @@ from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
 from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
 from ircolor_tpu.ops.pallas_blur import norm_blur_supported, norm_relu_blur_down
 from ircolor_tpu.ops.pallas_head import head_supported, outc_head
+from ircolor_tpu.ops.pallas_encdec import conv_in_relu_fused, seg_tile_h
 from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
 from ircolor_tpu.ops.pallas_resblock import (
     resnet_block_pallas,
@@ -358,6 +359,12 @@ class ResnetUNetGenerator(nn.Module):
     # (ops/norm.py:instance_norm_cvjp; same primal, exactness-tested).
     # A/B knob for the training path (trainbench in_vjp).
     in_closed_vjp: bool = False
+    # Fused Pallas BACKWARD for the encoder/decoder conv+IN+ReLU segments
+    # (ops/pallas_encdec.py): down1 (dgrad fused, wgrad XLA — C=64 input
+    # leg), down2 and up1 (both fused). Training-path knob; primal stays
+    # the XLA conv + one-pass IN + ReLU. Same single-device/shard_map
+    # restriction as the other fused kernels.
+    pallas_encdec_bwd: bool = False
     # int8 MXU serving mode (ops/quant.py): the heavy convs (down1/down2,
     # all resblock convs, both decoder skip convs) run int8×int8→int32 on
     # the MXU's 2× path with dequantize-exact scales; every quantized site
@@ -495,27 +502,82 @@ class ResnetUNetGenerator(nn.Module):
             )
 
         stride_d = 2 if self.no_antialias else 1
-        x1 = conv("down1_conv", ngf * 2, 3, stride_d, ((1, 1), (1, 1)))(x0)
-        if norm_blur_ok(x1):
-            x1 = norm_relu_blur_down(x1, matmul_bwd=self.blur_matmul_bwd)  # (B, H/2, W/2, 128)
-        else:
-            x1 = norm_relu("down1_norm", x1)
+
+        def encdec_seg(zs, cout_):
+            """(tile_h, wgrad_mode) when the fused-backward segment engages
+            for conv(concat(zs)) → IN → ReLU, else None. Training-path only
+            (the custom_vjp primal is the same XLA forward); dgrad needs the
+            conv OUTPUT lane-aligned, fused wgrad additionally every input
+            leg (down1's C=64 leg keeps an XLA weight contraction)."""
+            if not (
+                train
+                and self.pallas_encdec_bwd
+                and self.norm == "instance"
+                and stride_d == 1
+                and _fused_dtype_ok(self.dtype)
+                and self.spatial_mesh is None
+                and quant_convs is False
+                and _pallas_available()
+            ):
+                return None
+            h_, w_ = zs[0].shape[1], zs[0].shape[2]
+            if cout_ % 128 != 0 or w_ % 8 != 0:
+                return None
+            th = seg_tile_h(h_, w_, max(cout_, max(z.shape[-1] for z in zs)))
+            if th is None:
+                return None
+            wmode = (
+                "fused"
+                if all(z.shape[-1] % 128 == 0 for z in zs)
+                else "xla"
+            )
+            return th, wmode
+
+        seg = encdec_seg((x0,), ngf * 2)
+        if seg is not None:
+            kd1 = _ConvParams(ngf * 2, use_bias, name="down1_conv")(x0.shape[-1])
+            x1 = conv_in_relu_fused(
+                seg[1], seg[0], False, (x0,), kd1.astype(self.dtype)
+            )
             if not self.no_antialias:
                 x1 = blur_downsample(
                     x1, precision=self.precision,
                     matmul_bwd=self.blur_matmul_bwd,
                 )  # (B, H/2, W/2, 128)
-
-        x2 = conv("down2_conv", ngf * 4, 3, stride_d, ((1, 1), (1, 1)))(x1)
-        if norm_blur_ok(x2):
-            x2 = norm_relu_blur_down(x2, matmul_bwd=self.blur_matmul_bwd)  # (B, H/4, W/4, 256)
         else:
-            x2 = norm_relu("down2_norm", x2)
+            x1 = conv("down1_conv", ngf * 2, 3, stride_d, ((1, 1), (1, 1)))(x0)
+            if norm_blur_ok(x1):
+                x1 = norm_relu_blur_down(x1, matmul_bwd=self.blur_matmul_bwd)  # (B, H/2, W/2, 128)
+            else:
+                x1 = norm_relu("down1_norm", x1)
+                if not self.no_antialias:
+                    x1 = blur_downsample(
+                        x1, precision=self.precision,
+                        matmul_bwd=self.blur_matmul_bwd,
+                    )  # (B, H/2, W/2, 128)
+
+        seg = encdec_seg((x1,), ngf * 4)
+        if seg is not None:
+            kd2 = _ConvParams(ngf * 4, use_bias, name="down2_conv")(x1.shape[-1])
+            x2 = conv_in_relu_fused(
+                seg[1], seg[0], False, (x1,), kd2.astype(self.dtype)
+            )
             if not self.no_antialias:
                 x2 = blur_downsample(
                     x2, precision=self.precision,
                     matmul_bwd=self.blur_matmul_bwd,
                 )  # (B, H/4, W/4, 256)
+        else:
+            x2 = conv("down2_conv", ngf * 4, 3, stride_d, ((1, 1), (1, 1)))(x1)
+            if norm_blur_ok(x2):
+                x2 = norm_relu_blur_down(x2, matmul_bwd=self.blur_matmul_bwd)  # (B, H/4, W/4, 256)
+            else:
+                x2 = norm_relu("down2_norm", x2)
+                if not self.no_antialias:
+                    x2 = blur_downsample(
+                        x2, precision=self.precision,
+                        matmul_bwd=self.blur_matmul_bwd,
+                    )  # (B, H/4, W/4, 256)
 
         # --- bottleneck ---
         h = x2
@@ -560,12 +622,23 @@ class ResnetUNetGenerator(nn.Module):
             y = blur_upsample_aa(h, precision=self.precision)
         if y.shape[1:3] != x1.shape[1:3]:
             y = bilinear_align_corners(y, x1.shape[1:3])     # fixup (ref :555-556)
-        # conv over concat([y, x1]) without materializing the 384-ch concat.
-        y = ConcatConv3x3(
-            ngf * 2, use_bias=use_bias, dtype=self.dtype,
-            precision=self.precision, quant_int8=quant_convs, name="up1_conv",
-        )(y, x1)
-        y = norm_relu("up1_norm", y)
+        # conv over concat([y, x1]) without materializing the 384-ch concat
+        # (in the fused-backward path the concat stays unmaterialized too:
+        # one dgrad over the full kernel + one wgrad per input leg).
+        seg = encdec_seg((y, x1), ngf * 2)
+        if seg is not None:
+            ku1 = _ConvParams(ngf * 2, use_bias, name="up1_conv")(
+                y.shape[-1] + x1.shape[-1]
+            )
+            y = conv_in_relu_fused(
+                seg[1], seg[0], False, (y, x1), ku1.astype(self.dtype)
+            )
+        else:
+            y = ConcatConv3x3(
+                ngf * 2, use_bias=use_bias, dtype=self.dtype,
+                precision=self.precision, quant_int8=quant_convs, name="up1_conv",
+            )(y, x1)
+            y = norm_relu("up1_norm", y)
 
         # --- decoder stage 2 (skip x0) ---
         if self.no_antialias_up:

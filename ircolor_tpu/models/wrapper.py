@@ -50,6 +50,7 @@ def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
         use_pallas=cfg.use_pallas,
         pallas_block=cfg.pallas_block,
         pallas_block_bwd=cfg.pallas_block_bwd,
+        pallas_encdec_bwd=cfg.pallas_encdec_bwd,
         pallas_norm_blur=cfg.pallas_norm_blur,
         pallas_norm_blur_min_area=cfg.pallas_norm_blur_min_area,
         pallas_norm_blur_min_launch=cfg.pallas_norm_blur_min_launch,

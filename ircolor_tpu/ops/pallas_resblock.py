@@ -521,9 +521,15 @@ _resblock_vjp.defvjp(_resblock_fwd, _resblock_bwd)
 
 
 def _kernel_dgrad(
-    p_hbm, c_hbm, a_hbm, k_ref, m_ref, i_ref, gm_ref, gy_ref, *rest,
+    p_hbm, c_hbm, *args,
     th: int, w: int, h: int, nh: int, mask_stats: bool, emit_dy: bool,
+    pad: str = "reflect", mask_p: bool = False, use_aux: bool = True,
 ):
+    if use_aux:
+        a_hbm = args[0]
+        args = args[1:]
+    k_ref, m_ref, i_ref, gm_ref, gy_ref = args[:5]
+    rest = args[5:]
     dy_ref = None
     if mask_stats:
         mm_ref, mi_ref = rest[0], rest[1]
@@ -536,7 +542,10 @@ def _kernel_dgrad(
     if mask_stats:
         s_ref = rest[0]
         rest = rest[1:]
-    p_vmem, c_vmem, a_vmem, xcat, sems = rest
+    if use_aux:
+        p_vmem, c_vmem, a_vmem, xcat, sems = rest
+    else:
+        p_vmem, c_vmem, xcat, sems = rest
 
     b, hh, lin, total, slot, nslot = _grid_slots(nh)
 
@@ -551,11 +560,12 @@ def _kernel_dgrad(
             for pred, cp in _halo_copy(hbm, vmem, sems.at[leg], bb, jj,
                                        slot_idx, th=th, h=h, nh=nh):
                 out.append((pred, cp))
-        out.append((None, pltpu.make_async_copy(
-            a_hbm.at[bb, pl.ds(jj * th, th)],
-            a_vmem.at[slot_idx],
-            sems.at[2, slot_idx],
-        )))
+        if use_aux:
+            out.append((None, pltpu.make_async_copy(
+                a_hbm.at[bb, pl.ds(jj * th, th)],
+                a_vmem.at[slot_idx],
+                sems.at[2, slot_idx],
+            )))
         return out
 
     _dma_prologue(all_copies, lin, total, slot, nslot)
@@ -566,6 +576,10 @@ def _kernel_dgrad(
     gy = gy_ref[b]
     pm = p_vmem[slot].astype(jnp.float32)   # (th+2, w, c)
     cmv = c_vmem[slot].astype(jnp.float32)
+    if mask_p:
+        # ReLU mask on load: the cotangent enters POST-ReLU (the enc/dec
+        # conv+IN+ReLU segments); n̂ > 0 ⇔ raw > m since inv > 0.
+        pm = jnp.where(cmv > m[None, None, :], pm, 0.0)
     nhat = (cmv - m[None, None, :]) * iv[None, None, :]
     t = iv[None, None, :] * (pm - gm[None, None, :] - nhat * gy[None, None, :])
     # Zero the image-edge halo rows (zero-SAME dgrad semantics) — a SELECT,
@@ -598,7 +612,9 @@ def _kernel_dgrad(
             preferred_element_type=jnp.float32,
         )
 
-    # Reflect-pad VJP fold, tile-local. With F = zero-ext conv_full(dy, kdg):
+    # Reflect-pad VJP fold, tile-local (pad="zero" — the enc/dec segments'
+    # zero-SAME convs — skips it: zero-SAME dgrad IS the base path above).
+    # With F = zero-ext conv_full(dy, kdg):
     #   dz[1]   += F[-1] = xcat[1]  @ kdg[2]      (rows -2, -1 are zero)
     #   dz[H-2] += F[H]  = xcat[th] @ kdg[0]
     #   dz[:,1]   += F1[:,-1],  F1[p,-1] = Σ_a dy[p+a-1, 0]   @ kdg[a, 2]
@@ -606,44 +622,45 @@ def _kernel_dgrad(
     # with the H-fold's own col values (corners) folded into F1 at rows
     # 1 / th-2 of the edge tiles. All adds are VPU selects on iota masks
     # (dynamic_update_slice on tiled dims is a Mosaic lowering risk).
-    topm = hh == 0
-    botm = hh == nh - 1
-    dot2 = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    rowtop = dot2(xcat[1], k_ref[2])    # (w, cout)
-    rowbot = dot2(xcat[th], k_ref[0])
-    ri = jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0)
-    acc = acc + jnp.where(
-        jnp.logical_and(ri == 1, topm), rowtop[None], 0.0
-    )
-    acc = acc + jnp.where(
-        jnp.logical_and(ri == th - 2, botm), rowbot[None], 0.0
-    )
+    if pad == "reflect":
+        topm = hh == 0
+        botm = hh == nh - 1
+        dot2 = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rowtop = dot2(xcat[1], k_ref[2])    # (w, cout)
+        rowbot = dot2(xcat[th], k_ref[0])
+        ri = jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0)
+        acc = acc + jnp.where(
+            jnp.logical_and(ri == 1, topm), rowtop[None], 0.0
+        )
+        acc = acc + jnp.where(
+            jnp.logical_and(ri == th - 2, botm), rowbot[None], 0.0
+        )
 
-    tl = tb[:, 0, :]        # (th+2, c) — dy col 0
-    tr = tb[:, w - 1, :]
-    colv = jnp.zeros((th, cout), jnp.float32)
-    colw = jnp.zeros((th, cout), jnp.float32)
-    for a in range(3):
-        colv = colv + dot2(tl[a : a + th], k_ref[a, 2 * c : 3 * c])
-        colw = colw + dot2(tr[a : a + th], k_ref[a, 0:c])
-    # Corner terms: F[-1,∓] / F[H,∓] land at fold rows 1 / th-2 of the
-    # edge tiles (dy rows 0 / H-1 are tile rows 1 / th there).
-    ctl = dot2(tl[1:2], k_ref[2, 2 * c : 3 * c])    # (1, cout)
-    cbl = dot2(tl[th : th + 1], k_ref[0, 2 * c : 3 * c])
-    ctr = dot2(tr[1:2], k_ref[2, 0:c])
-    cbr = dot2(tr[th : th + 1], k_ref[0, 0:c])
-    ri2 = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
-    colv = colv + jnp.where(jnp.logical_and(ri2 == 1, topm), ctl, 0.0)
-    colv = colv + jnp.where(jnp.logical_and(ri2 == th - 2, botm), cbl, 0.0)
-    colw = colw + jnp.where(jnp.logical_and(ri2 == 1, topm), ctr, 0.0)
-    colw = colw + jnp.where(jnp.logical_and(ri2 == th - 2, botm), cbr, 0.0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
-    acc = acc + jnp.where(ci == 1, colv[:, None, :], 0.0)
-    acc = acc + jnp.where(ci == w - 2, colw[:, None, :], 0.0)
+        tl = tb[:, 0, :]        # (th+2, c) — dy col 0
+        tr = tb[:, w - 1, :]
+        colv = jnp.zeros((th, cout), jnp.float32)
+        colw = jnp.zeros((th, cout), jnp.float32)
+        for a in range(3):
+            colv = colv + dot2(tl[a : a + th], k_ref[a, 2 * c : 3 * c])
+            colw = colw + dot2(tr[a : a + th], k_ref[a, 0:c])
+        # Corner terms: F[-1,∓] / F[H,∓] land at fold rows 1 / th-2 of the
+        # edge tiles (dy rows 0 / H-1 are tile rows 1 / th there).
+        ctl = dot2(tl[1:2], k_ref[2, 2 * c : 3 * c])    # (1, cout)
+        cbl = dot2(tl[th : th + 1], k_ref[0, 2 * c : 3 * c])
+        ctr = dot2(tr[1:2], k_ref[2, 0:c])
+        cbr = dot2(tr[th : th + 1], k_ref[0, 0:c])
+        ri2 = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+        colv = colv + jnp.where(jnp.logical_and(ri2 == 1, topm), ctl, 0.0)
+        colv = colv + jnp.where(jnp.logical_and(ri2 == th - 2, botm), cbl, 0.0)
+        colw = colw + jnp.where(jnp.logical_and(ri2 == 1, topm), ctr, 0.0)
+        colw = colw + jnp.where(jnp.logical_and(ri2 == th - 2, botm), cbr, 0.0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+        acc = acc + jnp.where(ci == 1, colv[:, None, :], 0.0)
+        acc = acc + jnp.where(ci == w - 2, colw[:, None, :], 0.0)
 
     if mask_stats:
         av = a_vmem[slot].astype(jnp.float32)   # raw1 tile (th, w, cout)
@@ -664,16 +681,18 @@ def _kernel_dgrad(
         @pl.when(hh != 0)
         def _():
             s_ref[...] = s_ref[...] + tile
-    else:
+    elif use_aux:
         o_ref[...] = (
             acc + a_vmem[slot].astype(jnp.float32)
         ).astype(o_ref.dtype)[None]
+    else:
+        o_ref[...] = acc.astype(o_ref.dtype)[None]
 
 
 def conv3x3_dgrad_fused(
     p: jnp.ndarray,
     comp: jnp.ndarray,
-    aux: jnp.ndarray,
+    aux: jnp.ndarray | None,
     kernel_fwd: jnp.ndarray,
     m: jnp.ndarray,
     inv: jnp.ndarray,
@@ -682,6 +701,8 @@ def conv3x3_dgrad_fused(
     mask_stats: tuple | None = None,
     *,
     emit_dy: bool = True,
+    pad: str = "reflect",
+    mask_p: bool = False,
     tile_h: int = 16,
     vmem_limit_mb: int = 100,
     interpret: bool = False,
@@ -702,7 +723,18 @@ def conv3x3_dgrad_fused(
     fused in. ``dy`` is stored (in ``p.dtype``) for the XLA wgrads;
     ``emit_dy=False`` drops that output (its slot in the return tuple
     becomes None) when the fused wgrads recompute dy themselves.
+
+    Encoder/decoder-segment options (VERDICT r3 next-step #2): ``pad=
+    "zero"`` skips the reflect fold (the enc/dec convs are zero-SAME, ref
+    :469-474/:503-507 — zero-SAME dgrad is exactly the base path);
+    ``mask_p=True`` applies the ReLU mask to ``p`` on load (cotangent
+    entering POST-ReLU; requires gm/gy computed on the masked cotangent);
+    ``aux=None`` drops the aux operand entirely (no residual add / no
+    mask-stats epilogue — the segment's dz flows to a blur VJP next).
     """
+    use_aux = aux is not None
+    assert use_aux or mask_stats is None, "mask_stats epilogue needs aux"
+    assert pad in ("reflect", "zero"), pad
     b, h, w, c = p.shape
     assert comp.shape == p.shape, (comp.shape, p.shape)
     cin = kernel_fwd.shape[2]
@@ -710,8 +742,10 @@ def conv3x3_dgrad_fused(
     assert h % tile_h == 0, f"H={h} must divide tile_h={tile_h}"
     assert tile_h >= 4, tile_h
     assert w % 8 == 0 and w >= 8, f"W={w} must be 8-aligned"
-    assert interpret or (c % 128 == 0 and aux.shape[-1] % 128 == 0), (
-        f"conv3x3_dgrad_fused: C={c}/{aux.shape[-1]} not 128-aligned — "
+    assert interpret or (
+        c % 128 == 0 and (not use_aux or aux.shape[-1] % 128 == 0)
+    ), (
+        f"conv3x3_dgrad_fused: C={c} not 128-aligned — "
         "Mosaic cannot DMA-slice sub-lane-tile channel extents"
     )
     nh = h // tile_h
@@ -720,15 +754,16 @@ def conv3x3_dgrad_fused(
     # recover kdg[a, dx].
     kdg = jnp.transpose(kernel_fwd[::-1, ::-1], (0, 1, 3, 2))
     cout = kdg.shape[-1]
-    assert aux.shape == (b, h, w, cout), (aux.shape, (b, h, w, cout))
+    if use_aux:
+        assert aux.shape == (b, h, w, cout), (aux.shape, (b, h, w, cout))
     kpacked = kdg.reshape(3, 3 * c, cout)
 
     vmem = pltpu.VMEM if not interpret else None
     anym = pltpu.ANY if not interpret else None
-    in_specs = [pl.BlockSpec(memory_space=anym)] * 3 + [
+    in_specs = [pl.BlockSpec(memory_space=anym)] * (2 + use_aux) + [
         pl.BlockSpec(memory_space=vmem)
     ] * 5
-    operands = [p, comp, aux, kpacked,
+    operands = [p, comp] + ([aux] if use_aux else []) + [kpacked,
                 m.astype(jnp.float32), inv.astype(jnp.float32),
                 gm.astype(jnp.float32), gy.astype(jnp.float32)]
     out_shape = [jax.ShapeDtypeStruct((b, h, w, cout), p.dtype)]
@@ -755,6 +790,7 @@ def conv3x3_dgrad_fused(
     kernel_fn = functools.partial(
         _kernel_dgrad, th=tile_h, w=w, h=h, nh=nh,
         mask_stats=mask_stats is not None, emit_dy=emit_dy,
+        pad=pad, mask_p=mask_p, use_aux=use_aux,
     )
     kwargs = {}
     if not interpret:
@@ -763,24 +799,29 @@ def conv3x3_dgrad_fused(
         )
         kwargs["cost_estimate"] = pl.CostEstimate(
             flops=2 * b * h * w * 9 * c * cout,
-            bytes_accessed=(p.size + comp.size + aux.size
+            bytes_accessed=(p.size + comp.size
+                            + (aux.size if use_aux else 0)
                             + b * h * w * (cout + c * emit_dy))
             * p.dtype.itemsize,
             transcendentals=0,
         )
+    scratch = [
+        pltpu.VMEM((2, tile_h + 2, w, c), p.dtype),
+        pltpu.VMEM((2, tile_h + 2, w, c), comp.dtype),
+    ]
+    if use_aux:
+        scratch.append(pltpu.VMEM((2, tile_h, w, aux.shape[-1]), aux.dtype))
+    scratch += [
+        pltpu.VMEM((tile_h + 2, w, 3 * c), p.dtype),
+        pltpu.SemaphoreType.DMA((3, 2)),
+    ]
     outs = pl.pallas_call(
         kernel_fn,
         out_shape=tuple(out_shape),
         grid=(b, nh),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2, w, c), p.dtype),
-            pltpu.VMEM((2, tile_h + 2, w, c), comp.dtype),
-            pltpu.VMEM((2, tile_h, w, aux.shape[-1]), aux.dtype),
-            pltpu.VMEM((tile_h + 2, w, 3 * c), p.dtype),
-            pltpu.SemaphoreType.DMA((3, 2)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
     )(*operands)
@@ -795,6 +836,7 @@ def conv3x3_dgrad_fused(
 def _kernel_wgrad(
     z_hbm, p_hbm, c_hbm, m_ref, i_ref, gm_ref, gy_ref, *rest,
     th: int, w: int, h: int, nh: int, norm_z: bool,
+    pad: str = "reflect", mask_p: bool = False,
 ):
     if norm_z:
         zm_ref, zi_ref = rest[0], rest[1]
@@ -820,19 +862,32 @@ def _kernel_wgrad(
 
     _dma_prologue(all_copies, lin, total, slot, nslot)
 
-    # H-axis reflect fixups on the activation leg (the wgrad sees the
-    # reflect-PADDED activation — same halo semantics as the forward).
+    # H-axis pad fixups on the activation leg (the wgrad sees the PADDED
+    # activation — same halo semantics as the forward): reflect mirrors
+    # interior rows; zero (the enc/dec segments' zero-SAME convs) writes
+    # zero rows at the image edges.
+    def _top_fix(ref):
+        ref[slot, 0] = (
+            ref[slot, 2] if pad == "reflect" else jnp.zeros_like(ref[slot, 0])
+        )
+
+    def _bot_fix(ref):
+        ref[slot, th + 1] = (
+            ref[slot, th - 1] if pad == "reflect"
+            else jnp.zeros_like(ref[slot, th + 1])
+        )
+
     if nh == 1:
-        z_vmem[slot, 0] = z_vmem[slot, 2]
-        z_vmem[slot, th + 1] = z_vmem[slot, th - 1]
+        _top_fix(z_vmem)
+        _bot_fix(z_vmem)
     else:
         @pl.when(hh == 0)
         def _():
-            z_vmem[slot, 0] = z_vmem[slot, 2]
+            _top_fix(z_vmem)
 
         @pl.when(hh == nh - 1)
         def _():
-            z_vmem[slot, th + 1] = z_vmem[slot, th - 1]
+            _bot_fix(z_vmem)
 
     zin = z_vmem[slot]
     cz = zin.shape[-1]
@@ -842,25 +897,34 @@ def _kernel_wgrad(
         zin = (zin.astype(jnp.float32) - zm[None, None, :]) * zi[None, None, :]
         zin = jnp.maximum(zin, 0.0).astype(z_vmem.dtype)
 
-    # The cotangent tile: dy = inv·(p − gm − n̂·gy), n̂ = (comp − m)·inv.
+    # The cotangent tile: dy = inv·(p − gm − n̂·gy), n̂ = (comp − m)·inv
+    # (p ReLU-masked on load when mask_p — the enc/dec segments' cotangent
+    # enters POST-ReLU; n̂ > 0 ⇔ comp > m).
     m = m_ref[b]
     iv = i_ref[b]
     gm = gm_ref[b]
     gy = gy_ref[b]
     pm = p_vmem[slot].astype(jnp.float32)
     cmv = c_vmem[slot].astype(jnp.float32)
+    if mask_p:
+        pm = jnp.where(cmv > m[None, None, :], pm, 0.0)
     nhat = (cmv - m[None, None, :]) * iv[None, None, :]
     dyt = (
         iv[None, None, :] * (pm - gm[None, None, :] - nhat * gy[None, None, :])
     ).astype(p_vmem.dtype)
 
-    # dx-concat operand with W-axis reflect (forward layout): xcat[r, q,
-    # dx·C+ci] = zin[r, reflect(q+dx−1), ci].
+    # dx-concat operand in the forward layout: xcat[r, q, dx·C+ci] =
+    # zpad[r, q+dx−1, ci] — W edges mirror (reflect) or zero (zero-SAME).
     xcat[:, :, cz : 2 * cz] = zin
     xcat[:, 1:, 0:cz] = zin[:, : w - 1]
-    xcat[:, 0:1, 0:cz] = zin[:, 1:2]
+    xcat[:, 0:1, 0:cz] = (
+        zin[:, 1:2] if pad == "reflect" else jnp.zeros_like(zin[:, 0:1])
+    )
     xcat[:, : w - 1, 2 * cz :] = zin[:, 1:]
-    xcat[:, w - 1 : w, 2 * cz :] = zin[:, w - 2 : w - 1]
+    xcat[:, w - 1 : w, 2 * cz :] = (
+        zin[:, w - 2 : w - 1] if pad == "reflect"
+        else jnp.zeros_like(zin[:, 0:1])
+    )
 
     # dk[dy] = Σ_{p,q} zpad[p+dy, q+dx, ci]·dy[p, q, co] — one (th·w)-
     # contraction matmul per dy tap, accumulated over the whole grid in
@@ -899,6 +963,8 @@ def conv3x3_wgrad_fused(
     gy: jnp.ndarray,
     znorm: tuple | None = None,
     *,
+    pad: str = "reflect",
+    mask_p: bool = False,
     tile_h: int = 16,
     vmem_limit_mb: int = 100,
     interpret: bool = False,
@@ -940,8 +1006,10 @@ def conv3x3_wgrad_fused(
         in_specs += [pl.BlockSpec(memory_space=vmem)] * 2
         operands += [zm.astype(jnp.float32), zi.astype(jnp.float32)]
 
+    assert pad in ("reflect", "zero"), pad
     kernel_fn = functools.partial(
         _kernel_wgrad, th=tile_h, w=w, h=h, nh=nh, norm_z=znorm is not None,
+        pad=pad, mask_p=mask_p,
     )
     kwargs = {}
     if not interpret:

@@ -160,12 +160,25 @@ def warmup_mesh_collectives(mesh: Mesh) -> None:
     if nproc == 1 or mesh.size % nproc != 0:
         return
     x = np.ones((mesh.size,), np.float32)
-    arr = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P(mesh.axis_names)),
-        x[: mesh.size // jax.process_count()],
-    )
-    out = jax.jit(lambda v: v.sum(), out_shardings=NamedSharding(mesh, P()))(arr)
-    jax.block_until_ready(out)
+    # Retry across the transport's rendezvous window: a process that arrives
+    # early times out waiting for slower peers' keys, but those keys are
+    # durable in the KV store — a fresh attempt then succeeds. 4 attempts ≈
+    # 2 minutes of tolerated skew on gloo's 30 s window.
+    last: Exception | None = None
+    for _ in range(4):
+        try:
+            arr = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P(mesh.axis_names)),
+                x[: mesh.size // nproc],
+            )
+            out = jax.jit(
+                lambda v: v.sum(), out_shardings=NamedSharding(mesh, P())
+            )(arr)
+            jax.block_until_ready(out)
+            return
+        except Exception as exc:  # rendezvous timeout — peers still booting
+            last = exc
+    raise last
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -128,6 +128,21 @@ def train_kaist(
     if steps_per_epoch == 0:
         raise RuntimeError("Not enough pairs for a single training batch")
 
+    # ---- mesh FIRST (multi-process: establish the communicator while the
+    # hosts are still in lockstep — state init below is compile-heavy and
+    # its cross-host skew can exceed a transport's collective-rendezvous
+    # window; parallel/mesh.py:warmup_mesh_collectives) ----
+    if cfg.sp_devices > 1 and cfg.dp_mode != "gspmd":
+        raise ValueError(
+            "spatially-sharded training (--sp-devices > 1) requires "
+            "dp_mode='gspmd' — the shard_map step partitions the batch "
+            "axis only"
+        )
+    mesh = make_train_mesh(
+        cfg.dp_devices, cfg.sp_devices, batch_size=cfg.batch_size
+    )
+    warmup_mesh_collectives(mesh)
+
     # ---- model / optimizer state ----
     state, g_module, d_module, (opt_g, opt_d) = create_train_state(cfg, steps_per_epoch)
     if cfg.init_G_weights is not None and os.path.isfile(cfg.init_G_weights):
@@ -161,19 +176,6 @@ def train_kaist(
     # training for resolutions exceeding per-chip HBM; GSPMD inserts the
     # conv halo exchanges and turns the IN/loss spatial means into
     # cross-shard all-reduces in both the forward and backward) ----
-    if cfg.sp_devices > 1 and cfg.dp_mode != "gspmd":
-        raise ValueError(
-            "spatially-sharded training (--sp-devices > 1) requires "
-            "dp_mode='gspmd' — the shard_map step partitions the batch "
-            "axis only"
-        )
-    mesh = make_train_mesh(
-        cfg.dp_devices, cfg.sp_devices, batch_size=cfg.batch_size
-    )
-    # Multi-process: establish the mesh communicator NOW, while hosts are in
-    # lockstep — the first post-compile collective is skew-sensitive on some
-    # transports (parallel/mesh.py:warmup_mesh_collectives).
-    warmup_mesh_collectives(mesh)
     repl = replicated_sharding(mesh)
     state = jax.device_put(state, repl)
     if vgg_params is not None:

@@ -91,6 +91,7 @@ def create_train_state(
         (cfg.pallas_block and cfg.pallas_block_train)
         or cfg.pallas_norm_blur
         or cfg.pallas_head
+        or cfg.pallas_encdec_bwd
     ):
         # pallas_call cannot be GSPMD-partitioned: on a multi-device
         # data-parallel mesh under dp_mode='gspmd' the fused kernels inside
@@ -111,7 +112,7 @@ def create_train_state(
         if cfg.sp_devices > 1 or (multi and cfg.dp_mode != "shard_map"):
             cfg = cfg.replace(
                 pallas_block_train=False, pallas_norm_blur=False,
-                pallas_head=False,
+                pallas_head=False, pallas_encdec_bwd=False,
             )
     if cfg.sp_devices > 1 and cfg.blur_matmul_bwd:
         # The matmul blur-backward contracts over the image axes; under

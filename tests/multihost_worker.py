@@ -36,6 +36,7 @@ def main() -> None:
     ap.add_argument("--tree", required=True)
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--local-devices", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=2)
     args = ap.parse_args()
 
     # Backend config must precede first backend use (the environment's
@@ -70,7 +71,7 @@ def main() -> None:
         ngf=8,
         n_blocks=1,
         batch_size=4,
-        epochs=2,
+        epochs=args.epochs,
         save_every=1,
         lr_decay_start_epoch=1,
         lambda_perc=0.0,  # structural VGG skip — no tower on the test path

@@ -200,3 +200,54 @@ def test_conv3x3_reflect_fused_provided_halo_lowers(rng):
         )[0],
         x, *rows,
     )
+
+
+@pytest.mark.parametrize("wgrad_mode", ["xla", "fused"])
+def test_encdec_segment_bwd_lowers(rng, wgrad_mode):
+    """The enc/dec conv+IN+ReLU segment backward (ops/pallas_encdec.py):
+    zero-pad dgrad (mask_p, no aux) + fused/XLA wgrads, at a down2-like
+    shape (128→256) and the up1 concat form (256+128→128)."""
+    from ircolor_tpu.ops.pallas_encdec import conv_in_relu_fused
+
+    x = _bf16(rng.rand(1, 32, 64, 128) * 2 - 1)
+    k = _bf16(rng.randn(3, 3, 128, 256) * 0.05)
+    _lower_tpu(
+        jax.grad(
+            lambda v, k_: conv_in_relu_fused(wgrad_mode, 16, False, (v,), k_)
+            .astype(jnp.float32)
+            .sum(),
+            argnums=(0, 1),
+        ),
+        x, k,
+    )
+
+    a = _bf16(rng.rand(1, 32, 64, 256) * 2 - 1)
+    b = _bf16(rng.rand(1, 32, 64, 128) * 2 - 1)
+    kc = _bf16(rng.randn(3, 3, 384, 128) * 0.05)
+    _lower_tpu(
+        jax.grad(
+            lambda aa, bb, k_: conv_in_relu_fused(
+                wgrad_mode, 16, False, (aa, bb), k_
+            ).astype(jnp.float32).sum(),
+            argnums=(0, 1, 2),
+        ),
+        a, b, kc,
+    )
+
+
+def test_encdec_segment_down1_shape_lowers(rng):
+    """down1's asymmetric case: C=64 input (dx written at C=64 — BlockSpec
+    write, no halo DMA), dy at C=128 (halo-DMA'd); wgrad stays XLA."""
+    from ircolor_tpu.ops.pallas_encdec import conv_in_relu_fused
+
+    x = _bf16(rng.rand(1, 32, 64, 64) * 2 - 1)
+    k = _bf16(rng.randn(3, 3, 64, 128) * 0.05)
+    _lower_tpu(
+        jax.grad(
+            lambda v, k_: conv_in_relu_fused("xla", 16, False, (v,), k_)
+            .astype(jnp.float32)
+            .sum(),
+            argnums=(0, 1),
+        ),
+        x, k,
+    )

@@ -684,6 +684,10 @@ def test_multihost_real_processes(tmp_path, num_processes):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(worker))}
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    # 4 workers = 4 concurrent CPU compiles of the train/val steps — halve
+    # the epoch count (per-epoch agreement is what N=4 adds; N=2 keeps the
+    # 2-epoch best-ckpt logic) and give the compile contention headroom.
+    epochs = 2 if num_processes == 2 else 1
     procs = [
         subprocess.Popen(
             [
@@ -694,6 +698,7 @@ def test_multihost_real_processes(tmp_path, num_processes):
                 "--tree", str(tree),
                 "--workdir", str(workdir),
                 "--local-devices", "2",
+                "--epochs", str(epochs),
             ],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
@@ -702,7 +707,7 @@ def test_multihost_real_processes(tmp_path, num_processes):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
@@ -720,7 +725,8 @@ def test_multihost_real_processes(tmp_path, num_processes):
     assert s0["process_count"] == num_processes
     assert s0["device_count"] == 2 * num_processes
     assert s0["local_device_count"] == 2
-    assert len(s0["epoch_val_l1"]) == 2 and np.isfinite(s0["epoch_val_l1"]).all()
+    assert len(s0["epoch_val_l1"]) == epochs
+    assert np.isfinite(s0["epoch_val_l1"]).all()
     for s in summaries[1:]:
         # Every host computed over the SAME global arrays and fetched the
         # same replicated scalars — val L1, best-val decisions, and loss
@@ -740,5 +746,5 @@ def test_multihost_real_processes(tmp_path, num_processes):
     # Only process 0 writes artifacts; both checkpoint families must exist.
     ckpt = workdir / "ckpt"
     assert (ckpt / "netG_best.pth").exists()
-    assert (ckpt / "netG_epoch_002.pth").exists()
+    assert (ckpt / f"netG_epoch_{epochs:03d}.pth").exists()
     assert (ckpt / "orbax").is_dir()

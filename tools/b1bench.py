@@ -27,11 +27,15 @@ p.add_argument("--iters", type=int, default=40)
 p.add_argument("--force", action="store_true",
                help="force each variant's kernels ON (min_area=0) instead "
                     "of using the shipped launch-size gates")
+p.add_argument("--variants", default=None,
+               help="comma list of variant names to run (default: all)")
 args = p.parse_args()
 B = args.batch
 
 
 def bench(name, cfg, iters=None, warmup=4):
+    if args.variants is not None and name not in args.variants.split(","):
+        return
     iters = iters or args.iters
     module = generator_from_config(cfg)
     if args.force:

@@ -77,6 +77,9 @@ VARIANTS: dict[str, tuple[dict, bool]] = {
     "d_lp2": ({}, True),    # lane-packed PatchGAN conv0/conv_out
     # Closed-form analytic backward for the 5 enc/dec instance norms:
     "in_vjp": ({}, True),
+    # Fused Pallas backward for the enc/dec conv+IN+ReLU segments
+    # (ops/pallas_encdec.py — down1 dgrad, down2/up1 dgrad+wgrad):
+    "encdec_bwd": ({"pallas_encdec_bwd": True}, True),
     "d_concat": ({"d_concat": True}, True),  # one double-batch D fwd/bwd (= ship)
     "d_two": ({"d_concat": False}, True),    # the two-forward D phase
     "no_perc": ({"lambda_perc": 0.0}, True),
