@@ -133,6 +133,10 @@ def _fused_tile_h(h: int) -> int | None:
 # Tests override via the module fields.
 _FUSED_MIN_AREA = 12288
 _FUSED_MIN_LAUNCH = 40960
+# Smallest per-shard bottleneck plane at which the small-batch band is
+# PROBED to win under spatial sharding (sp=2 at 512×640 → 64×160 px;
+# tools/r4_band_sp_run.sh). Smaller shards fall back to XLA.
+_SP_BAND_MIN_AREA = 10240
 
 
 def _xla_smallbatch_band(b: int) -> bool:
@@ -245,12 +249,18 @@ class ResnetBlock(nn.Module):
             # per-launch plane (resolution regime — per-shard rows under
             # spatial sharding) AND per-launch batch·plane (grid depth) —
             # overridden inside the XLA small-batch pathology band, where
-            # the kernel wins at every measured point.
+            # the kernel wins at every measured point. Under spatial
+            # sharding the band engages down to the PROBED per-shard
+            # bottleneck plane (sp=2 at 512×640 → 64×160 = 10240 px:
+            # blocks-only beat XLA 1.19–1.42× across b2–b6 at the 256×640
+            # shard plane, tools/r4_band_sp_run.sh, docs/PERF.md r4);
+            # smaller shards are unprobed and fall back.
             and (
                 (local_h * x.shape[2] >= self.pallas_block_min_area
                  and x.shape[0] * local_h * x.shape[2]
                  >= self.pallas_block_min_launch)
-                or (_xla_smallbatch_band(x.shape[0]) and not sp)
+                or (_xla_smallbatch_band(x.shape[0])
+                    and (not sp or local_h * x.shape[2] >= _SP_BAND_MIN_AREA))
             )
             and (self.spatial_mesh is None or sp)
             and _pallas_available()
