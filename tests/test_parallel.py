@@ -748,3 +748,36 @@ def test_multihost_real_processes(tmp_path, num_processes):
     assert (ckpt / "netG_best.pth").exists()
     assert (ckpt / f"netG_epoch_{epochs:03d}.pth").exists()
     assert (ckpt / "orbax").is_dir()
+
+
+def test_pick_devices_multiprocess_topology(monkeypatch):
+    """make_data_mesh's device picking must span all processes evenly when
+    shrinking (the real-process test caught a prefix pick stranding hosts
+    2-3); unit-check the picker's selection and error paths with a faked
+    2-process topology."""
+    from ircolor_tpu.parallel import mesh as mesh_mod
+
+    class FakeDev:
+        def __init__(self, i, proc):
+            self.id = i
+            self.process_index = proc
+
+        def __repr__(self):
+            return f"d{self.id}@p{self.process_index}"
+
+    devs = [FakeDev(i, i // 4) for i in range(8)]  # 2 procs × 4 devices
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+
+    picked = mesh_mod._pick_devices(devs, 4)
+    assert [d.id for d in picked] == [0, 1, 4, 5]  # 2 from each process
+
+    with pytest.raises(ValueError, match="cannot span 2 processes evenly"):
+        mesh_mod._pick_devices(devs, 3)
+
+    # batch that cannot split evenly across processes → clear error
+    with pytest.raises(ValueError, match="cannot be data-sharded over"):
+        mesh_mod.make_data_mesh(0, devs, batch_size=1)
+
+    # single-process passthrough keeps the plain prefix
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 1)
+    assert [d.id for d in mesh_mod._pick_devices(devs, 3)] == [0, 1, 2]
