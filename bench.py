@@ -130,9 +130,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=640)
-    # Batch 16 is the measured v5e sweet spot at 512×640 (b8: 50.7 fps
-    # forward-only, b16: 53, b32: regresses on HBM pressure).
-    p.add_argument("--batch", type=int, default=16)
+    # Batch 32 is the round-4 measured sweet spot for the FULL test-mode
+    # step at 512×640 (same-process sandwich: b16 124.3/124.5 fps vs b32
+    # 127.7/127.7; int8 139.1 vs 142.8 — the round-3 fused kernels deepened
+    # the launch grids enough to move the round-2 b16 verdict). 256² still
+    # prefers b16 (625.7 vs 598.7) — the aux stage pins it.
+    p.add_argument("--batch", type=int, default=32)
     # b8 is the measured train sweet spot (b4: 10.2, b8: 27.5 without remat
     # / 23.3 with, b16: 25.4 f/s on v5e at 512×640 bf16).
     p.add_argument("--train-batch", type=int, default=8)
@@ -268,9 +271,11 @@ def main() -> None:
             lambda v: round(v, 2),
         ))
     if args.with_aux and (args.height, args.width) != (256, 256):
+        # 256² pinned at batch 16: the published-table resolution prefers it
+        # (b16 625.7 vs b32 598.7 fps, round-4 same-process probe).
         stages.append((
             "aux_256", "infer_fps_256x256",
-            lambda: bench_inference(256, 256, args.batch, args.dtype,
+            lambda: bench_inference(256, 256, min(args.batch, 16), args.dtype,
                                     args.iters, args.warmup),
             lambda v: round(v, 2),
         ))
