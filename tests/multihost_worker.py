@@ -50,6 +50,19 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # Persistent compile cache (best-effort): the G+D train-step compile is
+    # the dominant per-worker cost (minutes under 4-way CPU contention — the
+    # source of rendezvous-window flakiness). NOTE: identical config writes
+    # entries in single-process repros, but no writes were observed from
+    # these spawned distributed workers on the dev machine (unresolved);
+    # the load-robustness that actually holds is the parent's 1500 s
+    # communicate() budget + the 1-epoch N=4 variant.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_comp_cache_cpu_mh"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from ircolor_tpu.parallel.mesh import initialize_multihost
 

@@ -707,7 +707,7 @@ def test_multihost_real_processes(tmp_path, num_processes):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     finally:
         for p in procs:
