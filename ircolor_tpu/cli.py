@@ -30,7 +30,8 @@ def _add_config_flags(parser: argparse.ArgumentParser) -> None:
         cased = "--" + f.name.replace("_", "-")
         if cased not in args:
             args.append(cased)
-        if f.type in ("bool", bool) or isinstance(f.default, bool):
+        ann = f.type if isinstance(f.type, str) else getattr(f.type, "__name__", str(f.type))
+        if "bool" in {p.strip() for p in ann.split("|")} or isinstance(f.default, bool):
             parser.add_argument(*args, dest=f.name, default=None,
                                 action=argparse.BooleanOptionalAction)
         elif f.name in ("train_roots", "test_roots"):

@@ -165,7 +165,7 @@ def run_test(cfg: Config) -> dict[str, Any]:
         )
 
     size_hw = cfg.resolved_hw
-    bsz = max(1, cfg.test_batch_size)
+    bsz = cfg.resolved_test_batch_size
 
     # Spatial sharding (cfg.sp_devices > 1): image H (and W when
     # cfg.sp_w_devices > 1) tiled over a mesh, params replicated; GSPMD

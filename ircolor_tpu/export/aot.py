@@ -159,7 +159,7 @@ def run_export(cfg) -> str:
     )
     blob = export_inference(
         model.module, variables, h, w,
-        batch_size=max(1, cfg.test_batch_size), input_nc=cfg.input_nc,
+        batch_size=cfg.resolved_test_batch_size, input_nc=cfg.input_nc,
         platforms=platforms, keep_pallas=cfg.export_keep_pallas,
     )
     out = cfg.export_out
@@ -179,7 +179,7 @@ def run_export(cfg) -> str:
     log.info(
         "Exported %s serving artifact: %s (%.1f MB, %dx%d b%d, platforms=%s)",
         "same-fleet fused-kernel" if has_kernels else "pure-StableHLO",
-        out, len(blob) / 1e6, h, w, max(1, cfg.test_batch_size),
+        out, len(blob) / 1e6, h, w, cfg.resolved_test_batch_size,
         platforms or ("tpu" if cfg.export_keep_pallas else "(backend default)"),
     )
     return out

@@ -46,7 +46,7 @@ from ircolor_tpu.models.common import (
 from ircolor_tpu.ops.blurpool import blur_downsample, blur_upsample_aa
 from ircolor_tpu.ops.padding import pad2d, reflect_pad2d
 from ircolor_tpu.ops.pallas_blur import norm_blur_supported, norm_relu_blur_down
-from ircolor_tpu.ops.pallas_head import head_supported, outc_head
+from ircolor_tpu.ops.pallas_head import head_supported, outc_head, outc_head_q
 from ircolor_tpu.ops.pallas_encdec import conv_in_relu_fused, seg_tile_h
 from ircolor_tpu.ops.pallas_kernels import instance_norm_auto
 from ircolor_tpu.ops.pallas_resblock import (
@@ -694,7 +694,12 @@ class ResnetUNetGenerator(nn.Module):
             and _pallas_available()
         ):
             k7, b7 = _HeadParams(self.output_nc, name="outc_conv")(y.shape[-1])
-            y = outc_head(y, k7.astype(self.dtype)) + b7.astype(self.dtype)
+            if quant:
+                # int8 serving inside the fused head (round 5): same
+                # schedule/traffic, matmuls on the int8 2× MXU path.
+                y = outc_head_q(y, k7.astype(self.dtype)) + b7.astype(self.dtype)
+            else:
+                y = outc_head(y, k7.astype(self.dtype)) + b7.astype(self.dtype)
             return jnp.tanh(y)
         y = norm_relu("up2_norm", y)
 

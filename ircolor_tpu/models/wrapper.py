@@ -59,7 +59,7 @@ def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
         pallas_head_min_launch=cfg.pallas_head_min_launch,
         lanepack=cfg.lanepack,
         blur_matmul_bwd=cfg.blur_matmul_bwd,
-        quant_int8=cfg.quant_int8,
+        quant_int8=cfg.resolved_quant_int8,
         remat=cfg.remat,
     )
 

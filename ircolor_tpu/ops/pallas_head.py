@@ -60,6 +60,10 @@ except ImportError:  # pragma: no cover
     _HAVE_PLTPU = False
 
 _KS = 7  # kernel size (pad 3)
+# Fixed activation quantization clip for the int8 head: post-IN+ReLU inputs
+# are bounded ≈[0, 6σ]. MUST match ops/pallas_resblock._QCLIP (the fused
+# block's conv2 leg uses the identical fixed-scale scheme).
+_QCLIP = 6.0
 # Candidate output-pixels-per-lane-group widths, best MXU N-fill first.
 # Mosaic constrains BOTH tiled dims of the group-packed (B, H, W/p, p·C)
 # memref: lane extent p·C % 128 == 0 AND sublane extent (W/p) % 8 == 0 —
@@ -125,9 +129,22 @@ def _halo3_copies(x_hbm, x_vmem, sems, bb, hh, slot, *, th: int, h: int, nh: int
 
 
 def _kernel_head(
-    x_hbm, ka_ref, kb_ref, kc_ref, m_ref, i_ref, o_ref, x_vmem, sems,
-    *, th: int, h: int, nh: int, c: int, p: int,
+    x_hbm, ka_ref, kb_ref, kc_ref, m_ref, i_ref, *rest,
+    th: int, h: int, nh: int, c: int, p: int, quant: bool = False,
 ):
+    if quant:
+        # int8 twin (same pattern as pallas_resblock._kernel_q): the
+        # normalized+ReLU'd tile is quantized in-VMEM by the fixed 127/6σ
+        # scale (post-IN+ReLU values are bounded ≈[0, 6σ] — identical
+        # assumption to the fused block's conv2 leg), the three window
+        # matmuls contract int8×int8→int32 on the MXU's 2× path, and the
+        # (p·cout,) f32 ``sc_ref`` (= 6σ/127 · s_w[co], off-tiled)
+        # dequantizes the accumulator in the epilogue. HBM traffic and DMA
+        # structure are identical to the float kernel.
+        sc_ref, o_ref, x_vmem, sems = rest
+    else:
+        sc_ref = None
+        o_ref, x_vmem, sems = rest
     b = pl.program_id(0)
     hh = pl.program_id(1)
     lin = b * nh + hh
@@ -186,15 +203,22 @@ def _kernel_head(
     inv = i_ref[b]
     xn = x_vmem[slot].astype(jnp.float32)  # (th+6, WG, p·C)
     xn = jnp.maximum((xn - mean[None, None, :]) * inv[None, None, :], 0.0)
-    xn = xn.astype(x_vmem.dtype)
+    if quant:
+        # Post-IN+ReLU values are bounded ≈[0, 6σ]: the fixed 127/6σ scale
+        # needs no amax pass (no low clip — xn ≥ 0 after the ReLU).
+        xn = jnp.minimum(jnp.round(xn * (127.0 / _QCLIP)), 127.0).astype(jnp.int8)
+        acc_t = jnp.int32
+    else:
+        xn = xn.astype(x_vmem.dtype)
+        acc_t = jnp.float32
 
     wg = xn.shape[1]
     nout = o_ref.shape[-1]
-    acc = jnp.zeros((th, wg, nout), jnp.float32)
+    acc = jnp.zeros((th, wg, nout), acc_t)
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_t,
     )
     for dy in range(_KS):
         xm = xn[dy : dy + th]  # (th, WG, p·C)
@@ -225,6 +249,8 @@ def _kernel_head(
         )
         xr = jnp.concatenate([xm[:, 1:, : 4 * c], redge[:, None]], axis=1)
         acc = acc + dot(xr, kc_ref[dy])
+    if quant:
+        acc = acc.astype(jnp.float32) * sc_ref[...][None, None, :]
     o_ref[...] = acc.astype(o_ref.dtype)[None]
 
 
@@ -266,11 +292,19 @@ def conv7x7_head_pallas(
     tile_h: int | None = None,
     pack: int | None = None,
     vmem_limit_mb: int = 96,
+    quant: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B,H,W,C) RAW conv output + per-(B,C) IN ``(mean, inv_std)`` +
     (7,7,C,cout) weights → ``conv7×7_reflect3(relu((x−mean)·inv))``,
     (B,H,W,cout). No bias/tanh — the caller fuses those into its epilogue.
+
+    ``quant=True`` runs the int8 serving form: weights per-output-channel
+    int8 (quantized here), activations quantized in-VMEM after the
+    normalize+ReLU by the fixed 127/6σ scale, matmuls int8×int8→int32 on
+    the MXU's 2× path, dequantized in the epilogue (ops/quant.py scheme —
+    error is int8 rounding noise only; no scale reaches the output since
+    the dequant is exact).
     """
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
@@ -291,7 +325,17 @@ def conv7x7_head_pallas(
     nh = h // th
 
     xg = x.reshape(b, h, wg, p * c)  # one XLA relayout pass
-    ka, kb, kc = _pack_head_kernels(kernel.astype(x.dtype), p)
+    if quant:
+        from ircolor_tpu.ops.quant import quantize_weight_per_channel
+
+        kq, sw = quantize_weight_per_channel(kernel)  # int8, f32 (cout,)
+        ka, kb, kc = _pack_head_kernels(kq, p)
+        # Output column (off·cout + co) dequantizes by 6σ/127 · s_w[co]:
+        # tile matches the off-major packed column order.
+        sc = jnp.tile(sw * (_QCLIP / 127.0), p)
+    else:
+        ka, kb, kc = _pack_head_kernels(kernel.astype(x.dtype), p)
+        sc = None
     m32 = jnp.tile(mean.astype(jnp.float32), (1, p))
     i32 = jnp.tile(inv.astype(jnp.float32), (1, p))
 
@@ -307,18 +351,25 @@ def conv7x7_head_pallas(
             bytes_accessed=(x.size + b * h * w * cout) * x.dtype.itemsize,
             transcendentals=0,
         )
+    in_specs = [
+        pl.BlockSpec(memory_space=anym),
+        pl.BlockSpec(memory_space=vmem),
+        pl.BlockSpec(memory_space=vmem),
+        pl.BlockSpec(memory_space=vmem),
+        pl.BlockSpec(memory_space=vmem),
+        pl.BlockSpec(memory_space=vmem),
+    ]
+    operands = [xg, ka, kb, kc, m32, i32]
+    if quant:
+        in_specs.append(pl.BlockSpec(memory_space=vmem))
+        operands.append(sc.astype(jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_kernel_head, th=th, h=h, nh=nh, c=c, p=p),
+        functools.partial(
+            _kernel_head, th=th, h=h, nh=nh, c=c, p=p, quant=quant
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, wg, p * cout), x.dtype),
         grid=(b, nh),
-        in_specs=[
-            pl.BlockSpec(memory_space=anym),
-            pl.BlockSpec(memory_space=vmem),
-            pl.BlockSpec(memory_space=vmem),
-            pl.BlockSpec(memory_space=vmem),
-            pl.BlockSpec(memory_space=vmem),
-            pl.BlockSpec(memory_space=vmem),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, th, wg, p * cout), lambda i, j: (i, j, 0, 0),
             memory_space=vmem,
@@ -329,7 +380,7 @@ def conv7x7_head_pallas(
         ],
         interpret=interpret,
         **kwargs,
-    )(xg, ka, kb, kc, m32, i32)
+    )(*operands)
     return out.reshape(b, h, w, cout)
 
 
@@ -389,3 +440,21 @@ def _head_bwd(interpret, res, g):
 
 
 _head_vjp.defvjp(_head_fwd, _head_bwd)
+
+
+def outc_head_q(
+    x: jnp.ndarray, kernel: jnp.ndarray, *, interpret: bool = False
+) -> jnp.ndarray:
+    """int8 serving form of ``outc_head`` (inference-only — round-to-nearest
+    has zero gradient, same stance as ops/quant.py): identical schedule and
+    HBM traffic, matmuls on the MXU's int8 2× path, fixed 127/6σ activation
+    scale after the in-kernel normalize+ReLU, per-output-channel weight
+    scales dequantized exactly in the epilogue. Ref semantics
+    `/root/reference/Code/ir_colorization.py:527-531`.
+    """
+    from ircolor_tpu.ops.norm import instance_norm_stats
+
+    mean, inv = instance_norm_stats(x)
+    return conv7x7_head_pallas(
+        x, mean, inv, kernel, quant=True, interpret=interpret
+    )

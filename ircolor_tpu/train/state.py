@@ -74,7 +74,7 @@ def create_train_state(
         rng = jax.random.PRNGKey(cfg.seed)
     rng_g, rng_d = jax.random.split(rng)
     h, w = cfg.resolved_hw
-    if cfg.quant_int8:
+    if cfg.resolved_quant_int8 or cfg.quant_int8 is None:
         # int8 round-to-nearest has zero gradient — training always runs the
         # float convs (identical params; a float-trained checkpoint serves
         # quantized).

@@ -50,19 +50,41 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    # Persistent compile cache (best-effort): the G+D train-step compile is
-    # the dominant per-worker cost (minutes under 4-way CPU contention — the
-    # source of rendezvous-window flakiness). NOTE: identical config writes
-    # entries in single-process repros, but no writes were observed from
-    # these spawned distributed workers on the dev machine (unresolved);
-    # the load-robustness that actually holds is the parent's 1500 s
-    # communicate() budget + the 1-epoch N=4 variant.
+    # Persistent compile cache: the G+D train-step compile is the dominant
+    # per-worker cost (minutes under 4-way CPU contention — the source of
+    # rendezvous-window flakiness). The round-4 "no cache writes observed"
+    # anomaly is ROOT-CAUSED (round 5, /tmp probe committed to docs/PERF.md):
+    # (a) JAX hard-codes "only process 0 writes" (jax/_src/compiler.py
+    #     _cache_write: "Not writing persistent cache entry since
+    #     process_id != 0") — by design, assuming identical keys;
+    # (b) but on the multi-process CPU backend the cache key's
+    #     accelerator_config component diverges PER PROCESS
+    #     (get_topology_for_devices(...).serialize() embeds process-local
+    #     state), so non-zero processes compute keys that can never hit
+    #     process 0's entries — every run recompiled on N−1 processes.
+    # Fix: hash the accelerator config via jax's own documented fallback
+    # (_hash_devices — str(device) is identical across processes for the
+    # shared global device list). Keys then match across processes, p0's
+    # write serves everyone, and a second multihost run compiles in
+    # seconds (verified: 2-proc probe, run 2 = zero cache misses on both
+    # processes). Test-harness-only patch, guarded so an upstream rename
+    # degrades to the old always-recompile behavior instead of breaking.
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.expanduser("~/.cache/jax_comp_cache_cpu_mh"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        import jax._src.cache_key as _cache_key
+
+        _cache_key._hash_accelerator_config = (
+            lambda hash_obj, accelerators: _cache_key._hash_devices(
+                hash_obj, accelerators
+            )
+        )
+    except (ImportError, AttributeError):  # pragma: no cover
+        pass
 
     from ircolor_tpu.parallel.mesh import initialize_multihost
 

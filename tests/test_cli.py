@@ -181,7 +181,17 @@ def test_config_presets_load():
 
     flag = load("flagship_512x640.json", "test")
     assert flag.resolved_hw == (512, 640)
-    assert flag.compute_dtype == "bf16" and flag.test_batch_size == 16
+    # Resolution-aware default: the flagship preset leaves test_batch_size
+    # unset so the product dispatches the certified 512×640 batch (32); 256²
+    # resolves to 16 (VERDICT r4 #5).
+    assert flag.compute_dtype == "bf16" and flag.resolved_test_batch_size == 32
+    assert Config(img_size=256).resolved_test_batch_size == 16
+    # int8 serving default: ON for bf16 serving, OFF for the f32 parity path
+    # and for training (VERDICT r4 #2).
+    assert flag.resolved_quant_int8 is True
+    assert Config().resolved_quant_int8 is False          # f32 parity path
+    assert flag.replace(mode="train").resolved_quant_int8 is False
+    assert flag.replace(quant_int8=False).resolved_quant_int8 is False
 
     # Flags still win over the preset (CLI contract).
     ns = parser.parse_args(["--config", presets["flagship_512x640.json"],

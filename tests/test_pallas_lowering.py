@@ -100,6 +100,20 @@ def test_conv7x7_head_pallas_lowers(rng):
         )
 
 
+def test_conv7x7_head_pallas_q_lowers(rng):
+    from ircolor_tpu.ops.pallas_head import conv7x7_head_pallas, outc_head_q
+
+    k7 = _bf16(rng.randn(7, 7, 64, 3) * 0.05)
+    for w in (320, 256):  # p=40 and p=32 packs
+        x = _bf16(rng.rand(1, 32, w, 64) * 2 - 1)
+        mean, inv = instance_norm_stats(x)
+        _lower_tpu(
+            lambda v, m, i: conv7x7_head_pallas(v, m, i, k7, quant=True),
+            x, mean, inv,
+        )
+        _lower_tpu(lambda v: outc_head_q(v, k7), x)
+
+
 def test_norm_relu_blur_down_lowers(rng):
     from ircolor_tpu.ops.pallas_blur import (
         norm_relu_blur_down,

@@ -10,6 +10,8 @@ always forces the mode off (round-to-nearest has zero gradient).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -280,3 +282,47 @@ def test_quant_convs_disabled_when_fused_kernels_engage(monkeypatch):
         jax.jit(lambda p, v: plain.apply({"params": p}, v)).lower(params, x).as_text()
     )
     assert "xi8>" in hlo_plain, "QuantConv path lost without fused kernels"
+
+
+def test_int8_budget_gate_micro_train(kaist_tree, tmp_path):
+    """Automated accuracy-budget regression gate behind the int8-by-default
+    serving mode (VERDICT r4 #2). Micro-trains a small generator on the
+    synthetic tree, then runs the FULL test pipeline (uint8 roundtrip
+    before metrics, ref :1413) on the trained weights in float and int8
+    serving modes and asserts the summary deltas stay inside a scaled
+    budget. The full-scale tight gate (0.02 dB / 0.002 SSIM at 512×640 on a
+    trained checkpoint — measured −0.011 dB / −0.0002 in round 4,
+    docs/int8_budget_r4.json) runs per round on hardware via
+    `tools/int8budget.py --assert-max-dpsnr 0.02 --assert-max-dssim 0.002`;
+    this CPU gate catches mode-level breakage (scale absorption, QuantConv
+    routing, transport) at bounds loose enough for the tiny scale but far
+    below what any real int8 regression produces (a broken scale fold moves
+    PSNR by whole dB)."""
+    from ircolor_tpu.eval.runner import run_test
+    from ircolor_tpu.train.loop import train_kaist
+
+    root, _ = kaist_tree
+    train_cfg = Config(
+        mode="train", img_size=32, batch_size=2, epochs=2, save_every=2,
+        n_blocks=2, ngf=16, num_workers=2, train_roots=(str(root / "set00"),),
+        save_dir=str(tmp_path / "ckpt"), lr_decay_start_epoch=1, log_every=5,
+        seed=0,
+    )
+    train_kaist(train_cfg)
+    pth = os.path.join(train_cfg.save_dir, "netG_epoch_002.pth")
+    assert os.path.isfile(pth)
+
+    summaries = {}
+    for mode, quant in (("float", False), ("int8", True)):
+        cfg = Config(
+            mode="test", img_size=32, test_batch_size=4, n_blocks=2, ngf=16,
+            test_roots=(str(root / "set02"),),
+            output_dir=str(tmp_path / f"res_{mode}"), test_G_weights=pth,
+            topk=0, save_comparisons=False, num_workers=2, quant_int8=quant,
+        )
+        summaries[mode] = run_test(cfg)
+    f, q = summaries["float"], summaries["int8"]
+    assert q["count"] == f["count"] > 0
+    assert abs(q["mean_psnr"] - f["mean_psnr"]) < 0.3, (f, q)
+    assert abs(q["mean_ssim"] - f["mean_ssim"]) < 0.01, (f, q)
+    assert abs(q["mean_mae"] - f["mean_mae"]) < 0.005, (f, q)

@@ -99,9 +99,12 @@ def build_forward(
     fold7_inc=True,
     norm_blur=False,
     fused_head=False,
+    head_q=False,
     quant=False,
+    quant_fixed=(),
     nb_const_stats=False,
     in_off_sites=(),
+    res_tile=None,
 ):
     rng = np.random.RandomState(0)
 
@@ -134,10 +137,35 @@ def build_forward(
             return reflect_pad2d(v, n)
         return v  # zero-SAME handled by the conv padding below
 
-    def q3(v, k, padding=((1, 1), (1, 1))):
-        """int8 MXU conv (ops.quant): per-channel weights, per-sample acts."""
-        from ircolor_tpu.ops.quant import conv2d_int8
+    # quant=True → all four enc/dec conv sites on the XLA int8 path;
+    # quant=tuple(sites) → only those sites (per-site A/B, round 5);
+    # quant_fixed=tuple(sites) → those sites additionally skip the dynamic
+    # per-sample amax: their inputs are post-IN+ReLU (bounded ≈[0, 6σ]), so
+    # the fixed 127/6σ scale is exact-enough and removes the amax reduce +
+    # its scheduling barrier (the suspected QuantConv in-context killer).
+    qsites = (
+        {"d1", "d2", "u1", "u2"} if quant is True
+        else set(quant) if quant else set()
+    )
 
+    def q3(v, k, padding=((1, 1), (1, 1)), site=None):
+        """int8 MXU conv (ops.quant): per-channel weights, per-sample acts."""
+        from jax import lax
+
+        from ircolor_tpu.ops.quant import conv2d_int8, quantize_weight_per_channel
+
+        if site in quant_fixed:
+            wq, sw = quantize_weight_per_channel(k)
+            xq = jnp.minimum(
+                jnp.round(v.astype(jnp.float32) * (127.0 / 6.0)), 127.0
+            ).astype(jnp.int8)  # inputs ≥ 0 post-IN+ReLU: no low clip
+            dn = lax.conv_dimension_numbers(
+                xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+            y32 = lax.conv_general_dilated(
+                xq, wq, (1, 1), padding, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            return (y32.astype(jnp.float32) * (sw * (6.0 / 127.0))).astype(DT)
         return conv2d_int8(v, k, padding=padding, out_dtype=DT)
 
     def conv_pad(v, k, n):
@@ -187,12 +215,12 @@ def build_forward(
         if res_pallas == "int8":
             from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas_q
 
-            th = 32 if h.shape[1] % 32 == 0 else 16
+            th = res_tile or (32 if h.shape[1] % 32 == 0 else 16)
             return resnet_block_pallas_q(h, k1, k2, tile_h=th)
         if res_pallas:
             from ircolor_tpu.ops.pallas_resblock import resnet_block_pallas
 
-            th = 32 if h.shape[1] % 32 == 0 else 16
+            th = res_tile or (32 if h.shape[1] % 32 == 0 else 16)
             return resnet_block_pallas(h, k1, k2, tile_h=th)
         r = inr(conv_pad(h, k1, 1))
         return h + innorm(conv_pad(r, k2, 1))
@@ -231,16 +259,20 @@ def build_forward(
         # d1 (x0 C=64) and u2 (x0 skip C=64) CANNOT fuse: Mosaic can't
         # DMA-slice sub-128-channel legs (see conv3x3_sum_fused). Only the
         # 128-aligned stages — d2 (128→256) and u1 (256+128→128) — fuse.
-        c3 = q3 if quant else (lambda v, k: conv2d(v, k, padding=((1, 1), (1, 1))))
+        def c3(v, k, site=None):
+            if site in qsites:
+                return q3(v, k, site=site)
+            return conv2d(v, k, padding=((1, 1), (1, 1)))
+
         if norm_blur:
-            x1 = norm_blur_down(c3(x0, p["d1"]))
-            h = norm_blur_down(c3(x1, p["d2"]))
+            x1 = norm_blur_down(c3(x0, p["d1"], site="d1"))
+            h = norm_blur_down(c3(x1, p["d2"], site="d2"))
         else:
-            x1 = down_blur(inr(c3(x0, p["d1"])))
+            x1 = down_blur(inr(c3(x0, p["d1"], site="d1")))
             if fused_du:
                 h = down_blur(fused_inr([x1], [p["d2"]]))
             else:
-                h = down_blur(inr(c3(x1, p["d2"])))
+                h = down_blur(inr(c3(x1, p["d2"], site="d2")))
         if res_scan:
             h = jax.lax.scan(
                 lambda c, ks: (one_res(c, ks), None), h, res_stack
@@ -253,10 +285,14 @@ def build_forward(
         if fused_du:
             y = fused_inr([y, x1], [p["u1"][:, :, :ca], p["u1"][:, :, ca:]])
         else:
-            y = inr(c3(y, p["u1"][:, :, :ca]) + c3(x1, p["u1"][:, :, ca:]), site="u1")
+            y = inr(c3(y, p["u1"][:, :, :ca], site="u1")
+                    + c3(x1, p["u1"][:, :, ca:], site="u1"), site="u1")
         y = up_blur(y)
         ca = y.shape[-1]
-        u2c = q3 if quant else (lambda v, k: lp(v, k, 2, lp_up2))
+        u2c = (
+            (lambda v, k: q3(v, k, site="u2")) if "u2" in qsites
+            else (lambda v, k: lp(v, k, 2, lp_up2))
+        )
         raw2 = u2c(y, p["u2"][:, :, :ca]) + u2c(x0, p["u2"][:, :, ca:])
         if fused_head:
             # Fused 7×7 head: up2's IN+ReLU, the reflect pad, and the conv
@@ -270,7 +306,9 @@ def build_forward(
                 i = jnp.ones_like(m)
             else:
                 m, i = instance_norm_stats(raw2)
-            return jnp.tanh(conv7x7_head_pallas(raw2, m, i, p["out"]))
+            return jnp.tanh(
+                conv7x7_head_pallas(raw2, m, i, p["out"], quant=head_q)
+            )
         y = inr(raw2)
         return jnp.tanh(pad7_conv(y, p["out"], 32, lp_outc))
 
@@ -348,6 +386,64 @@ VARIANTS = {
     # kernels' normalize-on-load fusion).
     "int8_ship": dict(
         _BASE, res_pallas="int8", quant=True, norm_blur=True, fused_head=True
+    ),
+    # ---- Round-5 256² small-plane probes (VERDICT r4 #4): the fused
+    # blocks lose at 256² b16 with the default tiles (th=32 → grid depth 2
+    # per image); smaller tiles deepen the launch grid. Run with
+    # --height 256 --width 256.
+    "pb_th16": dict(_BASE, res_pallas=True, res_tile=16),
+    "pb_th8": dict(_BASE, res_pallas=True, res_tile=8),
+    "pb_int8_th16": dict(_BASE, res_pallas="int8", res_tile=16),
+    "pb_int8_th8": dict(_BASE, res_pallas="int8", res_tile=8),
+    # ---- Round-5 int8-coverage sweep (VERDICT r4 #1): extend int8 beyond
+    # the blocks. Base for every row: int8_nbh (the shipped serving combo).
+    # int8 fused head: the new ops/pallas_head quant=True kernel (int8
+    # matmuls inside the same schedule — no epilogue touches HBM).
+    "int8_nbh_hq": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True, head_q=True,
+    ),
+    # Per-site XLA QuantConv re-probes (run D's +3.0 ms verdict was
+    # all-sites-at-once; the losing site may be one of four): one enc/dec
+    # conv on the dynamic-amax int8 path at a time.
+    "int8_qc_d1": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True,
+        quant=("d1",),
+    ),
+    "int8_qc_d2": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True,
+        quant=("d2",),
+    ),
+    "int8_qc_u1": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True,
+        quant=("u1",),
+    ),
+    "int8_qc_u2": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True,
+        quant=("u2",),
+    ),
+    # Fixed-scale (127/6σ, no amax reduce) int8 at the post-IN+ReLU-input
+    # sites — removes the dynamic quantize's reduce barrier entirely.
+    "int8_qcf_d1": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True,
+        quant=("d1",), quant_fixed=("d1",),
+    ),
+    "int8_qcf_d2": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True,
+        quant=("d2",), quant_fixed=("d2",),
+    ),
+    "int8_qcf_u2": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True,
+        quant=("u2",), quant_fixed=("u2",),
+    ),
+    "int8_qcf_du": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True,
+        quant=("d1", "d2", "u2"), quant_fixed=("d1", "d2", "u2"),
+    ),
+    # Everything-int8 candidate: int8 blocks + nb + int8 head + fixed-scale
+    # d1/d2/u2 + dynamic u1.
+    "int8_full5": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True, head_q=True,
+        quant=("d1", "d2", "u1", "u2"), quant_fixed=("d1", "d2", "u2"),
     ),
     # Round-3 remaining-gap attribution ON TOP of the shipped nb+head combo
     # (pb_nb_head). All WRONG MATH — perf probes only.

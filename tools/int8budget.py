@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="/tmp/int8budget")
     ap.add_argument("--cpu", action="store_true")
+    # Regression-gate mode (VERDICT r4 #2): exit 1 when |ΔPSNR| / |ΔSSIM|
+    # between float and int8 serving exceed the bounds — run per round on a
+    # trained checkpoint as the automated check behind the int8-by-default
+    # serving mode (tools/r5_serial_run.sh wires it; the r4 measured deltas
+    # were −0.011 dB / −0.0002 SSIM against these 0.02 / 0.002 bounds).
+    ap.add_argument("--assert-max-dpsnr", type=float, default=None)
+    ap.add_argument("--assert-max-dssim", type=float, default=None)
     args = ap.parse_args()
 
     import jax
@@ -113,6 +120,21 @@ def main() -> None:
         },
     }
     print(json.dumps(result, indent=2, default=float))
+
+    failures = []
+    if args.assert_max_dpsnr is not None and abs(result["delta_psnr_db"]) > args.assert_max_dpsnr:
+        failures.append(
+            f"|dPSNR| {abs(result['delta_psnr_db']):.4f} dB > {args.assert_max_dpsnr}"
+        )
+    if args.assert_max_dssim is not None and abs(result["delta_ssim"]) > args.assert_max_dssim:
+        failures.append(
+            f"|dSSIM| {abs(result['delta_ssim']):.5f} > {args.assert_max_dssim}"
+        )
+    if failures:
+        print("INT8 BUDGET GATE FAILED: " + "; ".join(failures))
+        raise SystemExit(1)
+    if args.assert_max_dpsnr is not None or args.assert_max_dssim is not None:
+        print("INT8 BUDGET GATE PASSED")
 
 
 if __name__ == "__main__":

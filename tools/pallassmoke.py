@@ -179,6 +179,25 @@ def main() -> None:
         )
         ok = False
 
+    # int8 head (round 5): same schedule, int8 matmuls + fixed 127/6σ
+    # activation scale. Reference = the interpret-mode kernel itself (exact
+    # integer math inside; TPU-vs-interpret diffs are quant-step-boundary
+    # flips, same bound as the int8 block).
+    try:
+        want_hq = conv7x7_head_pallas(
+            xh, mh, ih, k7, quant=True, interpret=True
+        )
+        got_hq = jax.jit(
+            lambda v, m2, i2: conv7x7_head_pallas(v, m2, i2, k7, quant=True)
+        )(xh, mh, ih)
+        ok &= check("conv7x7_head_q", got_hq, want_hq, atol=0.05)
+    except Exception as exc:
+        print(
+            f"FAIL conv7x7_head_q: {type(exc).__name__}: {str(exc)[:200]}",
+            flush=True,
+        )
+        ok = False
+
     # Mosaic int8 matmul CAPABILITY probe (not a regression gate): if this
     # compiles and matches, an int8 fused resblock (in-DMA halos + int8
     # matmuls + IN epilogue) is buildable on top of the XLA-level int8

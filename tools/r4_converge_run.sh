@@ -11,6 +11,7 @@
 set -u
 WORK=${1:-/tmp/r4conv}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
+cd "$REPO"   # package imports below resolve via cwd; make the script runnable from anywhere
 TREE="$WORK/tree"
 CKPT="$WORK/ckpt"
 mkdir -p "$WORK"
