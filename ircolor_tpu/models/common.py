@@ -197,12 +197,34 @@ class ConcatConv3x3(nn.Module):
     # int8 serving mode: each half runs on the MXU int8 path with its own
     # per-sample activation scale (the split identity holds per term).
     quant_int8: bool = False
+    # FIXED-scale int8 (127/6σ, no amax reduce — ops/quant.py
+    # conv2d_int8_fixed): only valid when both inputs are IN+ReLU-derived
+    # non-negative ≈6σ-bounded chains (the decoder's up2 site). Measured
+    # −20.3 ms in-context at 32×512×640 where the dynamic form LOSES 3.9
+    # (tools/fwdvariants.py round 5). Takes precedence over quant_int8.
+    quant_fixed: bool = False
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         from ircolor_tpu.ops.conv import conv2d, conv2d_lanepack
 
         ca, cb = a.shape[-1], b.shape[-1]
+        if self.quant_fixed:
+            from ircolor_tpu.ops.quant import conv2d_int8_fixed
+
+            kernel = self.param(
+                "kernel", kernel_init, (3, 3, ca + cb, self.features)
+            )
+            y = conv2d_int8_fixed(
+                a, kernel[:, :, :ca], padding=((1, 1), (1, 1)),
+                out_dtype=jnp.float32,
+            ) + conv2d_int8_fixed(
+                b, kernel[:, :, ca:], padding=((1, 1), (1, 1)),
+                out_dtype=jnp.float32,
+            )
+            if self.use_bias:
+                y = y + self.param("bias", bias_init, (self.features,))
+            return y.astype(self.dtype)
         if self.quant_int8:
             from ircolor_tpu.ops.quant import conv2d_int8
 

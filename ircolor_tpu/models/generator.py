@@ -668,9 +668,17 @@ class ResnetUNetGenerator(nn.Module):
             y = blur_upsample_aa(y, precision=self.precision)
         if y.shape[1:3] != x0.shape[1:3]:
             y = bilinear_align_corners(y, x0.shape[1:3])     # fixup (ref :562-563)
+        # Round-5 int8 coverage: where the fused kernels deselect the
+        # dynamic QuantConv path (quant_convs=False), up2 ALONE still wins
+        # on int8 — with the FIXED 127/6σ input scale (both its inputs are
+        # IN+ReLU-derived non-negative chains): −20.3 ms at 32×512×640
+        # (fwdvariants int8_qcf_u2; the dynamic amax form LOSES +3.9 there,
+        # and every other enc/dec site measured NULL-to-loss — d1 +12.5,
+        # d2 +1.6, u1 +1.3; docs/PERF.md round 5). Param layout unchanged.
         y = ConcatConv3x3(
             ngf, use_bias=use_bias, dtype=self.dtype,
-            precision=self.precision, quant_int8=quant_convs, name="up2_conv",
+            precision=self.precision, quant_int8=quant_convs,
+            quant_fixed=quant and not quant_convs, name="up2_conv",
         )(y, x0)
 
         # --- output head (bias always on: ref :529 has no bias= kwarg) ---

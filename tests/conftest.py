@@ -13,6 +13,17 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# CPU-pinned suite: machine-fingerprinted compile-cache dir (see
+# tests/cachedirs.py — a home dir persisting across heterogeneous machines
+# can otherwise serve XLA:CPU executables compiled for foreign cpu
+# features, which SIGILL on load). ircolor_tpu/__init__.py honors this env.
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from cachedirs import cpu_cache_dir  # noqa: E402
+
+os.environ.setdefault("IRCOLOR_COMPILE_CACHE_DIR", cpu_cache_dir("tests"))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

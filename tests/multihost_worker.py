@@ -62,17 +62,30 @@ def main() -> None:
     #     (get_topology_for_devices(...).serialize() embeds process-local
     #     state), so non-zero processes compute keys that can never hit
     #     process 0's entries — every run recompiled on N−1 processes.
-    # Fix: hash the accelerator config via jax's own documented fallback
-    # (_hash_devices — str(device) is identical across processes for the
-    # shared global device list). Keys then match across processes, p0's
-    # write serves everyone, and a second multihost run compiles in
-    # seconds (verified: 2-proc probe, run 2 = zero cache misses on both
-    # processes). Test-harness-only patch, guarded so an upstream rename
-    # degrades to the old always-recompile behavior instead of breaking.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/jax_comp_cache_cpu_mh"),
-    )
+    # (c) even where (a)+(b) are fixed, the dir config was being CLOBBERED:
+    #     `import ircolor_tpu` (below, via parallel.mesh) sets
+    #     jax_compilation_cache_dir to the shared TPU-session cache on
+    #     package import (ircolor_tpu/__init__.py) — so the worker's
+    #     entries landed in ~/.cache/jax_comp_cache, where a home dir
+    #     that persists across machines can hold XLA:CPU executables
+    #     compiled for DIFFERENT cpu features (observed: "machine type
+    #     ... doesn't match ... could lead to SIGILL", and an actual
+    #     worker crash loading one). The package respects
+    #     IRCOLOR_COMPILE_CACHE_DIR, so set that BEFORE the import and
+    #     use a machine-fingerprinted dir (tests/conftest.py applies the
+    #     same fingerprint for the main CPU suite).
+    # Fix for (b): hash the accelerator config via jax's own documented
+    # fallback (_hash_devices — str(device) is identical across processes
+    # for the shared global device list). Keys then match across
+    # processes, p0's write serves everyone, and a second multihost run
+    # compiles in seconds (verified: 2-proc probe, run 2 = zero cache
+    # misses on both processes). Test-harness-only patch, guarded so an
+    # upstream rename degrades to always-recompile instead of breaking.
+    from cachedirs import cpu_cache_dir  # tests/ = the spawned script's dir
+
+    cache_dir = cpu_cache_dir("mh")
+    os.environ["IRCOLOR_COMPILE_CACHE_DIR"] = cache_dir
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     try:
@@ -87,6 +100,12 @@ def main() -> None:
         pass
 
     from ircolor_tpu.parallel.mesh import initialize_multihost
+
+    # The package import above re-applies its own cache thresholds; restore
+    # the worker's (dir already survives via IRCOLOR_COMPILE_CACHE_DIR).
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     initialize_multihost(
         coordinator_address=f"localhost:{args.port}",

@@ -68,10 +68,15 @@ def bench(name, cfg, iters=None, warmup=4):
     print(f"b{B} {name:24s} {dt*1000:7.2f} ms/step  ({B/dt:6.1f} fps)",
           flush=True)
 
+# "shipped" = the true resolved default (int8 at 512×640-class planes since
+# round 5); the fused-kernel A/B rows pin quant_int8=False so their meaning
+# matches the r3/r4 float measurements they are compared against.
 common = dict(img_height=args.height, img_width=args.width, compute_dtype="bf16")
+floatc = dict(common, quant_int8=False)
 bench("shipped", Config(**common))
-bench("xla (all fused off)", Config(**common, pallas_block=False, pallas_norm_blur=False, pallas_head=False))
-bench("blocks only", Config(**common, pallas_norm_blur=False, pallas_head=False))
-bench("nb+head only", Config(**common, pallas_block=False))
+bench("xla (all fused off)", Config(**floatc, pallas_block=False, pallas_norm_blur=False, pallas_head=False))
+bench("blocks only", Config(**floatc, pallas_norm_blur=False, pallas_head=False))
+bench("nb+head only", Config(**floatc, pallas_block=False))
+bench("float shipped", Config(**floatc))
 bench("int8 shipped", Config(**common, quant_int8=True))
 bench("shipped (repeat)", Config(**common))

@@ -445,6 +445,12 @@ VARIANTS = {
         _BASE, res_pallas="int8", norm_blur=True, fused_head=True, head_q=True,
         quant=("d1", "d2", "u1", "u2"), quant_fixed=("d1", "d2", "u2"),
     ),
+    # The round-5 run-A winner (qcf_u2 −20.3 ms) combined with the int8
+    # head (neutral alone; u2's output is the head's input — compose check).
+    "int8_qcf_u2_hq": dict(
+        _BASE, res_pallas="int8", norm_blur=True, fused_head=True, head_q=True,
+        quant=("u2",), quant_fixed=("u2",),
+    ),
     # Round-3 remaining-gap attribution ON TOP of the shipped nb+head combo
     # (pb_nb_head). All WRONG MATH — perf probes only.
     # What the nb/head kernels' XLA stats reduces still cost (what stats
