@@ -134,9 +134,16 @@ def _fused_tile_h(h: int) -> int | None:
 _FUSED_MIN_AREA = 12288
 _FUSED_MIN_LAUNCH = 40960
 # Smallest per-shard bottleneck plane at which the small-batch band is
-# PROBED to win under spatial sharding (sp=2 at 512×640 → 64×160 px;
-# tools/r4_band_sp_run.sh). Smaller shards fall back to XLA.
-_SP_BAND_MIN_AREA = 10240
+# PROBED to win under spatial sharding. Two measured planes:
+# * sp=2 at 512×640 → 64×160 = 10240 px: blocks 1.19–1.42× XLA across
+#   b2–b6 (tools/r4_band_sp_run.sh, round 4);
+# * sp=4 at 512×640 → 32×160 = 5120 px: blocks 1.15–1.30× XLA at
+#   b2/b4/b6 (tools/r5b_train_sp_run.sh, round 5 — 128×640 full-model
+#   probe, kernels forced past the area gates).
+# Gate = the smaller probed boundary; the 15–30% margin budgets the
+# ppermute halo cost a real multi-chip run adds. Smaller (unprobed)
+# shards still fall back to XLA.
+_SP_BAND_MIN_AREA = 5120
 
 
 def _xla_smallbatch_band(b: int) -> bool:

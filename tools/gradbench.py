@@ -129,6 +129,10 @@ def main() -> None:
                 cfg = Config(
                     img_height=h, img_width=w, batch_size=b,
                     compute_dtype="bf16",
+                    # this tool measures the TRAINING graph's G fwd+bwd:
+                    # pin the float path (int8 is inference-only; since r5
+                    # the bf16 config would otherwise RESOLVE to int8).
+                    quant_int8=False,
                     n_blocks=0 if "noblocks" in name else 9,
                     lanepack="_nolp" not in name,
                     norm="none" if "_nonorm" in name else "instance",

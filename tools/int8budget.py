@@ -45,7 +45,7 @@ def main() -> None:
     # Regression-gate mode (VERDICT r4 #2): exit 1 when |ΔPSNR| / |ΔSSIM|
     # between float and int8 serving exceed the bounds — run per round on a
     # trained checkpoint as the automated check behind the int8-by-default
-    # serving mode (tools/r5_serial_run.sh wires it; the r4 measured deltas
+    # serving mode (tools/r5_converge_run.sh wires it; the r4 measured deltas
     # were −0.011 dB / −0.0002 SSIM against these 0.02 / 0.002 bounds).
     ap.add_argument("--assert-max-dpsnr", type=float, default=None)
     ap.add_argument("--assert-max-dssim", type=float, default=None)
@@ -55,6 +55,13 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # foreign-machine XLA:CPU cache entries in the shared dir SIGILL on
+        # load (docs/PERF.md r5): use the machine-fingerprinted dir.
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tests"))
+        from cachedirs import cpu_cache_dir
+
+        _os.environ.setdefault("IRCOLOR_COMPILE_CACHE_DIR", cpu_cache_dir("tools"))
+        jax.config.update("jax_compilation_cache_dir", cpu_cache_dir("tools"))
 
     from ircolor_tpu.config import Config
     from ircolor_tpu.eval.runner import run_test

@@ -19,6 +19,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tests"))
+from cachedirs import cpu_cache_dir  # noqa: E402 — foreign-machine
+# XLA:CPU cache entries in the shared dir SIGILL on load (docs/PERF.md r5)
+_os.environ.setdefault("IRCOLOR_COMPILE_CACHE_DIR", cpu_cache_dir("tools"))
 
 import argparse
 import tempfile

@@ -77,6 +77,7 @@ def main() -> int:
                 test_G_weights=ckpt,
                 output_dir=os.path.join(args.out, f"train_{regime}__test_{split}"),
                 save_comparisons=False,
+                best50_copy_collages=False,  # no collages exist to copy
                 topk=50,
             )
             summary = run_test(cfg)
