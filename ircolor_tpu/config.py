@@ -395,20 +395,23 @@ class Config:
     @property
     def resolved_quant_int8(self) -> bool:
         """Serving quantization: explicit value, else ON for the bf16
-        serving path at 512×640-class planes (measured faster AND inside
-        the accuracy budget: −0.011 dB / −0.0002 SSIM end-to-end,
-        docs/int8_budget_r4.json) and OFF for the f32 reference-parity
-        path, for training, and at small planes (<200k px, e.g. 256²)
-        where the fused int8 kernels are area-gated off and the XLA
-        QuantConv fallback measured SLOWER than float (+6.6 ms at 256²
-        b16, docs/PERF.md round-3 run A)."""
+        serving path at both probed resolutions — 512×640-class planes
+        (fused int8 blocks + fixed-scale up2 + int8 head) and 256²-class
+        (≥65k px: int8 th16 blocks + XLA QuantConv enc/dec measured
+        −2.8 ms vs float at b16, docs/PERF.md round 5) — and OFF for the
+        f32 reference-parity path, for training, and below 256²-class
+        planes (unprobed; the bottleneck there sits under the int8
+        blocks' 4096-px gate so only the QuantConv fallback would run).
+        Accuracy: −0.011 dB PSNR / −0.0002 SSIM end-to-end on a trained
+        checkpoint (docs/int8_budget_r4.json), re-gated each round
+        (tools/int8budget.py --assert)."""
         if self.quant_int8 is not None:
             return self.quant_int8
         h, w = self.resolved_hw
         return (
             self.compute_dtype == "bf16"
             and self.mode != "train"
-            and h * w >= 200_000
+            and h * w >= 65_536
         )
 
     def replace(self, **kw: Any) -> "Config":

@@ -133,6 +133,12 @@ def _fused_tile_h(h: int) -> int | None:
 # Tests override via the module fields.
 _FUSED_MIN_AREA = 12288
 _FUSED_MIN_LAUNCH = 40960
+# int8 blocks clear a LOWER plane bar than the float ones: at the 256²
+# bottleneck (64×64 = 4096 px, b16) the float kernel loses at every tile
+# (+1.1..+1.8 ms) but the int8 form WINS (th16: −1.8..−2.8 ms with the
+# XLA QuantConv enc/dec — fwdvariants pb_int8_th16*, docs/PERF.md r5).
+# Probed at 4096 px; smaller planes fall back.
+_QUANT_FUSED_MIN_AREA = 4096
 # Smallest per-shard bottleneck plane at which the small-batch band is
 # PROBED to win under spatial sharding. Two measured planes:
 # * sp=2 at 512×640 → 64×160 = 10240 px: blocks 1.19–1.42× XLA across
@@ -238,6 +244,20 @@ class ResnetBlock(nn.Module):
         # Under H-axis spatial sharding the kernel tiles the LOCAL shard.
         local_h = x.shape[1] // sp_n if x.shape[1] % sp_n == 0 else 0
         th = _fused_tile_h(local_h) if local_h else None
+        # Small planes tile shallower for the int8 kernel: th16 beat th32's
+        # default pick and th8 at the 256² bottleneck (r5 probe).
+        if (
+            quant
+            and th is not None
+            and local_h * x.shape[2] < _FUSED_MIN_AREA
+            and local_h % 16 == 0
+        ):
+            th = 16
+        min_area = (
+            min(self.pallas_block_min_area, _QUANT_FUSED_MIN_AREA)
+            if quant
+            else self.pallas_block_min_area
+        )
         if (
             self.norm == "instance"
             and self.pallas_block
@@ -263,7 +283,7 @@ class ResnetBlock(nn.Module):
             # shard plane, tools/r4_band_sp_run.sh, docs/PERF.md r4);
             # smaller shards are unprobed and fall back.
             and (
-                (local_h * x.shape[2] >= self.pallas_block_min_area
+                (local_h * x.shape[2] >= min_area
                  and x.shape[0] * local_h * x.shape[2]
                  >= self.pallas_block_min_launch)
                 or (_xla_smallbatch_band(x.shape[0])

@@ -175,28 +175,20 @@ def warmup_mesh_collectives(mesh: Mesh) -> None:
                 lambda v: v.sum(), out_shardings=NamedSharding(mesh, P())
             )(arr)
             jax.block_until_ready(out)
-            break
-        except Exception as exc:  # rendezvous timeout — peers still booting
-            last = exc
-    else:
-        raise last
-    # Also pre-establish the PROCESS-allgather context orbax's checkpoint
-    # barrier rides (jax.experimental.multihost_utils.process_allgather —
-    # a DIFFERENT gloo clique from the mesh all-reduce above). Observed
-    # (round 5): with warm compile caches the epoch races to the orbax
-    # save, where one process writing netG exports skews past gloo's 30 s
-    # context-init window on the other's first allgather — warming it here,
-    # while the processes are still in lockstep, makes that first barrier
-    # skew-tolerant. Same retry rationale.
-    from jax.experimental import multihost_utils
-
-    for _ in range(4):
-        try:
-            multihost_utils.process_allgather(np.zeros((1,), np.float32))
             return
         except Exception as exc:  # rendezvous timeout — peers still booting
             last = exc
     raise last
+    # NOTE (round 5): do NOT add a second warm-up collective here (e.g.
+    # multihost_utils.process_allgather for orbax's barrier context). It
+    # was tried and DEADLOCKED: with two different collectives behind
+    # independent retry loops, a process whose first attempt timed out can
+    # re-issue collective A while its peer has moved on to collective B —
+    # and on an ESTABLISHED gloo context a mismatched collective waits
+    # without timeout. The orbax-barrier skew (a process-0-only netG
+    # export running before the save barrier) is fixed at the source in
+    # train/loop.py instead: exports happen AFTER the orbax save, so the
+    # cross-process barrier is reached in lockstep.
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -337,6 +337,26 @@ def train_kaist(
         if is_best:
             best_val_l1 = val_l1
         do_save = epoch % cfg.save_every == 0 or epoch == cfg.epochs
+        if do_save:
+            # EVERY process calls the orbax save (outside the process-0 gate):
+            # orbax runs cross-process barriers internally, so a process-0-only
+            # call deadlocks a real multihost runtime — process 0 waits in the
+            # barrier, the others wait in the next epoch's collectives (caught
+            # by tests/test_parallel.py::test_multihost_real_processes). The
+            # device-resident (replicated) state is passed so orbax's array
+            # handler picks the writing replica itself. The orbax save runs
+            # BEFORE the process-0-only netG exports (round 5): with warm
+            # compile caches the epoch races to this point, and a process-0
+            # export running first skewed process 1 into orbax's
+            # context-INIT barrier past gloo's 30 s window (observed
+            # DEADLINE_EXCEEDED at the first save's allgather). Ordering
+            # the barrier first reaches it in lockstep; later p0-only file
+            # writes only delay ESTABLISHED-context collectives, which wait
+            # without timeout.
+            save_full_state(
+                orbax_dir, epoch, state,
+                {"epoch": epoch, "best_val_l1": best_val_l1, "val_l1": val_l1},
+            )
         if jax.process_index() == 0:
             if do_save:
                 stem = os.path.join(cfg.save_dir, f"netG_epoch_{epoch:03d}")
@@ -354,19 +374,6 @@ def train_kaist(
                     no_antialias=cfg.no_antialias,
                 )
                 log.info("New best model saved to %s (val L1=%.4f)", best_stem, best_val_l1)
-        if do_save:
-            # EVERY process calls the orbax save (outside the process-0 gate):
-            # orbax runs cross-process barriers internally, so a process-0-only
-            # call deadlocks a real multihost runtime — process 0 waits in the
-            # barrier, the others wait in the next epoch's collectives (caught
-            # by tests/test_parallel.py::test_multihost_real_processes). The
-            # device-resident (replicated) state is passed so orbax's array
-            # handler picks the writing replica itself; netG exports above are
-            # plain host file writes and stay process-0-only.
-            save_full_state(
-                orbax_dir, epoch, state,
-                {"epoch": epoch, "best_val_l1": best_val_l1, "val_l1": val_l1},
-            )
 
         # LR print (factor computed like the schedule; ref :1720-1721).
         from ircolor_tpu.train.schedule import linear_decay_factor

@@ -74,39 +74,39 @@ def main() -> None:
     #     IRCOLOR_COMPILE_CACHE_DIR, so set that BEFORE the import and
     #     use a machine-fingerprinted dir (tests/conftest.py applies the
     #     same fingerprint for the main CPU suite).
-    # Fix for (b): hash the accelerator config via jax's own documented
-    # fallback (_hash_devices — str(device) is identical across processes
-    # for the shared global device list). Keys then match across
-    # processes, p0's write serves everyone, and a second multihost run
-    # compiles in seconds (verified: 2-proc probe, run 2 = zero cache
-    # misses on both processes). Test-harness-only patch, guarded so an
-    # upstream rename degrades to always-recompile instead of breaking.
-    from cachedirs import cpu_cache_dir  # tests/ = the spawned script's dir
-
-    cache_dir = cpu_cache_dir("mh")
-    os.environ["IRCOLOR_COMPILE_CACHE_DIR"] = cache_dir
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    try:
-        import jax._src.cache_key as _cache_key
-
-        _cache_key._hash_accelerator_config = (
-            lambda hash_obj, accelerators: _cache_key._hash_devices(
-                hash_obj, accelerators
-            )
-        )
-    except (ImportError, AttributeError):  # pragma: no cover
-        pass
+    # RESOLUTION: persistent compile caching is DISABLED in these workers.
+    # Three warm-start designs were built and rejected with evidence (all
+    # runs solo, docs/PERF.md round 5):
+    # * Cross-process sharing (patch the per-process accelerator_config
+    #   key component so everyone reads p0's entries): a tiny-jit probe
+    #   passed, but the real train step DEADLOCKED on warm runs.
+    # * A second warm-up collective for orbax's barrier context:
+    #   deadlocks (mismatched retries across two different collectives —
+    #   see parallel/mesh.py NOTE).
+    # * Per-process dirs + lifting the p0-only write rule: every process
+    #   writes/hits its own entries (verified, 292 each), but WARM runs
+    #   then fail ~50%: reloading this jax/XLA version's own XLA:CPU AOT
+    #   executables trips the target-feature check ("+prefer-no-scatter
+    #   is not supported on the host machine" — an XLA pseudo-feature the
+    #   host probe doesn't report, logged as a machine-type mismatch with
+    #   SIGILL warnings even for same-machine entries), after which the
+    #   loading worker sat silent for minutes and missed the peer's gloo
+    #   context-init 30 s window (observed: p1 AOT-load warnings at T,
+    #   nothing until the shutdown-barrier cascade at T+5:33).
+    # Deserializing XLA:CPU executables with collectives is not reliable
+    # here, so the workers always compile fresh; robustness rests on the
+    # parent's 1500 s communicate() budget (as in round 4) plus the
+    # cold-run time itself improving when the machine is idle (~2-3 min
+    # for N=2). The SIGILL/foreign-entry hazard this also avoids is real:
+    # a worker crash loading a foreign-machine entry from the shared
+    # ~/.cache dir started this investigation.
+    os.environ["IRCOLOR_NO_COMPILE_CACHE"] = "1"
+    jax.config.update("jax_compilation_cache_dir", None)
 
     from ircolor_tpu.parallel.mesh import initialize_multihost
 
-    # The package import above re-applies its own cache thresholds; restore
-    # the worker's (dir already survives via IRCOLOR_COMPILE_CACHE_DIR).
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
+    # (IRCOLOR_NO_COMPILE_CACHE above also keeps the package import from
+    # re-enabling the cache.)
     initialize_multihost(
         coordinator_address=f"localhost:{args.port}",
         num_processes=args.num_processes,

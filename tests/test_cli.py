@@ -192,6 +192,11 @@ def test_config_presets_load():
     assert Config().resolved_quant_int8 is False          # f32 parity path
     assert flag.replace(mode="train").resolved_quant_int8 is False
     assert flag.replace(quant_int8=False).resolved_quant_int8 is False
+    # 256²-class bf16 also resolves int8 since round 5 (int8 th16 blocks +
+    # QuantConv enc/dec measured −2.8 ms vs float); smaller planes stay
+    # float (unprobed).
+    assert Config(img_size=256, compute_dtype="bf16").resolved_quant_int8 is True
+    assert Config(img_size=128, compute_dtype="bf16").resolved_quant_int8 is False
 
     # Flags still win over the preset (CLI contract).
     ns = parser.parse_args(["--config", presets["flagship_512x640.json"],

@@ -395,6 +395,13 @@ VARIANTS = {
     "pb_th8": dict(_BASE, res_pallas=True, res_tile=8),
     "pb_int8_th16": dict(_BASE, res_pallas="int8", res_tile=16),
     "pb_int8_th8": dict(_BASE, res_pallas="int8", res_tile=8),
+    # 256² quant ROUTING probes (which enc/dec form should ride with the
+    # winning int8-th16 blocks): XLA QuantConv everywhere vs fixed-scale
+    # u2 only vs float enc/dec (= pb_int8_th16 above).
+    "pb_int8_th16_qc": dict(_BASE, res_pallas="int8", res_tile=16, quant=True),
+    "pb_int8_th16_qcfu2": dict(
+        _BASE, res_pallas="int8", res_tile=16, quant=("u2",), quant_fixed=("u2",),
+    ),
     # ---- Round-5 int8-coverage sweep (VERDICT r4 #1): extend int8 beyond
     # the blocks. Base for every row: int8_nbh (the shipped serving combo).
     # int8 fused head: the new ops/pallas_head quant=True kernel (int8
