@@ -326,6 +326,20 @@ class Config:
     # (pure StableHLO). Set False explicitly for float serving.
     quant_int8: bool | None = None
 
+    # Two round-5 int8 extensions that WON on speed but FAILED the
+    # accuracy gate and are therefore opt-in, default OFF (the automated
+    # budget gate doing its job — docs/PERF.md r5): with both on, the
+    # trained-checkpoint budget read −0.654 dB / −0.0117 SSIM vs the
+    # blocks-only int8 default's −0.011 dB / −0.0002. Unlike the resblock
+    # quantization (whose rounding noise feeds instance norms that
+    # renormalize it away), these two sites sit at the END of the network
+    # where 127/6σ fixed-grid noise lands directly on the output image.
+    # * quant_fixed_u2: fixed-scale int8 up2 conv (−20.3/−4.1 ms fwd at
+    #   b32 512×640; ConcatConv3x3(quant_fixed)).
+    # * quant_head: int8 fused 7×7 head (−0.7/−0.9 ms; outc_head_q).
+    quant_fixed_u2: bool = False
+    quant_head: bool = False
+
     # AOT serving export (mode="export" / `python -m ircolor_tpu export`,
     # export/aot.py — no reference equivalent; the ref ships bare .pth
     # weights that need the full model source, ref :781-789). Output path

@@ -408,8 +408,14 @@ class ResnetUNetGenerator(nn.Module):
     # feeds an instance norm, which absorbs the scales exactly — error is
     # pure int8 rounding noise. Inference-only (training forces it off);
     # replaces the fused bf16 resblock kernel when on. The 7×7 heads stay
-    # float. Opt-in: excluded from the reference-parity budget.
+    # float.
     quant_int8: bool = False
+    # Round-5 end-of-network int8 extensions — perf wins that FAILED the
+    # accuracy budget gate (−0.654 dB with both on vs −0.011 blocks-only;
+    # their quantization noise has no downstream IN to renormalize it).
+    # Opt-in, default OFF (Config.quant_fixed_u2 / quant_head).
+    quant_fixed_u2: bool = False
+    quant_head: bool = False
     # Rematerialize each ResnetBlock in the backward pass (jax.checkpoint):
     # trades one extra block forward for not keeping 4 bottleneck-plane
     # activations per block alive — the lever that avoids the HBM cliff at
@@ -695,17 +701,17 @@ class ResnetUNetGenerator(nn.Module):
             y = blur_upsample_aa(y, precision=self.precision)
         if y.shape[1:3] != x0.shape[1:3]:
             y = bilinear_align_corners(y, x0.shape[1:3])     # fixup (ref :562-563)
-        # Round-5 int8 coverage: where the fused kernels deselect the
-        # dynamic QuantConv path (quant_convs=False), up2 ALONE still wins
-        # on int8 — with the FIXED 127/6σ input scale (both its inputs are
-        # IN+ReLU-derived non-negative chains): −20.3 ms at 32×512×640
-        # (fwdvariants int8_qcf_u2; the dynamic amax form LOSES +3.9 there,
-        # and every other enc/dec site measured NULL-to-loss — d1 +12.5,
-        # d2 +1.6, u1 +1.3; docs/PERF.md round 5). Param layout unchanged.
+        # Round-5 int8-coverage result for up2: with fused kernels engaged
+        # the FIXED-scale int8 form wins on speed (−20.3/−4.1 ms at
+        # 32×512×640; the dynamic amax form LOSES +3.9, and d1/d2/u1 int8
+        # measured NULL-to-loss — docs/PERF.md round 5) but FAILED the
+        # end-to-end accuracy gate (−0.65 dB with quant_head also on):
+        # opt-in via Config.quant_fixed_u2, default float here.
         y = ConcatConv3x3(
             ngf, use_bias=use_bias, dtype=self.dtype,
             precision=self.precision, quant_int8=quant_convs,
-            quant_fixed=quant and not quant_convs, name="up2_conv",
+            quant_fixed=quant and not quant_convs and self.quant_fixed_u2,
+            name="up2_conv",
         )(y, x0)
 
         # --- output head (bias always on: ref :529 has no bias= kwarg) ---
@@ -729,9 +735,10 @@ class ResnetUNetGenerator(nn.Module):
             and _pallas_available()
         ):
             k7, b7 = _HeadParams(self.output_nc, name="outc_conv")(y.shape[-1])
-            if quant:
-                # int8 serving inside the fused head (round 5): same
-                # schedule/traffic, matmuls on the int8 2× MXU path.
+            if quant and self.quant_head:
+                # int8 fused head (round 5): same schedule/traffic, int8 2×
+                # MXU matmuls — but its output-adjacent quantization noise
+                # failed the accuracy gate; opt-in via Config.quant_head.
                 y = outc_head_q(y, k7.astype(self.dtype)) + b7.astype(self.dtype)
             else:
                 y = outc_head(y, k7.astype(self.dtype)) + b7.astype(self.dtype)

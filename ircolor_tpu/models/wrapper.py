@@ -60,6 +60,8 @@ def generator_from_config(cfg: Config, *, dtype=None) -> ResnetUNetGenerator:
         lanepack=cfg.lanepack,
         blur_matmul_bwd=cfg.blur_matmul_bwd,
         quant_int8=cfg.resolved_quant_int8,
+        quant_fixed_u2=cfg.quant_fixed_u2,
+        quant_head=cfg.quant_head,
         remat=cfg.remat,
     )
 

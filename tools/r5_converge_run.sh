@@ -45,8 +45,9 @@ echo "INT8_RC=$RC" | tee -a "$WORK/int8.log"
 python - <<EOF
 import json
 txt = open("$WORK/int8_budget.json.raw").read()
+start = txt.index("\n{") + 1  # run_test progress lines precede the JSON
 end = txt.rindex("}") + 1
-obj = json.loads(txt[:end])
+obj = json.loads(txt[start:end])
 obj["gate"] = {"max_dpsnr": 0.02, "max_dssim": 0.002,
                "passed": $RC == 0, "rc": $RC}
 open("$REPO/docs/int8_budget_r5.json", "w").write(json.dumps(obj, indent=2) + "\n")
