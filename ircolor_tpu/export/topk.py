@@ -88,7 +88,10 @@ def save_best_k_outputs(cfg: Config, metrics_list: list[dict[str, Any]]) -> None
             else:
                 log.warning("[TOP-K][WARN] Missing prediction, cannot copy: %s", src_pred)
 
-        if cfg.best50_copy_collages:
+        # When comparisons are disabled no collages exist — skip the copy
+        # attempts instead of warning per image (the reference always has
+        # them because its save_comparisons defaults on, ref :127).
+        if cfg.best50_copy_collages and cfg.save_comparisons:
             src_cmp = os.path.join(cfg.output_dir, cfg.comparison_dirname, subdir, f"{stem}_cmp.png")
             if not os.path.isfile(src_cmp):
                 alt = os.path.join(cfg.output_dir, cfg.comparison_dirname, subdir, f"{stem}_cmp.jpg")

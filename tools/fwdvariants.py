@@ -404,7 +404,12 @@ VARIANTS = {
     ),
     # ---- Round-5 int8-coverage sweep (VERDICT r4 #1): extend int8 beyond
     # the blocks. Base for every row: int8_nbh (the shipped serving combo).
-    # int8 fused head: the new ops/pallas_head quant=True kernel (int8
+    # OUTCOME: the speed winners (int8_qcf_u2 −20.3/−4.1 ms, int8_nbh_hq
+    # −0.7/−0.9) FAILED the end-to-end accuracy gate on a trained ckpt
+    # (u2-fixed alone −0.277 dB, head_q alone −0.796 — no downstream IN
+    # to renormalize end-of-network quant noise) and shipped as OPT-IN
+    # only (Config.quant_fixed_u2 / quant_head). docs/PERF.md round 5.
+    # int8 fused head: the ops/pallas_head quant=True kernel (int8
     # matmuls inside the same schedule — no epilogue touches HBM).
     "int8_nbh_hq": dict(
         _BASE, res_pallas="int8", norm_blur=True, fused_head=True, head_q=True,
